@@ -1,0 +1,53 @@
+"""Query-surface registry.
+
+Each declared query (SURVEY §7.3) is a :class:`QuerySpec`: a PySpark
+builder ``fn(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible)
+an equivalent ANSI-SQL oracle string that DuckDB runs on the same
+parquet tables. The driver hash-compares both sides, order-insensitive,
+column names sorted — so every computed column is aliased identically
+on both sides, doubles are rounded, and timestamps are emitted as epoch
+BIGINT or formatted strings (never raw timestamps) to keep rendering
+byte-identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Registration order preserved (dicts are ordered).
+REGISTRY: dict[str, "QuerySpec"] = {}
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None  # DuckDB SQL; None → rows-only check
+    headline: bool = False  # include in bench.py
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, headline=headline, tags=tags)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Parquet scan. Filters/projections applied by callers reach the
+    scan via Catalyst pushdown — verify with .explain('formatted')."""
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")

@@ -1,0 +1,652 @@
+"""Declared relational query surface over the TPC-H-ish testdata tables.
+
+Exercises, with a DuckDB oracle for each: parquet scans with
+pushdown-friendly filters/projections, inner/left/semi/anti equi-joins,
+broadcast joins for the small dimensions, hash aggregation,
+rollup/cube/grouping sets, ranking + frame + lag windows, top-k (global
+and per group), set operations, conditional aggregation, scalar
+string/date/math functions.
+
+Scale posture (100 TB): every query is fully declarative DataFrame API,
+so Catalyst handles pushdown/pruning/reordering; region/nation/supplier
+(bounded dims) are broadcast explicitly; all other joins shuffle on
+their keys with AQE handling skew/coalescing. No Python UDFs, no
+collects.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..session import ensure_utc
+from .base import load, register
+
+# ---------------------------------------------------------------------------
+# Aggregation / scan queries
+
+
+@register(
+    "q01_pricing_summary",
+    headline=True,
+    tags=("agg", "scan"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+       round(avg(l_quantity), 2)                                          AS avg_qty,
+       round(avg(l_extendedprice), 2)                                     AS avg_price,
+       round(avg(l_discount), 4)                                          AS avg_disc,
+       count(*)                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: single scan + hash aggregate.
+
+    Map-side partial aggregation makes this shuffle only |groups| rows
+    per partition — safe at any scale. Filter pushes to the parquet scan.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q06_revenue_delta",
+    tags=("agg", "scan", "pushdown"),
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+""",
+)
+def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: all predicates push to the parquet scan; the
+    aggregate is a single global sum (two-stage, no wide shuffle)."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q18_distinct_count",
+    tags=("agg", "distinct"),
+    oracle="""
+SELECT c_mktsegment,
+       count(DISTINCT c_nationkey) AS n_nations,
+       count(*)                    AS n_customers,
+       round(avg(c_acctbal), 2)    AS avg_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q18_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+    )
+
+
+@register(
+    "q09_having",
+    tags=("agg", "having"),
+    oracle="""
+SELECT o_custkey, count(*) AS order_cnt, round(sum(o_totalprice), 2) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 13
+""",
+)
+def q09_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .filter(F.col("order_cnt") >= 13)
+    )
+
+
+@register(
+    "q20_case_agg",
+    tags=("agg", "case"),
+    oracle="""
+SELECT o_orderstatus,
+       round(sum(CASE WHEN o_totalprice > 250000 THEN o_totalprice ELSE 0 END), 2) AS big_revenue,
+       count(CASE WHEN o_totalprice > 250000 THEN 1 END)                           AS big_cnt,
+       round(avg(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS urgent_avg
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q20_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 250000
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.sum(F.when(big, F.col("o_totalprice")).otherwise(0)), 2).alias("big_revenue"),
+        F.count(F.when(big, F.lit(1))).alias("big_cnt"),
+        F.round(
+            F.avg(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))), 2
+        ).alias("urgent_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+
+
+@register(
+    "q03_top_revenue_orders",
+    headline=True,
+    tags=("join", "topk"),
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d')                       AS orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)       AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-06-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1999-06-01 00:00:00'
+GROUP BY o_orderkey, orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: filtered 3-way join + agg + deterministic top-k.
+
+    customer/orders/lineitem all shuffle on their join keys; filters
+    push down to each scan first. Top-k is a TakeOrderedAndProject —
+    no global sort materialization.
+    """
+    ensure_utc(spark)
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-06-01").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-06-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate")
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_nation_volume",
+    headline=True,
+    tags=("join", "broadcast", "agg"),
+    oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def q05_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: star join with the region/nation/supplier dims
+    broadcast (they are bounded small at any scale factor), fact-fact
+    join (orders⋈lineitem) shuffling on the order key."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q21_part_brand_stats",
+    tags=("join", "broadcast", "agg"),
+    oracle="""
+SELECT p_brand,
+       round(avg(l_quantity), 4)      AS avg_qty,
+       round(sum(l_extendedprice), 2) AS brand_revenue,
+       count(*)                       AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size < 10
+GROUP BY p_brand
+""",
+)
+def q21_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with an explicit broadcast of the filtered part dim."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("brand_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q04_semi_join",
+    tags=("join", "semi"),
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_cnt
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48
+)
+GROUP BY o_orderpriority
+""",
+)
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): probe side never duplicates rows."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+    )
+
+
+@register(
+    "q07_anti_join",
+    tags=("join", "anti"),
+    oracle="""
+SELECT c_mktsegment, count(*) AS idle_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""",
+)
+def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("idle_customers"))
+    )
+
+
+@register(
+    "q08_left_join_agg",
+    tags=("join", "outer", "agg"),
+    oracle="""
+SELECT c_custkey,
+       count(o_orderkey)                      AS order_cnt,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+""",
+)
+def q08_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (zero counts)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "q22_order_lineitem_stats",
+    tags=("join", "agg"),
+    oracle="""
+SELECT o_orderkey, n_items, round(max_price, 2) AS max_price
+FROM orders
+JOIN (
+  SELECT l_orderkey, count(*) AS n_items, max(l_extendedprice) AS max_price
+  FROM lineitem GROUP BY l_orderkey
+) li ON l_orderkey = o_orderkey
+WHERE n_items >= 6
+""",
+)
+def q22_order_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregated join: aggregate lineitem before joining so the
+    join input is one row per key (shuffle once on l_orderkey, reused
+    by the join under AQE)."""
+    o = load(spark, sf_dir, "orders")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.max("l_extendedprice").alias("_mp"))
+        .filter(F.col("n_items") >= 6)
+    )
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderkey", "n_items", F.round(F.col("_mp"), 2).alias("max_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+
+
+@register(
+    "q14_rollup",
+    tags=("agg", "rollup"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "q15_cube",
+    tags=("agg", "cube"),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+
+
+@register(
+    "q16_grouping_sets",
+    tags=("agg", "grouping-sets"),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def q16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+
+
+@register(
+    "q11_topk_per_group",
+    tags=("window", "rank"),
+    oracle="""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: rank window partitioned on the
+    grouping key — one shuffle on o_custkey, sort within partition."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn"
+        )
+    )
+
+
+@register(
+    "q12_running_total",
+    tags=("window", "frame"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+FROM orders
+""",
+)
+def q12_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "q13_lag_gap",
+    tags=("window", "lag"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS gap_days,
+       round(o_totalprice - lag(o_totalprice) OVER w, 2)                      AS price_delta
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q13_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: per-customer inter-order gap in days and price delta."""
+    ensure_utc(spark)
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("gap_days"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("price_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops
+
+
+@register(
+    "q17_global_topk",
+    tags=("sort", "topk"),
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q17_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows), never a full sort."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "o_orderpriority")
+    )
+
+
+@register(
+    "q10_set_ops",
+    tags=("setop",),
+    oracle="""
+SELECT 'both' AS tag, nk FROM (
+  SELECT DISTINCT c_nationkey AS nk FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey AS nk FROM supplier
+)
+UNION ALL
+SELECT 'customer_only' AS tag, nk FROM (
+  SELECT DISTINCT c_nationkey AS nk FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey AS nk FROM supplier
+)
+""",
+)
+def q10_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over nation-key domains."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    both = c.intersect(s).select(F.lit("both").alias("tag"), "nk")
+    conly = c.exceptAll(s).select(F.lit("customer_only").alias("tag"), "nk")
+    return both.unionAll(conly)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface
+
+
+@register(
+    "q19_scalar_funcs",
+    tags=("scalar", "string", "math"),
+    oracle="""
+SELECT p_partkey,
+       upper(substr(p_name, 1, 10))            AS name_prefix,
+       length(p_name)                          AS name_len,
+       concat_ws('|', p_brand, p_type)         AS brand_type,
+       CASE WHEN p_size < 10 THEN 'small'
+            WHEN p_size < 30 THEN 'medium'
+            ELSE 'large' END                   AS size_class,
+       round(p_retailprice * 1.1, 2)           AS marked_up,
+       p_partkey % 7                           AS bucket,
+       abs(p_size - 25)                        AS size_dist
+FROM part
+""",
+)
+def q19_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 10)).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "medium")
+        .otherwise("large")
+        .alias("size_class"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+        (F.col("p_partkey") % 7).alias("bucket"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+    )
+
+
+@register(
+    "q23_datetime_funcs",
+    tags=("scalar", "datetime"),
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT)        AS order_year,
+       CAST(month(o_orderdate) AS INT)       AS order_month,
+       CAST(quarter(o_orderdate) AS INT)     AS order_quarter,
+       strftime(o_orderdate, '%Y-%m-%d')     AS order_date_str,
+       CAST(epoch(o_orderdate) AS BIGINT)    AS order_epoch
+FROM orders
+WHERE o_orderkey % 100 = 0
+""",
+)
+def q23_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime extraction; session pinned UTC so extraction matches
+    DuckDB's naive-timestamp semantics; epoch emitted as BIGINT."""
+    ensure_utc(spark)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        # o_orderdate is TIMESTAMP_NTZ (naive); with the session pinned to
+        # UTC the ltz hop yields the same epoch DuckDB's epoch() computes.
+        F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("order_epoch"),
+    )
