@@ -1,0 +1,196 @@
+"""Event-time queries over the ``events`` table.
+
+These are the batch-checkable faces of the engine's streaming surface:
+the same tumbling / sliding / session windowing and dedup semantics run
+under Structured Streaming in ``streaming/`` (with watermarks); here
+they run on the bounded events table so the DuckDB oracle can check
+them. Window starts are emitted as epoch BIGINT (never raw timestamps)
+for byte-identical comparison; the session is pinned UTC so Spark's
+``window()``/``session_window()`` boundaries match DuckDB's naive
+timestamp arithmetic.
+
+Scale posture: windowed aggregation shuffles on (window, key) with
+map-side partial aggregation; session windows shuffle on user_id once.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..session import ensure_utc
+from .base import load, register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects; read the raw int64 nanos and truncate to micros (exactly
+    # what DuckDB's reader does), giving a UTC-pinned TIMESTAMP column.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return load(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+@register(
+    "q30_events_tumbling",
+    headline=True,
+    tags=("events", "window", "tumbling"),
+    oracle="""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type,
+       count(*)                 AS cnt,
+       round(sum(value), 2)     AS total_value
+FROM events
+GROUP BY window_start, event_type
+""",
+)
+def q30_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q31_events_sliding",
+    tags=("events", "window", "sliding"),
+    oracle="""
+-- 1h windows sliding by 30min: each event lands in exactly two windows,
+-- starting at the two 30-min boundaries in (ts-1h, ts].
+SELECT b - s AS window_start, count(*) AS cnt, round(sum(value), 2) AS total_value
+FROM (SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS b, value FROM events)
+CROSS JOIN (SELECT unnest([0, 1800]) AS s)
+GROUP BY window_start
+""",
+)
+def q31_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour, 30 min slide) via ``window()``."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").cast("long").alias("window_start"), "cnt", "total_value")
+    )
+
+
+@register(
+    "q32_events_session",
+    tags=("events", "window", "session"),
+    oracle="""
+-- Session windows, 5-minute gap, per user: gaps-and-islands. A new
+-- session starts when the previous event is >= 5 minutes older
+-- (matches Spark's session_window half-open [start, last+gap)).
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 300000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) // 1000000 AS session_start,
+       count(*)                     AS n_events,
+       round(sum(value), 2)         AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+)
+def q32_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute inactivity gap) per user via
+    ``session_window`` — the batch face of the streaming operator."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "q33_events_dedup",
+    tags=("events", "dedup"),
+    oracle="""
+SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS dup_cnt
+FROM events
+GROUP BY user_id, event_type
+""",
+)
+def q33_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup: keep the lowest event_id per (user, type).
+
+    (``dropDuplicates`` keeps an arbitrary row — fine for streaming
+    at-most-once-per-key semantics, not for an oracle check — so the
+    declared form is the deterministic min_by aggregate.)
+    """
+    e = _events(spark, sf_dir)
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("dup_cnt")
+    )
+
+
+@register(
+    "q34_events_json_props",
+    tags=("events", "json"),
+    oracle="""
+SELECT CAST(props->>'$.k' AS INT) // 10 AS k_bucket,
+       count(*)             AS cnt,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY k_bucket
+""",
+)
+def q34_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract a JSON property and bucket it."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy(F.floor(k / 10).cast("long").alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@register(
+    "q35_events_rate",
+    tags=("events", "window", "lag"),
+    oracle="""
+-- Per-type daily counts with previous-day delta (lag over aggregates).
+WITH daily AS (
+  SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start, count(*) AS cnt
+  FROM events GROUP BY event_type, day_start
+)
+SELECT event_type, day_start, cnt,
+       cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY day_start) AS delta
+FROM daily
+""",
+)
+def q35_events_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-window composition: daily counts + day-over-day
+    delta per event type."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.window("ts", "1 day").alias("w")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    daily = daily.select(
+        "event_type", F.col("w.start").cast("long").alias("day_start"), "cnt"
+    )
+    w = Window.partitionBy("event_type").orderBy("day_start")
+    return daily.withColumn("delta", F.col("cnt") - F.lag("cnt").over(w))
