@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .base import REGISTRY, QuerySpec  # noqa: F401
 from . import relational  # noqa: F401  (registers queries)
 from . import events  # noqa: F401
+from . import cdc  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,102 @@
+"""CDC queries for the correctness gate.
+
+``cdc_pet_replay`` replays the reference's canonical nine-event
+pet-store scenario (cdc-mysql/README.md:223-231) through the full
+codec → registry → apply path; the oracle is the golden final table
+(cdc-mysql/README.md:191-198) as a VALUES literal.
+
+``cdc_orders_roundtrip`` exercises the same path at data scale: every
+``orders`` row is rendered into a wire-format Add event (JVM-side
+``to_json``), the batch is decoded and applied (one coalesced union),
+and the materialized table must equal the source table — the oracle is
+simply ``SELECT`` from orders. This is the CDC analog of the
+reference's e2e leader-equals-follower check.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..fixtures import PET_EVENTS
+from ..operators.apply import apply_changes
+from ..sources.event_source import read_events_from_strings
+from .base import load, register
+
+
+@register(
+    "cdc_pet_replay",
+    headline=True,
+    tags=("cdc", "apply", "e2e"),
+    oracle="""
+SELECT * FROM (VALUES
+  ('Jack', 'Peter', 'dog', 'm', '1989-08-31', CAST(NULL AS VARCHAR)),
+  ('Spot', 'Jane',  'dog', 'm', '2010-11-02', '2020-06-10')
+) t(name, owner, species, sex, birth, last_vaccine)
+""",
+)
+def cdc_pet_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nine-event pet scenario: all four op kinds, ALTER ADD COLUMN
+    mid-stream, NULLs, full-row update/delete semantics."""
+    events = read_events_from_strings(spark, PET_EVENTS)
+    state = apply_changes(spark, events)
+    pet = state.table("flvdb", "pet")
+    return pet.select(
+        "name",
+        "owner",
+        "species",
+        "sex",
+        F.date_format("birth", "yyyy-MM-dd").alias("birth"),
+        F.date_format("last_vaccine", "yyyy-MM-dd").alias("last_vaccine"),
+    )
+
+
+@register(
+    "cdc_orders_roundtrip",
+    tags=("cdc", "codec", "apply", "scale"),
+    oracle="""
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+""",
+)
+def cdc_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → wire JSON Add events → codec → apply → table == source."""
+    o = load(spark, sf_dir, "orders")
+    ddl = spark.createDataFrame(
+        [
+            (
+                '{"uri":"flv://mysql-srv1/cdcdb","sequence":0,'
+                '"bn_file":{"fileName":"binlog.000001","offset":4},'
+                '"operation":{"Query":"CREATE TABLE orders_r (o_orderkey BIGINT, '
+                'o_orderstatus VARCHAR(1), o_totalprice DOUBLE)"}}',
+            )
+        ],
+        "value string",
+    )
+    # Wire-format Add events, built JVM-side (one event per order row).
+    # The Value union is externally tagged with heterogeneous payloads, so
+    # each cell is rendered with its own to_json and the envelope is
+    # assembled by string concat — all inside whole-stage codegen.
+    event = F.concat(
+        F.lit('{"uri":"flv://mysql-srv1/cdcdb/orders_r","sequence":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"bn_file":{"fileName":"binlog.000001","offset":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('},"columns":["o_orderkey","o_orderstatus","o_totalprice"],'
+              '"operation":{"Add":{"rows":[{"cols":['),
+        F.to_json(F.struct(F.col("o_orderkey").alias("SignedInteger"))),
+        F.lit(","),
+        F.to_json(F.struct(F.col("o_orderstatus").alias("String"))),
+        F.lit(","),
+        F.to_json(F.struct(F.col("o_totalprice").alias("Double"))),
+        F.lit("]}]}}}"),
+    )
+    adds = o.select(event.alias("value"))
+    from ..codec import parse_events
+
+    events = parse_events(ddl.unionByName(adds))
+    state = apply_changes(spark, events)
+    t = state.table("cdcdb", "orders_r")
+    return t.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )

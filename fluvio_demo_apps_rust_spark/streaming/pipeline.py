@@ -1,0 +1,115 @@
+"""Structured Streaming CDC pipeline.
+
+The whole reference topology (SURVEY §3.1-3.2) as one stream:
+
+    stream_events(source dir)            # S1-S5: discovery+offsets free
+      → codec.parse_events               # P1-P8
+      → skip BEGIN markers (F3)
+      → db filter (F1/F2)
+      → foreachBatch:                    # ordered apply
+          sort by sequence → apply_changes (K2-K6, T1-T3)
+          → persist tables/registry/watermarks
+      with checkpointLocation            # T5/T6 resume state: free
+
+Delivery: Spark's checkpoint gives exactly-once batch replay; on top,
+per-table sequence watermarks (persisted with the state) make any
+re-delivered event a no-op — strictly better than the reference's
+at-least-once (consumer.rs:40-41, SURVEY §7.4.7).
+
+Scale posture: the single-partition total order of the reference
+(fluvio_manager.rs:20) is honored per table, not globally — tables are
+independent effect streams, so a 1000-executor cluster fans the apply
+across tables while each table's fold stays ordered (§7.4.1). The
+trigger default mirrors the reference's 500 ms poll floor
+(manager.rs:22).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import PipelineProfile
+from ..operators.apply import CdcState, apply_changes
+from ..operators.filters import db_filter, skip_begin_statements
+from ..registry import SchemaRegistry
+from ..sources.event_source import stream_events
+
+log = logging.getLogger(__name__)
+
+
+class CdcPipeline:
+    def __init__(self, spark: SparkSession, profile: PipelineProfile) -> None:
+        self.spark = spark
+        self.profile = profile
+        self.state_dir = Path(profile.state_path)
+        self.state = self._load_state()
+
+    # -- state persistence --------------------------------------------------
+
+    def _load_state(self) -> CdcState:
+        state = CdcState()
+        reg = self.state_dir / "registry.json"
+        wm = self.state_dir / "watermarks.json"
+        if reg.exists():
+            state.registry = SchemaRegistry.load(reg)
+        if wm.exists():
+            state.watermarks = {
+                tuple(k.split(".", 1)): v for k, v in json.loads(wm.read_text()).items()
+            }
+        for db, table in state.registry.tables():
+            p = self.state_dir / "tables" / db / table
+            if p.exists():
+                state.tables[(db, table)] = self.spark.read.parquet(str(p))
+        return state
+
+    def _save_state(self) -> None:
+        self.state.registry.save(self.state_dir / "registry.json")
+        wm_path = self.state_dir / "watermarks.json"
+        wm_path.parent.mkdir(parents=True, exist_ok=True)
+        wm_path.write_text(
+            json.dumps({f"{db}.{t}": v for (db, t), v in self.state.watermarks.items()})
+        )
+        for (db, table), df in self.state.tables.items():
+            p = self.state_dir / "tables" / db / table
+            # Break lineage before overwriting the path the DataFrame may
+            # have been loaded from (read-then-overwrite hazard).
+            materialized = df.localCheckpoint(eager=True)
+            materialized.write.mode("overwrite").parquet(str(p))
+            self.state.tables[(db, table)] = self.spark.read.parquet(str(p))
+
+    # -- batch body ---------------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        events = skip_begin_statements(batch_df)
+        events = db_filter(events, self.profile.filters, drop_no_db=False)
+        self.state = apply_changes(self.spark, events, self.state)
+        self._save_state()
+        log.info("batch %d applied; tables=%s", batch_id, sorted(self.state.tables))
+
+    # -- run ----------------------------------------------------------------
+
+    def start(self, available_now: bool = False):
+        events = stream_events(
+            self.spark, self.profile.source_path, self.profile.max_files_per_trigger
+        )
+        writer = (
+            events.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.profile.checkpoint_path)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{self.profile.trigger_ms} milliseconds")
+        return writer.start()
+
+    def run_available_now(self) -> None:
+        """Drain everything currently in the source, then stop (test/CLI
+        mode; the streaming analog of the reference's init pass,
+        manager.rs:69-86)."""
+        q = self.start(available_now=True)
+        q.awaitTermination()

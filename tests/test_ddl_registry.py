@@ -1,0 +1,106 @@
+"""DDL parser + schema registry state machine (reference
+query_parser.rs / local_store.rs semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fluvio_demo_apps_rust_spark import ddl as D
+from fluvio_demo_apps_rust_spark.registry import RegistryError, SchemaRegistry
+
+
+def test_create_table():
+    ops = D.parse_query(
+        "CREATE TABLE pet (name VARCHAR(20), owner VARCHAR(20), species VARCHAR(20), "
+        "sex CHAR(1), birth DATE)"
+    )
+    assert len(ops) == 1
+    op = ops[0]
+    assert isinstance(op, D.CreateTable) and op.table == "pet"
+    assert [c for c, _ in op.columns] == ["name", "owner", "species", "sex", "birth"]
+    assert op.columns[0][1] == "VARCHAR(20)"
+
+
+def test_create_table_skips_constraints_and_decimal_commas():
+    ops = D.parse_query(
+        "CREATE TABLE t (a DECIMAL(10,2), b INT, PRIMARY KEY (a), KEY idx (b))"
+    )
+    assert [c for c, _ in ops[0].columns] == ["a", "b"]
+    assert ops[0].columns[0][1] == "DECIMAL(10,2)"
+
+
+def test_alter_variants():
+    assert D.parse_query("ALTER TABLE pet ADD COLUMN last_vaccine DATE") == [
+        D.AddColumn("pet", "last_vaccine", "DATE")
+    ]
+    assert D.parse_query("ALTER TABLE pet ADD nick VARCHAR(10)") == [
+        D.AddColumn("pet", "nick", "VARCHAR(10)")
+    ]
+    assert D.parse_query("ALTER TABLE pet RENAME COLUMN owner TO keeper") == [
+        D.RenameColumn("pet", "owner", "keeper")
+    ]
+    assert D.parse_query("ALTER TABLE pet CHANGE owner keeper VARCHAR(30)") == [
+        D.RenameColumn("pet", "owner", "keeper", "VARCHAR(30)")
+    ]
+    assert D.parse_query("ALTER TABLE pet DROP COLUMN sex") == [D.DropColumn("pet", "sex")]
+
+
+def test_drop_table_multi():
+    assert D.parse_query("DROP TABLE a, `b`") == [D.DropTable(["a", "b"])]
+    assert D.parse_query("DROP TABLE IF EXISTS db1.c") == [D.DropTable(["c"])]
+
+
+def test_database_ddl_bypasses_registry():
+    assert D.parse_query("CREATE DATABASE flvDb") == []
+    assert D.parse_query("DROP DATABASE flvDb") == []
+
+
+def test_dml_ignored_and_unsupported_raises_in_strict():
+    assert D.parse_query("BEGIN") == []
+    assert D.parse_query("INSERT INTO t VALUES (1)") == []
+    assert D.parse_query("TRUNCATE TABLE t") == []  # warns
+    with pytest.raises(ValueError):
+        D.parse_query("TRUNCATE TABLE t", strict=True)
+
+
+def test_registry_state_machine():
+    r = SchemaRegistry()
+    r.apply_query("flvdb", "CREATE TABLE pet (name VARCHAR(20), birth DATE)")
+    assert r.get_columns("flvdb", "pet") == ["name", "birth"]
+    r.apply_query("flvdb", "ALTER TABLE pet ADD COLUMN last_vaccine DATE")
+    assert r.get_columns("flvdb", "pet") == ["name", "birth", "last_vaccine"]
+    r.apply_query("flvdb", "ALTER TABLE pet RENAME COLUMN name TO pet_name")
+    assert r.get_columns("flvdb", "pet")[0] == "pet_name"
+    r.apply_query("flvdb", "ALTER TABLE pet DROP COLUMN birth")
+    assert r.get_columns("flvdb", "pet") == ["pet_name", "last_vaccine"]
+    # duplicate create errors (local_store.rs:103-108)
+    with pytest.raises(RegistryError):
+        r.apply_query("flvdb", "CREATE TABLE pet (x INT)")
+    # drop removes table, removing the db when empty (local_store.rs:131-133)
+    r.apply_query("flvdb", "DROP TABLE pet")
+    assert r.dbs == {}
+
+
+def test_registry_persistence(tmp_path):
+    r = SchemaRegistry()
+    r.apply_query("db1", "CREATE TABLE t (a INT, b VARCHAR(5))")
+    p = tmp_path / "registry.json"
+    r.save(p)
+    r2 = SchemaRegistry.load(p)
+    assert r2.get_columns("db1", "t") == ["a", "b"]
+    schema = r2.get_spark_schema("db1", "t")
+    assert [f.dataType.simpleString() for f in schema.fields] == ["int", "string"]
+
+
+def test_spark_schema_types():
+    r = SchemaRegistry()
+    r.apply_query(
+        "db",
+        "CREATE TABLE t (a BIGINT, b DOUBLE, c DATE, d DATETIME, e DECIMAL(10,2), "
+        "f BLOB, g JSON, h TIME, i YEAR, j TINYINT)",
+    )
+    got = [f.dataType.simpleString() for f in r.get_spark_schema("db", "t").fields]
+    assert got == [
+        "bigint", "double", "date", "timestamp_ntz", "decimal(10,2)",
+        "binary", "string", "string", "int", "smallint",
+    ]
