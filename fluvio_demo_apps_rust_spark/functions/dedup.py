@@ -1,0 +1,178 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Hash arithmetic is pinned to md5 (portable across Spark and DuckDB):
+``h(s) = int(md5(s)[0:15], 16)`` — 60 bits, fits a signed i64 — and
+derived permutations ``(a_j * (h % P) + b_j) mod P`` with
+P = 2147483647 (Mersenne 2^31-1) and a_j/b_j themselves md5-derived.
+All kernels are JVM-side (explode + hash-aggregate + equi-join);
+nothing touches Python row-by-row.
+
+Scale posture (100 TB): every near-dup algorithm here reduces to
+explode → shuffle on a *bucket key* → equi-join, the canonical
+LSH-at-scale shape: candidate generation is linear in corpus size,
+never all-pairs. The brute-force pair kernels exist for oracle checks
+and small candidate sets only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .text import tokens
+
+MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def md5_int60(col: Column) -> Column:
+    """First 15 hex chars of md5 → signed 60-bit int (portable:
+    DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(col_name: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the lowercased text (JVM-side:
+    transform over an index sequence; empty array when the document has
+    fewer than n tokens)."""
+    toks = f"split(lower(trim({col_name})), '\\\\s+')"
+    parts = ", ".join(f"{toks}[i + {k}]" for k in range(n))
+    return F.expr(
+        f"CASE WHEN size({toks}) < {n} THEN cast(array() AS array<string>) "
+        f"ELSE array_distinct(transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', {parts}))) END"
+    )
+
+
+def exact_dup_clusters(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one shuffle on the hash."""
+    return (
+        df.select(F.md5(F.col(col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def minhash_params(spark, k: int = 16) -> DataFrame:
+    """k md5-derived permutation params (a_j odd-ish nonzero, b_j)."""
+    j = F.col("id").cast("int").alias("j")
+    a = (md5_int60(F.concat(F.lit("mh_a_"), F.col("id"))) % (MINHASH_P - 1) + 1).alias("a")
+    b = (md5_int60(F.concat(F.lit("mh_b_"), F.col("id"))) % MINHASH_P).alias("b")
+    return spark.range(k).select(j, a, b)
+
+
+def minhash_signatures(
+    df: DataFrame, spark, k: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, j, mh): min over shingles of (a_j*x + b_j) mod P.
+
+    explode(shingles) → broadcast the k params → hash-aggregate min.
+    One shuffle on (id, j); partial min is map-side.
+    """
+    sh = df.select(F.col(id_col), F.explode(word_shingles()).alias("sh"))
+    x = (md5_int60(F.col("sh")) % MINHASH_P).alias("x")
+    hx = sh.select(id_col, x)
+    params = F.broadcast(minhash_params(spark, k))
+    return (
+        hx.crossJoin(params)
+        .select(id_col, "j", ((F.col("a") * F.col("x") + F.col("b")) % MINHASH_P).alias("h"))
+        .groupBy(id_col, "j")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def minhash_digest(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One row per doc: md5 digest of the ordered signature (compact,
+    order-deterministic via array_sort on (j, mh) structs)."""
+    return sig.groupBy(id_col).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda s: s["mh"].cast("string")
+                ),
+                ",",
+            )
+        ).alias("sig_digest"),
+        F.min(F.when(F.col("j") == 0, F.col("mh"))).alias("mh0"),
+    )
+
+
+def lsh_bucket_pairs(
+    sig: DataFrame, bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: band hash per (doc, band) → equi-join on
+    (band, bucket) → candidate pairs (a < b). Linear-time candidate
+    generation; the join shuffles on the bucket key only."""
+    banded = sig.withColumn("band", F.col("j") % bands)
+    buckets = banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda s: s["mh"].cast("string")
+                ),
+                ",",
+            )
+        ).alias("bucket")
+    )
+    a = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash60(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash over distinct tokens: per bit j, the sign of
+    Σ ±1 over token hashes' bit j. explode → aggregate per (doc, bit)
+    → reassemble; two narrow shuffles on the doc key."""
+    tok = df.select(F.col(id_col), F.explode(F.array_distinct(tokens())).alias("t"))
+    h = tok.select(id_col, md5_int60(F.col("t")).alias("h"))
+    bits = h.crossJoin(F.broadcast(h.sparkSession.range(60).select(F.col("id").cast("int").alias("j"))))
+    votes = bits.groupBy(id_col, "j").agg(
+        F.sum(
+            F.when(F.expr("shiftright(h, j) & 1") == 1, 1).otherwise(-1)
+        ).alias("v")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 AS bigint), j)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def hamming60(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs sharing ≥1 shingle: explode →
+    self-equi-join on the shingle → count common / inclusion-exclusion.
+    (At scale, run AFTER LSH candidate generation; the equi-join on
+    shingle is still linear in the posting-list sizes, not all-pairs.)
+    """
+    sh = df.select(F.col(id_col), F.explode(word_shingles(n=n)).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("a"), "sh")
+    b = sh.select(F.col(id_col).alias("b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,80 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side machinery is real — BinaryType columns, metadata
+structs, Arrow-batched ``mapInPandas`` feature extraction with bounded
+batch sizes — while the actual media decode is STUBBED (no
+image/audio libraries in this environment): ``decode_stub`` derives
+deterministic fake features from the bytes, and ``decode_real`` raises
+NotImplementedError where a PIL/ffmpeg call would go. Generalizes the
+reference's Blob value (values.rs:16 — "TODO: add binary support").
+
+Scale posture: blobs stay in executor memory one Arrow batch at a
+time (cap via spark.sql.execution.arrow.maxRecordsPerBatch); feature
+extraction is embarrassingly parallel; metadata-only queries never
+deserialize the payload column (columnar pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MEDIA_META_SCHEMA = (
+    "doc_id bigint, byte_len bigint, sha256 string, width int, height int, n_frames int"
+)
+
+
+def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Demo payload: the UTF-8 bytes of the text as an opaque blob
+    (stands in for image/audio bytes; plumbing is type-identical)."""
+    return df.withColumn("blob", F.encode(F.col(text_col), "utf-8"))
+
+
+def blob_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Typed metadata without decoding: length, digest, fake geometry
+    derived deterministically from the byte length."""
+    bl = F.octet_length(F.col(blob_col))
+    return df.select(
+        "doc_id",
+        bl.cast("long").alias("byte_len"),
+        F.sha2(F.col(blob_col), 256).alias("sha256"),
+        (bl % 640).cast("int").alias("width"),
+        ((bl * 7) % 480).cast("int").alias("height"),
+        (bl % 16).cast("int").alias("n_frames"),
+    )
+
+
+def decode_stub(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Arrow-batched 'decode': deterministic fake features per blob.
+    This is the exact harness a real decoder drops into — same
+    signature, same batch shape, same schema contract."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[blob_col]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": blobs.map(len),
+                    "sha256": blobs.map(lambda b: __import__("hashlib").sha256(b).hexdigest()),
+                    "width": blobs.map(lambda b: len(b) % 640),
+                    "height": blobs.map(lambda b: (len(b) * 7) % 480),
+                    "n_frames": blobs.map(lambda b: len(b) % 16),
+                }
+            )
+            yield out
+
+    return df.select("doc_id", blob_col).mapInPandas(extract, schema=MEDIA_META_SCHEMA)
+
+
+def decode_real(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Where the real decoder goes (PIL / torchaudio / pyav — not
+    available in this environment)."""
+    raise NotImplementedError(
+        "media decoding requires image/audio libraries not present in this "
+        "environment; use decode_stub for the plumbing-equivalent path"
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side (built-in ``pyspark.sql.functions`` / SQL lambda
+expressions — no Python UDFs in the hot path): tokenization, token
+counting (whitespace + BPE-ish regex), quality scoring, n-gram
+language ID, and document fingerprinting. Every kernel is pinned to a
+portable formula so the DuckDB oracle can compute the identical value.
+
+Scale posture: pure row-local projections — no shuffle, fully
+pipelined inside whole-stage codegen, trivially parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic (deterministic, mirrored in oracle SQL).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "und", "die", "das", "nicht"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "una", "por"),
+    "zh": ("de5", "shi4", "bu4", "le5", "wo3"),
+}
+
+STOPWORDS = LANG_MARKERS["en"] + ("in", "is", "it", "for", "on")
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokens of the lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def ws_token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+
+
+def quality_columns(col: str | Column = "text") -> list[Column]:
+    """n_tokens, distinct_ratio, stop_ratio, avg_word_len, quality —
+    the pinned quality-score formula:
+    ``0.4*stop_ratio + 0.4*distinct_ratio + 0.2*min(n_tokens,100)/100``.
+    """
+    toks = tokens(col)
+    n = F.size(toks).cast("double")
+    distinct_ratio = F.round(F.size(F.array_distinct(toks)) / n, 4)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stops = F.expr(
+        f"size(filter(split(lower(trim(text)), '\\\\s+'), t -> t in ({stop_list})))"
+    )
+    stop_ratio = F.round(stops / n, 4)
+    total_len = F.expr(
+        "aggregate(split(lower(trim(text)), '\\\\s+'), 0L, (acc, t) -> acc + length(t))"
+    )
+    avg_word_len = F.round(total_len / n, 4)
+    quality = F.round(
+        0.4 * (stops / n)
+        + 0.4 * (F.size(F.array_distinct(toks)) / n)
+        + 0.2 * F.least(n, F.lit(100.0)) / 100.0,
+        4,
+    )
+    return [
+        F.size(toks).alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        avg_word_len.alias("avg_word_len"),
+        quality.alias("quality"),
+    ]
+
+
+def langid_columns(col: str | Column = "text") -> list[Column]:
+    """Per-language marker hit counts + argmax prediction (fixed
+    precedence en > de > fr > es > zh on ties)."""
+    hits = {}
+    for lang, words in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        hits[lang] = F.expr(
+            f"size(filter(split(lower(trim(text)), '\\\\s+'), t -> t in ({lst})))"
+        )
+    en, de, fr, es, zh = (hits[x] for x in ("en", "de", "fr", "es", "zh"))
+    pred = (
+        F.when(en >= F.greatest(de, fr, es, zh), "en")
+        .when(de >= F.greatest(fr, es, zh), "de")
+        .when(fr >= F.greatest(es, zh), "fr")
+        .when(es >= zh, "es")
+        .otherwise("zh")
+    )
+    return [
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        es.alias("es_hits"),
+        zh.alias("zh_hits"),
+        pred.alias("pred_lang"),
+    ]
+
+
+def fingerprint(col: str | Column = "text") -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct token set (the classic "fingerprint clustering" key)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))

@@ -1,0 +1,398 @@
+"""LLM-training-data-pipeline queries over documents/embeddings.
+
+Dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search (exact top-k + LSH-bucketed ANN), text
+analysis (quality, language ID, token counting, fingerprinting), and
+multimodal metadata. All hash arithmetic is md5-based and pinned so the
+DuckDB oracle computes byte-identical values (see functions/dedup.py).
+Where Spark and DuckDB must agree on floating-point ranking, dot
+products are computed as identical left-to-right double folds and
+similarities rounded to 6 dp before ranking.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import dedup as X
+from ..functions import multimodal as M
+from ..functions import similarity as S
+from ..functions import text as TX
+from .base import load, register
+
+# Shared DuckDB SQL fragments (mirror functions/text.py + dedup.py)
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_SHINGLES = (
+    f"list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+    f"for i in generate_series(1, len(t) - 2)])"
+)
+_HEX60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+@register(
+    "llm_dedup_exact",
+    tags=("llm", "dedup"),
+    oracle="""
+SELECT md5(text) AS content_hash, count(*) AS cnt, min(doc_id) AS keep_id
+FROM documents GROUP BY content_hash
+""",
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy (one shuffle on the hash)."""
+    return X.exact_dup_clusters(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_fingerprint",
+    tags=("llm", "text"),
+    oracle=f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+FROM documents
+""",
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-distinct-token fingerprint (near-dup clustering key)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint().alias("fp"))
+
+
+@register(
+    "llm_text_quality",
+    headline=True,
+    tags=("llm", "text"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(len(list_distinct(toks)) / len(toks)::DOUBLE, 4) AS distinct_ratio,
+       round(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+             / len(toks)::DOUBLE, 4) AS stop_ratio,
+       round(list_sum(list_transform(toks, t -> length(t))) / len(toks)::DOUBLE, 4) AS avg_word_len,
+       round(0.4 * (len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+                    / len(toks)::DOUBLE)
+             + 0.4 * (len(list_distinct(toks)) / len(toks)::DOUBLE)
+             + 0.2 * least(len(toks)::DOUBLE, 100.0) / 100.0, 4) AS quality
+FROM t
+""",
+)
+def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned quality formula over length/stopword/distinct ratios."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", *TX.quality_columns())
+
+
+@register(
+    "llm_langid",
+    tags=("llm", "text"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> t IN ('the','a','and','of','to')))        AS en_hits,
+         len(list_filter(toks, t -> t IN ('der','und','die','das','nicht')))  AS de_hits,
+         len(list_filter(toks, t -> t IN ('le','la','et','les','des')))       AS fr_hits,
+         len(list_filter(toks, t -> t IN ('el','los','las','una','por')))     AS es_hits,
+         len(list_filter(toks, t -> t IN ('de5','shi4','bu4','le5','wo3')))   AS zh_hits
+  FROM t)
+SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+       CASE WHEN en_hits >= greatest(de_hits, fr_hits, es_hits, zh_hits) THEN 'en'
+            WHEN de_hits >= greatest(fr_hits, es_hits, zh_hits) THEN 'de'
+            WHEN fr_hits >= greatest(es_hits, zh_hits) THEN 'fr'
+            WHEN es_hits >= zh_hits THEN 'es'
+            ELSE 'zh' END AS pred_lang
+FROM h
+""",
+)
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with fixed tie precedence."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", *TX.langid_columns())
+
+
+@register(
+    "llm_token_stats",
+    tags=("llm", "text"),
+    oracle=f"""
+SELECT doc_id,
+       len({_TOKS}) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+       n_chars
+FROM documents
+""",
+)
+def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.ws_token_count().alias("ws_tokens"),
+        TX.bpe_token_count().alias("bpe_tokens"),
+        "n_chars",
+    )
+
+
+@register(
+    "llm_dedup_ngram_jaccard",
+    tags=("llm", "dedup", "join"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM t WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM sh x JOIN sh y USING (sh)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT a, b,
+       round(common::DOUBLE / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+ORDER BY jaccard DESC, a, b
+LIMIT 20
+""",
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most similar pairs by exact 3-gram Jaccard (shingle
+    equi-join — linear in posting lists, not all-pairs)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = X.ngram_jaccard_pairs(d)
+    return pairs.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")).limit(20)
+
+
+_MINHASH_CTE = f"""
+t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM t WHERE len(t) >= 3),
+hx AS (SELECT doc_id, {_HEX60.format(x='sh')} % 2147483647 AS x FROM sh),
+params AS (
+  SELECT j,
+         {_HEX60.format(x="'mh_a_' || j")} % 2147483646 + 1 AS a,
+         {_HEX60.format(x="'mh_b_' || j")} % 2147483647 AS b
+  FROM (SELECT unnest(generate_series(0, 15)) AS j)),
+mh AS (
+  SELECT doc_id, j, min((a * x + b) % 2147483647) AS mh
+  FROM hx CROSS JOIN params GROUP BY doc_id, j)
+"""
+
+
+@register(
+    "llm_minhash_signature",
+    tags=("llm", "dedup", "minhash"),
+    oracle=f"""
+WITH {_MINHASH_CTE}
+SELECT doc_id,
+       md5(string_agg(mh::VARCHAR, ',' ORDER BY j)) AS sig_digest,
+       min(CASE WHEN j = 0 THEN mh END) AS mh0
+FROM mh GROUP BY doc_id
+""",
+)
+def llm_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-permutation MinHash signatures (digested per doc)."""
+    d = load(spark, sf_dir, "documents")
+    sig = X.minhash_signatures(d, spark)
+    return X.minhash_digest(sig)
+
+
+@register(
+    "llm_minhash_lsh_pairs",
+    tags=("llm", "dedup", "minhash", "lsh"),
+    oracle=f"""
+WITH {_MINHASH_CTE},
+buckets AS (
+  SELECT doc_id, j % 4 AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY j)) AS bucket
+  FROM mh GROUP BY doc_id, band)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM buckets x JOIN buckets y USING (band, bucket)
+WHERE x.doc_id < y.doc_id
+""",
+)
+def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 4 rows): candidate near-dup pairs from
+    bucket equi-joins — the scale path for MinHash dedup."""
+    d = load(spark, sf_dir, "documents")
+    sig = X.minhash_signatures(d, spark)
+    return X.lsh_bucket_pairs(sig, bands=4)
+
+
+_SIMHASH_CTE = f"""
+tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents),
+h AS (SELECT doc_id, {_HEX60.format(x='t')} AS h FROM tok),
+votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
+  GROUP BY doc_id, j),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id)
+"""
+
+
+@register(
+    "llm_simhash",
+    tags=("llm", "dedup", "simhash"),
+    oracle=f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sh",
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document."""
+    return X.simhash60(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_simhash_pairs",
+    tags=("llm", "dedup", "simhash"),
+    oracle=f"""
+WITH {_SIMHASH_CTE}
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+ORDER BY hamming, a, b
+LIMIT 20
+""",
+)
+def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 closest pairs by SimHash Hamming distance. (All-pairs is
+    oracle-side only; at scale candidates come from banding the 60 bits
+    the same way as MinHash LSH.)"""
+    sh = X.simhash60(load(spark, sf_dir, "documents"))
+    a = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", X.hamming60(F.col("ha"), F.col("hb")).cast("long").alias("hamming"))
+    )
+    return pairs.orderBy("hamming", "a", "b").limit(20)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"for i in generate_series(1, 64)])"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(list_sum([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE) for i in generate_series(1, 64)]))"
+
+
+@register(
+    "llm_embedding_neardup",
+    tags=("llm", "dedup", "embedding"),
+    oracle=f"""
+WITH n AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round({_dot_sql('x.embedding', 'y.embedding')} / (x.nrm * y.nrm), 6) AS cos_sim
+FROM n x JOIN n y ON x.vec_id < y.vec_id
+ORDER BY cos_sim DESC, a, b
+LIMIT 20
+""",
+)
+def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar embedding pairs by cosine (exact; the scale
+    path buckets by hyperplane signature first — see llm_ann_lsh)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(S.cosine("va", "vb"), 6).alias("cos_sim"))
+    )
+    return pairs.orderBy(F.desc("cos_sim"), "a", "b").limit(20)
+
+
+@register(
+    "llm_ann_topk",
+    headline=True,
+    tags=("llm", "similarity", "ann"),
+    oracle=f"""
+WITH n AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+scored AS (
+  SELECT q_id, n.vec_id AS n_id,
+         round({_dot_sql('qv', 'n.embedding')} / (qn * n.nrm), 6) AS cos_sim
+  FROM n CROSS JOIN q
+  WHERE n.vec_id <> q_id)
+SELECT q_id, n_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+""",
+)
+def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for a 10-query probe set
+    (broadcast probes × corpus, window rank per query)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = S.brute_force_topk(e, q, k=5)
+    return out.select("q_id", "n_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+def _lsh_sig_sql(vec: str, nb: int = 8, dim: int = 64) -> str:
+    """DuckDB expression mirroring similarity.lsh_signature exactly."""
+    bits = []
+    for j in range(nb):
+        comps = ", ".join(
+            f"(('0x' || substr(md5('hp_{j}_{i}'), 1, 15))::BIGINT % 2001 - 1000) / 1000.0"
+            for i in range(dim)
+        )
+        dot = (
+            f"list_sum([CAST({vec}[i] AS DOUBLE) * ([{comps}])[i] "
+            f"for i in generate_series(1, {dim})])"
+        )
+        bits.append(f"CAST((CASE WHEN {dot} > 0 THEN 1 ELSE 0 END) AS VARCHAR)")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+@register(
+    "llm_ann_lsh",
+    tags=("llm", "similarity", "ann", "lsh"),
+    oracle=f"""
+WITH n AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
+                  {_lsh_sig_sql('embedding')} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, bucket FROM n WHERE vec_id < 10),
+scored AS (
+  SELECT q_id, n.vec_id AS n_id,
+         round({_dot_sql('qv', 'n.embedding')} / (qn * n.nrm), 6) AS cos_sim
+  FROM n JOIN q USING (bucket)
+  WHERE n.vec_id <> q_id)
+SELECT q_id, n_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+""",
+)
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: 8-bit random-hyperplane signatures, exact
+    rescoring within the bucket only (the 100 TB path: one shuffle per
+    side on the bucket key, no cross product)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = S.lsh_bucketed_topk(e, q, k=5, nb=8, dim=64)
+    return out.select("q_id", "n_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "llm_multimodal_meta",
+    tags=("llm", "multimodal"),
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS byte_len,
+       sha256(text) AS sha256,
+       (octet_length(encode(text)) % 640)::INT AS width,
+       ((octet_length(encode(text)) * 7) % 480)::INT AS height,
+       (octet_length(encode(text)) % 16)::INT AS n_frames
+FROM documents
+""",
+)
+def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob metadata without decode (columnar pruning keeps the
+    payload unread for metadata-only queries)."""
+    d = M.attach_blob(load(spark, sf_dir, "documents"))
+    return M.blob_meta(d)

@@ -1,0 +1,103 @@
+"""LLM-pipeline operators: semantic checks with planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from fluvio_demo_apps_rust_spark.functions import dedup as X
+from fluvio_demo_apps_rust_spark.functions import multimodal as M
+from fluvio_demo_apps_rust_spark.functions import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "completely different content about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "one two"),                                        # < 3 tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    clusters = X.exact_dup_clusters(docs).collect()
+    dup = [c for c in clusters if c.cnt > 1]
+    assert len(dup) == 1 and dup[0].cnt == 2 and dup[0].keep_id == 0
+
+
+def test_shingles_short_doc_empty(docs):
+    out = docs.select("doc_id", X.word_shingles().alias("sh")).collect()
+    by_id = {r.doc_id: r.sh for r in out}
+    assert by_id[4] == []
+    assert "the quick brown" in by_id[0]
+
+
+def test_ngram_jaccard_finds_neardup(docs):
+    pairs = {(r.a, r.b): r.jaccard for r in X.ngram_jaccard_pairs(docs).collect()}
+    assert pairs[(0, 3)] == 1.0          # exact dup
+    assert 0.4 < pairs[(0, 1)] < 1.0     # near dup
+    assert (0, 2) not in pairs           # nothing shared
+
+
+def test_minhash_lsh_candidates(spark, docs):
+    sig = X.minhash_signatures(docs, spark)
+    # identical docs → identical signatures
+    dig = {r.doc_id: r.sig_digest for r in X.minhash_digest(sig).collect()}
+    assert dig[0] == dig[3]
+    assert dig[0] != dig[2]
+    pairs = {(r.a, r.b) for r in X.lsh_bucket_pairs(sig, bands=4).collect()}
+    assert (0, 3) in pairs
+
+
+def test_simhash_distance(spark, docs):
+    sh = {r.doc_id: r.simhash for r in X.simhash60(docs).collect()}
+    assert sh[0] == sh[3]
+    d01 = bin(sh[0] ^ sh[1]).count("1")
+    d02 = bin(sh[0] ^ sh[2]).count("1")
+    assert d01 < d02  # near-dup closer than unrelated
+
+
+def test_brute_force_topk_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0]),   # nearly identical to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    got = [(r.n_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got[0][0] == 1          # closest neighbor
+    assert got[-1][0] == 3         # opposite vector ranked last
+    cos = {r.n_id: r.cos_sim for r in out.collect()}
+    assert cos[3] == -1.0 and cos[2] == 0.0
+
+
+def test_lsh_bucket_recall_on_clones(spark):
+    rows = [(i, [float(i % 7 + 1)] * 8 + [0.0] * 56) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = S.lsh_bucketed_topk(emb, q, k=5, nb=4, dim=64)
+    # scaled clones share direction → same bucket → neighbors found
+    assert out.count() > 0
+    assert all(r.cos_sim == 1.0 for r in out.collect() if r.rank == 1)
+
+
+def test_multimodal_stub_matches_meta(spark, docs):
+    blobs = M.attach_blob(docs)
+    meta = {r.doc_id: r for r in M.blob_meta(blobs).collect()}
+    stub = {r.doc_id: r for r in M.decode_stub(blobs).collect()}
+    assert meta.keys() == stub.keys()
+    for k in meta:
+        assert meta[k].sha256 == stub[k].sha256
+        assert meta[k].width == stub[k].width
+        assert meta[k].byte_len == stub[k].byte_len
+
+
+def test_decode_real_is_stubbed(docs):
+    with pytest.raises(NotImplementedError):
+        M.decode_real(docs)
