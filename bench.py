@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the declared queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query executes to completion through the noop sink (full compute,
+no driver collect). BENCH_QUERIES covers every operator family:
+scan-agg, multi-way join, broadcast star join, windows, event-time
+windows, CDC replay, dedup/LSH, ANN, text analysis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from fluvio_demo_apps_rust_spark.plans import REGISTRY
+from fluvio_demo_apps_rust_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q05_nation_volume",
+    "q06_revenue_delta",
+    "q08_left_join_agg",
+    "q11_topk_per_group",
+    "q14_rollup",
+    "q30_events_tumbling",
+    "q32_events_session",
+    "cdc_pet_replay",
+    "cdc_orders_roundtrip",
+    "llm_dedup_exact",
+    "llm_text_quality",
+    "llm_dedup_ngram_jaccard",
+    "llm_minhash_lsh_pairs",
+    "llm_simhash",
+    "llm_ann_topk",
+    "llm_ann_lsh",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/session so the first query doesn't pay startup costs
+    spark.range(1000).count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared-query wall time (noop sink), all operator families",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

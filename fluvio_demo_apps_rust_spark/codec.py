@@ -47,6 +47,20 @@ def make_uri(urn: str, db: str, table: str | None = None) -> str:
     return f"flv://{urn}/{db}" + (f"/{table}" if table else "")
 
 
+def _check_header(columns: list[str] | None, rows: list[dict[str, Any]]) -> None:
+    """K6 guard (mysql_manager.rs:302-335): the column header must cover
+    every row value. Enforced at decode so downstream operators can
+    trust positional access."""
+    n = len(columns or ())
+    for r in rows:
+        for side in ("before", "after"):
+            vals = r.get(side)
+            if vals is not None and len(vals) > n:
+                raise ValueError(
+                    f"row carries {len(vals)} values but header has {n} columns (K6)"
+                )
+
+
 def _decode_event(obj: dict[str, Any]) -> dict[str, Any]:
     uri = obj.get("uri", "")
     urn, db, table = parse_uri(uri)
@@ -79,6 +93,8 @@ def _decode_event(obj: dict[str, Any]) -> dict[str, Any]:
         ]
     else:
         raise ValueError(f"unknown operation type: {op_type}")
+    if rows is not None:
+        _check_header(obj.get("columns"), rows)
     return {
         "uri": uri,
         "urn": urn,

@@ -25,6 +25,15 @@ from .text import tokens
 MINHASH_P = 2147483647  # 2^31 - 1
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition the (small) doc rows on the id before a heavy
+    explode so the fan-out parallelizes. The shuffle moves pre-explode
+    rows — cheap relative to the shingle/token/bit blow-up it balances,
+    at local scale (one small input split) and at cluster scale
+    (explode skew from long documents)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+
+
 def md5_int60(col: Column) -> Column:
     """First 15 hex chars of md5 → signed 60-bit int (portable:
     DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``)."""
@@ -69,7 +78,7 @@ def minhash_signatures(
     explode(shingles) → broadcast the k params → hash-aggregate min.
     One shuffle on (id, j); partial min is map-side.
     """
-    sh = df.select(F.col(id_col), F.explode(word_shingles()).alias("sh"))
+    sh = _spread(df, id_col).select(F.col(id_col), F.explode(word_shingles()).alias("sh"))
     x = (md5_int60(F.col("sh")) % MINHASH_P).alias("x")
     hx = sh.select(id_col, x)
     params = F.broadcast(minhash_params(spark, k))
@@ -128,7 +137,7 @@ def simhash60(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash over distinct tokens: per bit j, the sign of
     Σ ±1 over token hashes' bit j. explode → aggregate per (doc, bit)
     → reassemble; two narrow shuffles on the doc key."""
-    tok = df.select(F.col(id_col), F.explode(F.array_distinct(tokens())).alias("t"))
+    tok = _spread(df, id_col).select(F.col(id_col), F.explode(F.array_distinct(tokens())).alias("t"))
     h = tok.select(id_col, md5_int60(F.col("t")).alias("h"))
     bits = h.crossJoin(F.broadcast(h.sparkSession.range(60).select(F.col("id").cast("int").alias("j"))))
     votes = bits.groupBy(id_col, "j").agg(
@@ -153,7 +162,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", n: int = 3) -> Da
     (At scale, run AFTER LSH candidate generation; the equi-join on
     shingle is still linear in the posting-list sizes, not all-pairs.)
     """
-    sh = df.select(F.col(id_col), F.explode(word_shingles(n=n)).alias("sh"))
+    sh = _spread(df, id_col).select(F.col(id_col), F.explode(word_shingles(n=n)).alias("sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a"), "sh")
     b = sh.select(F.col(id_col).alias("b"), "sh")

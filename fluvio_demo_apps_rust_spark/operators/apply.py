@@ -57,9 +57,18 @@ class CdcState:
     tables: dict[tuple[str, str], DataFrame] = field(default_factory=dict)
     watermarks: dict[tuple[str, str], int] = field(default_factory=dict)
     registry: SchemaRegistry = field(default_factory=SchemaRegistry)
+    _cached_events: list[DataFrame] = field(default_factory=list)
 
     def table(self, db: str, table: str) -> DataFrame:
         return self.tables[(db.lower(), table.lower())]
+
+    def release(self) -> None:
+        """Unpersist cached event batches. Call once the materialized
+        tables have been written/checkpointed (their lineage otherwise
+        re-runs the decode)."""
+        for df in self._cached_events:
+            df.unpersist()
+        self._cached_events.clear()
 
 
 def _cast_canonical(col: F.Column, mysql_type: str | None) -> F.Column:
@@ -80,48 +89,36 @@ def _typed_schema(cols: list[tuple[str, str | None]]) -> T.StructType:
     )
 
 
-def _table_cols(state: CdcState, db: str, table: str, event_columns: list[str] | None) -> list[tuple[str, str | None]]:
-    """Column (name, mysql_type) list: registry if known, else the
-    event's self-describing header with canonical string typing."""
-    cols = state.registry.dbs.get(db, {}).get(table)
-    if cols is not None:
-        return cols
-    if event_columns:
-        return [(c, None) for c in event_columns]
-    raise ApplyError(f"no schema for {db}.{table} and event carries no columns (K6)")
-
-
 def _images_df(
     events: DataFrame,
-    seqs: list[int],
+    run: dict,
     side: str,
     cols: list[tuple[str, str | None]],
     prefix: str = "",
     with_pos: bool = False,
 ) -> DataFrame:
-    """Explode the row images of the given events into typed columns.
+    """Explode the run's row images into typed columns.
 
-    K6 guard: a row with more values than the column header raises
-    (element_at past the header would silently null — checked below).
+    The run is selected by (db, table, op, sequence range) — a pair of
+    range predicates, never a giant IN list, so the filter stays a
+    cheap pushdown-friendly predicate at any batch size. (Header
+    coverage — K6 — is enforced by the codec at decode time.)
     """
-    ev = events.filter(F.col("sequence").isin(seqs))
-    exploded = ev.select(
-        "sequence", F.posexplode("rows").alias("pos", "img"), F.size("columns").alias("_ncols")
+    ev = events.filter(
+        (F.col("db") == run["db"])
+        & (F.col("table") == run["table"])
+        & (F.col("op_type") == run["op"])
+        & F.col("sequence").between(run["seq_min"], run["seq_max"])
     )
+    exploded = ev.select("sequence", F.posexplode("rows").alias("pos", "img"))
     img = F.col("img." + side)
-    checked = exploded.withColumn(
-        "_bad", F.size(img) > F.col("_ncols")
-    )
     sel = [
         _cast_canonical(F.element_at(img, i + 1), t).alias(prefix + c)
         for i, (c, t) in enumerate(cols)
     ]
     if with_pos:
         sel = [F.col("sequence"), F.col("pos")] + sel
-    out = checked.select(*sel, "_bad")
-    if out.filter(F.col("_bad")).limit(1).count() > 0:
-        raise ApplyError("row carries more values than its column header (K6)")
-    return out.drop("_bad")
+    return exploded.select(*sel)
 
 
 def _empty_table(spark: SparkSession, cols: list[tuple[str, str | None]]) -> DataFrame:
@@ -149,113 +146,148 @@ def apply_changes(
     """
     state = state or CdcState()
     events = events.persist()
-    try:
-        meta = (
-            events.select("sequence", "db", "table", "op_type", "query", "columns")
-            .orderBy("sequence")
-            .collect()
+    state._cached_events.append(events)
+
+    # Event metadata (tiny columns only — row payloads stay distributed);
+    # Arrow transfer instead of row-by-row collect.
+    meta = (
+        events.select(
+            "sequence", "db", "table", "op_type", "query",
+            F.size("columns").alias("ncols"),
         )
+        .orderBy("sequence")
+        .toPandas()
+    )
 
-        # Group consecutive row events per (db, table, op, columns) so Add
-        # runs coalesce into a single union.
-        runs: list[dict] = []
-        for m in meta:
-            db = (m.db or "").lower()
-            tbl = (m.table or "").lower() if m.table else None
-            key = (db, tbl) if tbl else None
-            if key and state.watermarks.get(key, -1) >= (m.sequence or 0):
-                continue  # replay → no-op (exactly-once)
-            cur = runs[-1] if runs else None
-            if (
-                m.op_type == "Add"
-                and cur
-                and cur["op"] == "Add"
-                and cur["key"] == key
-                and cur["columns"] == list(m.columns or [])
-            ):
-                cur["seqs"].append(m.sequence)
-            else:
-                runs.append(
-                    {
-                        "op": m.op_type,
-                        "key": key,
-                        "db": db,
-                        "table": tbl,
-                        "columns": list(m.columns or []),
-                        "query": m.query,
-                        "seqs": [m.sequence],
-                    }
-                )
+    # Group row events into per-table runs. A run coalesces consecutive
+    # same-op events of one table (bulk Adds become ONE union) and may
+    # span other tables' events — tables are independent effect streams
+    # (§7.4.1) — but never a DDL barrier of its own db (a Query event
+    # bumps the db's barrier, so later row events start a fresh run and
+    # therefore apply after the DDL).
+    runs: list[dict] = []
+    open_runs: dict[tuple[str, str], dict] = {}
+    barriers: dict[str, int] = {}
+    for m in meta.itertuples(index=False):
+        db = (m.db or "").lower()
+        tbl = m.table.lower() if m.table else None
+        seq = int(m.sequence)
+        if tbl is None:
+            if m.op_type == "Query":
+                barriers[db] = barriers.get(db, 0) + 1
+                open_runs = {k: r for k, r in open_runs.items() if k[0] != db}
+                runs.append({"op": "Query", "db": db, "query": m.query, "seq": seq})
+            continue
+        key = (db, tbl)
+        if state.watermarks.get(key, -1) >= seq:
+            continue  # replay → no-op (exactly-once)
+        cur = open_runs.get(key)
+        if (
+            cur is not None
+            and cur["op"] == m.op_type
+            and cur["op"] == "Add"
+            and cur["barrier"] == barriers.get(db, 0)
+            and cur["ncols"] == m.ncols
+        ):
+            cur["seq_max"] = seq
+        else:
+            run = {
+                "op": m.op_type,
+                "key": key,
+                "db": db,
+                "table": tbl,
+                "seq_min": seq,
+                "seq_max": seq,
+                "barrier": barriers.get(db, 0),
+                "ncols": m.ncols,
+            }
+            runs.append(run)
+            open_runs[key] = run
 
-        fold_steps: dict[tuple[str, str], int] = {}
-        for run in runs:
-            op, key = run["op"], run["key"]
-            if op == "Query":
-                _apply_ddl(spark, state, run["db"], run["query"], strict_ddl)
-                continue
-            db, tbl = key
-            cols = _table_cols(state, db, tbl, run["columns"])
-            names = [c for c, _ in cols]
-            if key not in state.tables:
-                # Row event for a table never created via DDL: bootstrap
-                # from the event's self-describing header.
-                state.tables[key] = _empty_table(spark, cols)
-            cur = state.tables[key]
+    fold_steps: dict[tuple[str, str], int] = {}
+    for run in runs:
+        op = run["op"]
+        if op == "Query":
+            _apply_ddl(spark, state, run["db"], run["query"], strict_ddl)
+            continue
+        key = run["key"]
+        db, tbl = key
+        cols = _run_cols(state, events, run)
+        names = [c for c, _ in cols]
+        if key not in state.tables:
+            # Row event for a table never created via DDL: bootstrap
+            # from the event's self-describing header.
+            state.tables[key] = _empty_table(spark, cols)
+        cur = state.tables[key]
 
-            if op == "Add":
-                imgs = _images_df(events, run["seqs"], "after", cols)
-                new = cur.unionByName(imgs)
-            elif op == "Delete":
-                imgs = _images_df(events, run["seqs"], "before", cols, prefix="_d_").distinct()
-                new = cur.join(
-                    F.broadcast(imgs), _nullsafe_cond(cur, imgs, names, "_d_"), "left_anti"
-                )
-            elif op == "Update":
-                pairs = _images_df(
-                    events, run["seqs"], "before", cols, prefix="_b_", with_pos=True
-                )
-                afters = _images_df(
-                    events, run["seqs"], "after", cols, prefix="_a_", with_pos=True
-                )
-                both = pairs.join(afters, ["sequence", "pos"])
-                # Several pairs with an identical before-image: the last
-                # one wins (sequential MySQL semantics within one event).
-                from pyspark.sql import Window
-
-                w = Window.partitionBy(*[F.col("_b_" + c) for c in names]).orderBy(
-                    F.desc("sequence"), F.desc("pos")
-                )
-                both = (
-                    both.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1)
-                    .drop("_rn", "sequence", "pos")
-                    .withColumn("_matched", F.lit(True))
-                )
-                joined = cur.join(
-                    F.broadcast(both), _nullsafe_cond(cur, both, names, "_b_"), "left"
-                )
-                new = joined.select(
-                    *[
-                        F.when(F.col("_matched"), F.col("_a_" + c))
-                        .otherwise(cur[c])
-                        .alias(c)
-                        for c in names
-                    ]
-                )
-            else:
-                raise ApplyError(f"unknown op type: {op}")
-
-            steps = fold_steps.get(key, 0) + 1
-            if steps % checkpoint_every == 0:
-                new = new.localCheckpoint(eager=True)
-            fold_steps[key] = steps
-            state.tables[key] = new
-            state.watermarks[key] = max(
-                state.watermarks.get(key, -1), max(run["seqs"])
+        if op == "Add":
+            imgs = _images_df(events, run, "after", cols)
+            new = cur.unionByName(imgs)
+        elif op == "Delete":
+            imgs = _images_df(events, run, "before", cols, prefix="_d_").distinct()
+            new = cur.join(
+                F.broadcast(imgs), _nullsafe_cond(cur, imgs, names, "_d_"), "left_anti"
             )
-        return state
-    finally:
-        events.unpersist()
+        elif op == "Update":
+            pairs = _images_df(events, run, "before", cols, prefix="_b_", with_pos=True)
+            afters = _images_df(events, run, "after", cols, prefix="_a_", with_pos=True)
+            both = pairs.join(afters, ["sequence", "pos"])
+            # Several pairs with an identical before-image: the last
+            # one wins (sequential MySQL semantics within one event).
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*[F.col("_b_" + c) for c in names]).orderBy(
+                F.desc("sequence"), F.desc("pos")
+            )
+            both = (
+                both.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "sequence", "pos")
+                .withColumn("_matched", F.lit(True))
+            )
+            joined = cur.join(
+                F.broadcast(both), _nullsafe_cond(cur, both, names, "_b_"), "left"
+            )
+            new = joined.select(
+                *[
+                    F.when(F.col("_matched"), F.col("_a_" + c)).otherwise(cur[c]).alias(c)
+                    for c in names
+                ]
+            )
+        else:
+            raise ApplyError(f"unknown op type: {op}")
+
+        steps = fold_steps.get(key, 0) + 1
+        if steps % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=True)
+        fold_steps[key] = steps
+        state.tables[key] = new
+        state.watermarks[key] = max(state.watermarks.get(key, -1), run["seq_max"])
+    return state
+
+
+def _run_cols(
+    state: CdcState, events: DataFrame, run: dict
+) -> list[tuple[str, str | None]]:
+    """Column list for a run: registry when known; else the run's first
+    event's self-describing header (one tiny lookup)."""
+    cols = state.registry.dbs.get(run["db"], {}).get(run["table"])
+    if cols is not None:
+        return cols
+    first = (
+        events.filter(
+            (F.col("db") == run["db"])
+            & (F.col("table") == run["table"])
+            & (F.col("sequence") == run["seq_min"])
+        )
+        .select("columns")
+        .first()
+    )
+    if first is None or not first.columns:
+        raise ApplyError(
+            f"no schema for {run['db']}.{run['table']} and event carries no columns (K6)"
+        )
+    return [(c, None) for c in first.columns]
 
 
 def _apply_ddl(

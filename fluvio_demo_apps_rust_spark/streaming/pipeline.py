@@ -88,6 +88,7 @@ class CdcPipeline:
         events = db_filter(events, self.profile.filters, drop_no_db=False)
         self.state = apply_changes(self.spark, events, self.state)
         self._save_state()
+        self.state.release()  # tables are on disk; drop the event cache
         log.info("batch %d applied; tables=%s", batch_id, sorted(self.state.tables))
 
     # -- run ----------------------------------------------------------------
