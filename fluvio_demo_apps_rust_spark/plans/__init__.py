@@ -12,6 +12,7 @@ from . import relational  # noqa: F401  (registers queries)
 from . import events  # noqa: F401
 from . import cdc  # noqa: F401
 from . import llm  # noqa: F401
+from . import advanced  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,352 @@
+"""Advanced relational surface: pivot, exact percentiles, deterministic
+ordered aggregation, rank-family windows, range frames, full-outer and
+cross joins, ALL-variant set ops, correlated subqueries, a richer
+scalar library, and the custom time-series operators (as-of join,
+range join) checked against DuckDB's native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators.asof import asof_join, range_join_count
+from ..session import ensure_utc
+from .base import load, register
+from .events import _events
+
+
+@register(
+    "q40_pivot",
+    tags=("agg", "pivot"),
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q40_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one shuffle on the grouping key; the pivot values are a
+    fixed list so the plan is a single hash aggregate, not N scans."""
+    o = load(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["P", "O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("P", F.lit(0)).alias("status_p"),
+        F.coalesce("O", F.lit(0)).alias("status_o"),
+        F.coalesce("F", F.lit(0)).alias("status_f"),
+    )
+
+
+@register(
+    "q41_percentiles",
+    tags=("agg", "percentile"),
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 2)  AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 2)  AS p90_price,
+       round(min(o_totalprice), 2)                 AS min_price,
+       round(max(o_totalprice), 2)                 AS max_price
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q41_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). The approx_percentile sketch variant is
+    the scale path; exact is the verifiable contract."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "q42_ordered_agg",
+    tags=("agg", "collect"),
+    oracle="""
+SELECT c_nationkey,
+       string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       max_by(c_custkey, c_acctbal)                        AS richest_cust,
+       min_by(c_custkey, c_acctbal)                        AS poorest_cust
+FROM (SELECT DISTINCT c_nationkey, c_mktsegment, c_custkey, c_acctbal FROM customer)
+GROUP BY c_nationkey
+""",
+)
+def q42_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered aggregation: sorted collect_list join +
+    min_by/max_by (acctbal is unique per customer in this data)."""
+    c = load(spark, sf_dir, "customer").distinct()
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_mktsegment")), ",").alias("segments"),
+        F.expr("max_by(c_custkey, c_acctbal)").alias("richest_cust"),
+        F.expr("min_by(c_custkey, c_acctbal)").alias("poorest_cust"),
+    )
+
+
+@register(
+    "q43_rank_family",
+    tags=("window", "rank"),
+    oracle="""
+SELECT o_orderkey,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6)    AS cume
+FROM orders
+WHERE o_orderkey % 50 = 0
+WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q43_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile/percent_rank/cume_dist over a unique
+    total order (ties broken by key → deterministic)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "q44_range_frame",
+    tags=("window", "frame"),
+    oracle="""
+SELECT o_orderkey,
+       count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                      RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS peers_within_1k
+FROM orders
+WHERE o_orderkey % 20 = 0
+""",
+)
+def q44_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window): peers within $1000 below."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select("o_orderkey", F.count(F.lit(1)).over(w).alias("peers_within_1k"))
+
+
+@register(
+    "q45_full_outer",
+    tags=("join", "outer"),
+    oracle="""
+SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nk,
+       count(DISTINCT c.c_custkey)  AS n_cust,
+       count(DISTINCT s.s_suppkey)  AS n_supp
+FROM customer c
+FULL OUTER JOIN supplier s ON c.c_nationkey = s.s_nationkey
+GROUP BY nk
+""",
+)
+def q45_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    j = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+    return j.groupBy(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nk")
+    ).agg(
+        F.countDistinct("c_custkey").alias("n_cust"),
+        F.countDistinct("s_suppkey").alias("n_supp"),
+    )
+
+
+@register(
+    "q46_cross_join",
+    tags=("join", "cross"),
+    oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""",
+)
+def q46_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two bounded dims (broadcast NL join)."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = load(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(F.broadcast(n))
+
+
+@register(
+    "q47_setops_all",
+    tags=("setop",),
+    oracle="""
+SELECT 'intersect_all' AS tag, nk, count(*) AS cnt FROM (
+  SELECT c_nationkey AS nk FROM customer WHERE c_custkey % 2 = 0
+  INTERSECT ALL
+  SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 0
+) GROUP BY tag, nk
+UNION ALL
+SELECT 'except_all' AS tag, nk, count(*) AS cnt FROM (
+  SELECT c_nationkey AS nk FROM customer
+  EXCEPT ALL
+  SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 0
+) GROUP BY tag, nk
+""",
+)
+def q47_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL / EXCEPT ALL (duplicate-preserving)."""
+    c = load(spark, sf_dir, "customer")
+    even = c.filter(F.col("c_custkey") % 2 == 0).select(F.col("c_nationkey").alias("nk"))
+    pos = c.filter(F.col("c_acctbal") > 0).select(F.col("c_nationkey").alias("nk"))
+    every = c.select(F.col("c_nationkey").alias("nk"))
+    ia = (
+        even.intersectAll(pos)
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("intersect_all").alias("tag"), "nk", "cnt")
+    )
+    ea = (
+        every.exceptAll(pos)
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("except_all").alias("tag"), "nk", "cnt")
+    )
+    return ia.unionAll(ea)
+
+
+@register(
+    "q48_correlated_subqueries",
+    tags=("subquery",),
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_discount = 0.1)
+""",
+)
+def q48_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + correlated EXISTS subqueries through spark.sql (Catalyst
+    rewrites EXISTS to a left-semi join, the scalar to a broadcast)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_adv_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_adv_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM _adv_orders o
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM _adv_orders)
+          AND EXISTS (SELECT 1 FROM _adv_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount = 0.1)
+        """
+    )
+
+
+@register(
+    "q49_scalar_library",
+    tags=("scalar",),
+    oracle="""
+SELECT p_partkey,
+       round(sqrt(p_retailprice), 4)            AS price_sqrt,
+       round(ln(p_retailprice), 4)              AS price_ln,
+       round(pow(p_size, 2)::DOUBLE, 1)         AS size_sq,
+       greatest(p_size, 25)                     AS g25,
+       least(p_size, 25)                        AS l25,
+       coalesce(nullif(p_brand, 'Brand#1'), 'other') AS brand_or_other,
+       lpad(p_partkey::VARCHAR, 8, '0')         AS padded_key,
+       replace(p_type, ' ', '_')                AS type_snake,
+       reverse(p_brand)                         AS brand_rev,
+       strpos(p_name, 'a')                      AS first_a
+FROM part WHERE p_partkey % 10 = 0
+""",
+)
+def q49_scalar_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math/string/conditional scalar coverage (all JVM built-ins)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    return p.select(
+        "p_partkey",
+        F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 4).alias("price_ln"),
+        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+        F.greatest("p_size", F.lit(25)).alias("g25"),
+        F.least("p_size", F.lit(25)).alias("l25"),
+        F.coalesce(F.nullif("p_brand", F.lit("Brand#1")), F.lit("other")).alias(
+            "brand_or_other"
+        ),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.replace("p_type", F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
+    )
+
+
+@register(
+    "q50_asof_join",
+    tags=("asof", "timeseries", "custom-op"),
+    oracle="""
+SELECT p.event_id,
+       c.event_id AS asof_event_id,
+       epoch_us(c.ts) // 1000000 AS asof_epoch
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+""",
+)
+def q50_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest click at-or-before each purchase, per user —
+    union-tag + running-last window (one shuffle, no pair blow-up),
+    checked against DuckDB's native ASOF JOIN."""
+    ensure_utc(spark)
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["event_id"], how="inner",
+    )
+    return out.select(
+        "event_id",
+        F.col("asof_event_id"),
+        F.col("asof_ts").cast("long").alias("asof_epoch"),
+    )
+
+
+@register(
+    "q51_range_join",
+    tags=("range-join", "timeseries", "custom-op"),
+    oracle="""
+SELECT a.user_id, count(*) AS pair_cnt
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY a.user_id
+""",
+)
+def q51_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join: per-user ordered event pairs within one hour
+    (equi-join on the user key, range as residual predicate)."""
+    e = _events(spark, sf_dir)
+    return range_join_count(e, on="user_id", ts="ts", id_col="event_id", max_gap_seconds=3600).select(
+        F.col("k").alias("user_id"), "pair_cnt"
+    )
+
+
+@register(
+    "q52_approx_distinct",
+    tags=("agg", "approx"),
+    oracle=None,  # HLL sketches differ across engines — rows-only check
+)
+def q52_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++): the sketch path for distinct
+    counting at scale. No oracle — sketch estimates are engine-specific
+    (the exact variant is oracle-checked in q18)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    )
