@@ -1,0 +1,68 @@
+"""CLI entry points, mirroring the reference binaries
+(src/bin/producer.rs / src/bin/consumer.rs) on the Spark engine:
+
+    python -m fluvio_demo_apps_rust_spark.cli apply <profile.toml>
+        stream events → materialized tables (the consumer path,
+        table-apply sink), continuous trigger.
+
+    python -m fluvio_demo_apps_rust_spark.cli apply-once <profile.toml>
+        same, but drain-and-stop (availableNow) — the batch/test mode.
+
+    python -m fluvio_demo_apps_rust_spark.cli sql-sink <profile.toml> <log>
+        stream events → rendered SQL statements appended to <log>
+        (the consumer path with the MySQL executor swapped for a file).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .config import PipelineProfile
+from .session import get_spark
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    cmd, profile_path = argv[0], argv[1]
+    profile = PipelineProfile.load(profile_path)
+    spark = get_spark(f"cdc-{cmd}")
+
+    if cmd in ("apply", "apply-once"):
+        from .streaming.pipeline import CdcPipeline
+
+        pipe = CdcPipeline(spark, profile)
+        if cmd == "apply-once":
+            pipe.run_available_now()
+        else:
+            q = pipe.start()
+            q.awaitTermination()
+        return 0
+
+    if cmd == "sql-sink":
+        if len(argv) < 3:
+            print("sql-sink requires a statements log path")
+            return 2
+        log_path = argv[2]
+        from .sources.event_source import stream_events
+        from .streaming.sql_sink import append_statements_batch
+
+        events = stream_events(spark, profile.source_path, profile.max_files_per_trigger)
+        q = (
+            events.writeStream.foreachBatch(
+                lambda batch, _id: append_statements_batch(batch, log_path)
+            )
+            .option("checkpointLocation", profile.checkpoint_path)
+            .trigger(processingTime=f"{profile.trigger_ms} milliseconds")
+            .start()
+        )
+        q.awaitTermination()
+        return 0
+
+    print(f"unknown command: {cmd}\n{__doc__}")
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -1,0 +1,87 @@
+"""Streaming analytics over event streams: watermarked windowed
+aggregation, streaming dedup, sessionization.
+
+The reference has no event-time semantics (a binlog is already totally
+ordered — SURVEY §2.6); these are the declared streaming extensions of
+the new engine, built directly on Structured Streaming's incremental
+engine: watermarks bound state, append mode emits only finalized
+windows, and checkpoints make every query restartable.
+
+Scale posture: windowed aggregates keep state per (window, key) —
+bounded by the watermark horizon; dedup state is bounded by the
+watermark too (expired keys are dropped). State lives in the
+checkpointed state store, partitioned by key — executors scale it
+horizontally.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming read of JSON-lines analytics events."""
+    return spark.readStream.schema(EVENT_SCHEMA).json(str(path))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type with late-data drop:
+    events older than (max event time - watermark) are discarded, and
+    append mode emits a window only once it can no longer change."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-key event stream: duplicates of an event_id
+    arriving within the watermark horizon are dropped; state for ids
+    older than the horizon is evicted (bounded memory)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def sessionized(events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (inactivity gap); append mode emits a
+    session once the watermark passes its close."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_parquet(
+    df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "append"
+) -> None:
+    """Drain all available input into a parquet sink, then stop
+    (availableNow). Restartable: the checkpoint carries source offsets,
+    watermark, and operator state across runs."""
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

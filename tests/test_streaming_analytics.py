@@ -1,0 +1,99 @@
+"""Streaming analytics: watermark late-data drop, streaming dedup,
+sessionization, SQL sink — all driven through real Structured
+Streaming queries with restarts (availableNow + shared checkpoint)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyspark.sql.functions as F
+
+from fluvio_demo_apps_rust_spark.streaming.analytics import (
+    read_event_stream,
+    run_to_parquet,
+    streaming_dedup,
+    windowed_counts,
+)
+
+
+def _write(d: Path, name: str, events: list[dict]) -> None:
+    d.mkdir(parents=True, exist_ok=True)
+    (d / name).write_text("\n".join(json.dumps(e) for e in events) + "\n")
+
+
+def _ev(eid: int, ts: str, etype: str = "click", uid: int = 1, value: float = 1.0) -> dict:
+    return {"event_id": eid, "ts": ts, "user_id": uid, "event_type": etype, "value": value}
+
+
+def test_windowed_counts_with_late_drop(spark, tmp_path):
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+
+    # batch 1: events in hours 10 and 12 → watermark = 12:30-0:30 = 12:00,
+    # so the hour-10 and hour-11 windows finalize and are emitted.
+    _write(src, "b1.jsonl", [
+        _ev(1, "2024-01-01 10:05:00"),
+        _ev(2, "2024-01-01 10:20:00"),
+        _ev(3, "2024-01-01 12:30:00"),
+    ])
+    run_to_parquet(windowed_counts(read_event_stream(spark, str(src))), str(out), str(ckpt))
+    got = {
+        (str(r.window_start), r.cnt)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert ("2024-01-01 10:00:00", 2) in got
+    finalized_windows = {w for w, _ in got}
+    assert "2024-01-01 12:00:00" not in finalized_windows  # still open
+
+    # batch 2: one LATE event (hour 10, behind the 12:00 watermark → must
+    # be dropped) and one fresh event advancing the watermark past 12:00.
+    _write(src, "b2.jsonl", [
+        _ev(4, "2024-01-01 10:40:00"),   # late → dropped
+        _ev(5, "2024-01-01 14:00:00"),   # advances watermark to 13:30
+    ])
+    run_to_parquet(windowed_counts(read_event_stream(spark, str(src))), str(out), str(ckpt))
+    rows = spark.read.parquet(str(out)).collect()
+    by_window = {}
+    for r in rows:
+        by_window[str(r.window_start)] = by_window.get(str(r.window_start), 0) + r.cnt
+    # hour-10 window was finalized at cnt=2; the late event did NOT reopen it
+    assert by_window["2024-01-01 10:00:00"] == 2
+    # hour-12 window now finalized with only the on-time event
+    assert by_window["2024-01-01 12:00:00"] == 1
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    _write(src, "b1.jsonl", [
+        _ev(1, "2024-01-01 10:00:00"),
+        _ev(1, "2024-01-01 10:00:30"),   # same id, same batch → dropped
+        _ev(2, "2024-01-01 10:01:00"),
+    ])
+    run_to_parquet(streaming_dedup(read_event_stream(spark, str(src))), str(out), str(ckpt))
+    # duplicate arrives again in a LATER batch within the watermark → dropped
+    _write(src, "b2.jsonl", [
+        _ev(2, "2024-01-01 10:02:00"),   # dup of id 2 across batches
+        _ev(3, "2024-01-01 10:03:00"),
+    ])
+    run_to_parquet(streaming_dedup(read_event_stream(spark, str(src))), str(out), str(ckpt))
+    ids = sorted(r.event_id for r in spark.read.parquet(str(out)).collect())
+    assert ids == [1, 2, 3]
+
+
+def test_sql_sink_renders_pet_statements(spark, tmp_path):
+    from fluvio_demo_apps_rust_spark.fixtures import PET_EVENTS
+    from fluvio_demo_apps_rust_spark.sources.event_source import read_events_from_strings
+    from fluvio_demo_apps_rust_spark.streaming.sql_sink import append_statements_batch
+
+    events = read_events_from_strings(spark, PET_EVENTS)
+    log = tmp_path / "statements.jsonl"
+    n = append_statements_batch(events, log)
+    lines = [json.loads(line) for line in log.read_text().splitlines()]
+    assert n == len(lines) == 9
+    # sequence order preserved; op shapes correct
+    assert [line["sequence"] for line in lines] == list(range(9))
+    assert lines[0]["stmt"].startswith("CREATE DATABASE")
+    assert lines[2]["stmt"].startswith("INSERT INTO pet (name, owner, species, sex, birth)")
+    assert lines[4]["stmt"].startswith("UPDATE pet SET")
+    assert "is NULL" in lines[6]["stmt"] or lines[6]["stmt"].startswith("DELETE FROM pet")
+    assert lines[8]["stmt"].startswith("UPDATE pet SET last_vaccine=")
