@@ -4,10 +4,13 @@
 reference's wire format, SURVEY §1.2/FIXTURES §3) into the engine's
 normalized ``CHANGE_EVENT_SCHEMA``. The externally-tagged Value union
 (``{"String": …}`` objects mixed with bare ``"Null"`` strings) cannot be
-expressed for ``from_json`` directly (SURVEY §7.4.4), so decoding runs
-in an Arrow-batched ``mapInPandas`` — vectorized transfer, per-partition
-parallelism, no driver involvement. ``render_events`` is the inverse
-(used by the producer-side topic sink and in round-trip tests).
+expressed for ``from_json`` directly (SURVEY §7.4.4); two decode
+paths exist — an Arrow-batched ``mapInPandas`` (default; measured
+faster, see ``parse_events``) and a pure-JVM Spark 4 VariantType
+path (``parse_json`` + ``try_variant_get`` per tagged kind) for
+deployments where Python worker slots are scarce. ``render_events``
+is the inverse (used by the producer-side topic sink and in
+round-trip tests).
 
 Reference: JSON encode/decode hops at
 cdc-mysql/src/producer/binlog_manager/binlog_parser.rs:125,157,189,221
@@ -21,11 +24,14 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
-from .schemas import CHANGE_EVENT_SCHEMA, value_to_canonical
+from .schemas import CHANGE_EVENT_SCHEMA, ROW_IMAGE_SCHEMA, value_to_canonical
 
 _FIELDS = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
+ROW_IMAGE_SCHEMA_ARRAY = T.ArrayType(ROW_IMAGE_SCHEMA)
 
 
 def parse_uri(uri: str) -> tuple[str | None, str | None, str | None]:
@@ -110,8 +116,32 @@ def _decode_event(obj: dict[str, Any]) -> dict[str, Any]:
     }
 
 
-def parse_events(df: DataFrame, value_col: str = "value") -> DataFrame:
-    """Wire-JSON lines → normalized change events (CHANGE_EVENT_SCHEMA)."""
+def parse_events(df: DataFrame, value_col: str = "value", jvm: bool = False) -> DataFrame:
+    """Wire-JSON lines → normalized change events (CHANGE_EVENT_SCHEMA).
+
+    Two equivalent decode paths, both partition-parallel:
+
+    - ``jvm=False`` (default): Arrow-batched ``mapInPandas``, one
+      ``json.loads`` per event. Measured FASTER (median ~0.8 s vs
+      ~3.6 s for 150k events on local[32]) than the variant path —
+      the ~40 ``try_variant_get`` probes per cell run interpreted
+      (higher-order lambdas are outside whole-stage codegen), while
+      Arrow transfer amortizes Python overhead across the batch.
+    - ``jvm=True``: Spark 4 VariantType (``parse_json`` +
+      ``try_variant_get``), zero Python workers — useful where Python
+      worker slots are the bottleneck. Identical output except
+      Float/Double cells outside [1e-3, 1e7): Java shortest-round-trip
+      notation is scientific where Python repr is plain — same digits,
+      identical value after the typed cast the apply kernel performs.
+    """
+    if jvm:
+        return _parse_events_variant(df, value_col)
+    return _parse_events_arrow(df, value_col)
+
+
+def _parse_events_arrow(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Reference decoder: Arrow-batched mapInPandas, one json.loads per
+    event. Kept as the semantic golden and as a fallback."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -119,6 +149,196 @@ def parse_events(df: DataFrame, value_col: str = "value") -> DataFrame:
             yield pd.DataFrame(out, columns=_FIELDS)
 
     return df.select(value_col).mapInPandas(decode, schema=CHANGE_EVENT_SCHEMA)
+
+
+def _canon_cell(c: F.Column) -> F.Column:
+    """Externally-tagged Value (as a VariantVal) → canonical string.
+
+    JVM mirror of schemas.value_to_canonical: each tagged kind probed
+    with try_variant_get (null when the tag is absent), coalesced.
+    The bare string token "Null" (and JSON null) → SQL NULL.
+    """
+
+    def lp(col: F.Column, n: int) -> F.Column:
+        return F.lpad(col.cast("string"), n, "0")
+
+    def num(kind: str) -> F.Column:
+        return F.try_variant_get(c, f"$.{kind}", "long").cast("string")
+
+    def flt(kind: str) -> F.Column:
+        return F.try_variant_get(c, f"$.{kind}", "double").cast("string")
+
+    date = F.when(
+        F.try_variant_get(c, "$.Date.year", "int").isNotNull(),
+        F.concat_ws(
+            "-",
+            lp(F.try_variant_get(c, "$.Date.year", "int"), 4),
+            lp(F.try_variant_get(c, "$.Date.month", "int"), 2),
+            lp(F.try_variant_get(c, "$.Date.day", "int"), 2),
+        ),
+    )
+    time = F.when(
+        F.try_variant_get(c, "$.Time.hours", "int").isNotNull(),
+        F.concat(
+            lp(F.try_variant_get(c, "$.Time.hours", "int"), 2),
+            F.lit(":"),
+            lp(F.try_variant_get(c, "$.Time.minutes", "int"), 2),
+            F.lit(":"),
+            lp(F.try_variant_get(c, "$.Time.seconds", "int"), 2),
+            F.lit("."),
+            lp(F.coalesce(F.try_variant_get(c, "$.Time.subseconds", "long"), F.lit(0)), 6),
+        ),
+    )
+    datetime_ = F.when(
+        F.try_variant_get(c, "$.DateTime.year", "int").isNotNull(),
+        F.concat(
+            lp(F.try_variant_get(c, "$.DateTime.year", "int"), 4),
+            F.lit("-"),
+            lp(F.try_variant_get(c, "$.DateTime.month", "int"), 2),
+            F.lit("-"),
+            lp(F.try_variant_get(c, "$.DateTime.day", "int"), 2),
+            F.lit(" "),
+            lp(F.try_variant_get(c, "$.DateTime.hour", "int"), 2),
+            F.lit(":"),
+            lp(F.try_variant_get(c, "$.DateTime.minute", "int"), 2),
+            F.lit(":"),
+            lp(F.try_variant_get(c, "$.DateTime.second", "int"), 2),
+            F.lit("."),
+            lp(F.coalesce(F.try_variant_get(c, "$.DateTime.subsecond", "long"), F.lit(0)), 6),
+        ),
+    )
+    timestamp = F.when(
+        F.try_variant_get(c, "$.Timestamp.unix_time", "long").isNotNull(),
+        F.concat(
+            F.try_variant_get(c, "$.Timestamp.unix_time", "long").cast("string"),
+            F.lit("."),
+            lp(F.coalesce(F.try_variant_get(c, "$.Timestamp.subsecond", "long"), F.lit(0)), 6),
+        ),
+    )
+    json_ = F.when(
+        F.try_variant_get(c, "$.Json", "variant").isNotNull(),
+        F.to_json(F.try_variant_get(c, "$.Json", "variant")),
+    )
+    # Vec<u8> → base64, fully JVM-side: ints → zero-padded hex → binary.
+    blob = F.when(
+        F.try_variant_get(c, "$.Blob", "variant").isNotNull(),
+        F.base64(
+            F.to_binary(
+                F.array_join(
+                    F.transform(
+                        F.try_variant_get(c, "$.Blob", "array<int>"),
+                        lambda x: F.lpad(F.hex(x), 2, "0"),
+                    ),
+                    "",
+                ),
+                F.lit("hex"),
+            )
+        ),
+    )
+    return F.when(
+        c.isNull() | (F.try_variant_get(c, "$", "string") == F.lit("Null")), F.lit(None)
+    ).otherwise(
+        F.coalesce(
+            F.try_variant_get(c, "$.String", "string"),
+            num("SignedInteger"),
+            num("UnsignedInteger"),
+            num("Enum"),
+            num("Year"),
+            flt("Float"),
+            flt("Double"),
+            F.try_variant_get(c, "$.Decimal", "string"),
+            date,
+            time,
+            datetime_,
+            timestamp,
+            json_,
+            blob,
+        )
+    )
+
+
+def _parse_events_variant(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """JVM decode path: parse_json → variant path extraction. One
+    narrow projection, no shuffles, no Python workers."""
+    src = df.select(F.col(value_col).alias("value")).filter(
+        F.col("value").isNotNull() & (F.trim("value") != "")
+    )
+    v = F.parse_json(F.col("value"))
+    uri = F.try_variant_get(v, "$.uri", "string")
+    path = F.split(F.substring(uri, 7, 1 << 20), "/")
+    add_rows = F.try_variant_get(v, "$.operation.Add.rows", "array<variant>")
+    upd_rows = F.try_variant_get(v, "$.operation.Update.rows", "array<variant>")
+    del_rows = F.try_variant_get(v, "$.operation.Delete.rows", "array<variant>")
+    op_json = F.to_json(F.try_variant_get(v, "$.operation", "variant"))
+
+    def images(arr: F.Column, before_path: str | None, after_path: str | None) -> F.Column:
+        def one(r: F.Column) -> F.Column:
+            null_img = F.lit(None).cast("array<string>")
+            before = (
+                F.transform(F.try_variant_get(r, before_path, "array<variant>"), _canon_cell)
+                if before_path
+                else null_img
+            )
+            after = (
+                F.transform(F.try_variant_get(r, after_path, "array<variant>"), _canon_cell)
+                if after_path
+                else null_img
+            )
+            return F.struct(before.alias("before"), after.alias("after"))
+
+        return F.transform(arr, one)
+
+    rows = (
+        F.when(add_rows.isNotNull(), images(add_rows, None, "$.cols"))
+        .when(del_rows.isNotNull(), images(del_rows, "$.cols", None))
+        .when(upd_rows.isNotNull(), images(upd_rows, "$.before_cols", "$.after_cols"))
+    )
+    columns = F.try_variant_get(v, "$.columns", "array<string>")
+    # K6 guard (mysql_manager.rs:302-335): header must cover every row
+    # value. Folded into the rows expression so it cannot be pruned.
+    widths = F.transform(
+        rows,
+        lambda r: F.greatest(
+            F.coalesce(F.size(r["before"]), F.lit(0)),
+            F.coalesce(F.size(r["after"]), F.lit(0)),
+        ),
+    )
+    max_width = F.coalesce(F.array_max(widths), F.lit(0))
+    ncols = F.coalesce(F.size(columns), F.lit(0))
+    rows_checked = F.when(
+        rows.isNotNull() & (max_width > ncols),
+        F.raise_error(
+            F.concat(
+                F.lit("row carries "),
+                max_width.cast("string"),
+                F.lit(" values but header has "),
+                ncols.cast("string"),
+                F.lit(" columns (K6)"),
+            )
+        ).cast(ROW_IMAGE_SCHEMA_ARRAY),
+    ).otherwise(rows)
+    op_type = (
+        F.when(add_rows.isNotNull(), F.lit("Add"))
+        .when(upd_rows.isNotNull(), F.lit("Update"))
+        .when(del_rows.isNotNull(), F.lit("Delete"))
+        .when(op_json.startswith('{"Query"'), F.lit("Query"))
+        .otherwise(
+            F.raise_error(F.concat(F.lit("unknown or malformed operation: "), op_json))
+        )
+    )
+    return src.select(
+        uri.alias("uri"),
+        F.when(uri.startswith("flv://"), F.get(path, 0)).alias("urn"),
+        F.when(uri.startswith("flv://"), F.lower(F.get(path, 1))).alias("db"),
+        F.when(uri.startswith("flv://"), F.lower(F.get(path, 2))).alias("table"),
+        F.try_variant_get(v, "$.sequence", "long").alias("sequence"),
+        F.try_variant_get(v, "$.bn_file.fileName", "string").alias("file_name"),
+        F.try_variant_get(v, "$.bn_file.offset", "long").alias("offset"),
+        op_type.alias("op_type"),
+        F.try_variant_get(v, "$.operation.Query", "string").alias("query"),
+        columns.alias("columns"),
+        rows_checked.alias("rows"),
+    )
 
 
 def _encode_value(c: str | None) -> Any:

@@ -157,21 +157,34 @@ def hamming60(a: Column, b: Column) -> Column:
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Exact n-gram Jaccard for all pairs sharing ≥1 shingle: explode →
-    self-equi-join on the shingle → count common / inclusion-exclusion.
-    (At scale, run AFTER LSH candidate generation; the equi-join on
-    shingle is still linear in the posting-list sizes, not all-pairs.)
+    """Exact n-gram Jaccard for all pairs sharing ≥1 shingle, via
+    posting lists: explode → groupBy(shingle) collecting the (sorted)
+    doc list → fan out ordered pairs per posting → count common /
+    inclusion-exclusion. ONE scan of the corpus and one shuffle on the
+    shingle key (vs. two scans + a self-join); pair fan-out is the same
+    Σ|posting|² either way. (At scale, run AFTER LSH candidate
+    generation; a stop-shingle cap on posting size bounds hot-key
+    blow-up.)
     """
     sh = _spread(df, id_col).select(F.col(id_col), F.explode(word_shingles(n=n)).alias("sh"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("a"), "sh")
-    b = sh.select(F.col(id_col).alias("b"), "sh")
-    common = (
-        a.join(b, "sh")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    postings = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
+    pairs = postings.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    common = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
+    # Shingle-set sizes: a second scan, no wide shuffle (size() of the
+    # per-doc array), broadcast to the pair stream. _spread parallelizes
+    # the tokenization — the source is a single input split locally.
+    sizes = _spread(df, id_col).select(F.col(id_col), F.size(word_shingles(n=n)).alias("n_sh"))
     sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
     return (

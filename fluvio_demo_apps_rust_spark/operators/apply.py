@@ -22,13 +22,16 @@ per-table applied-sequence watermarks make replays no-ops — an
 exactly-once upgrade over the reference's at-least-once
 (SURVEY §7.4.7).
 
-Scale posture: event *metadata* (one tiny row per event) is driver-side;
-row payloads never leave the cluster — each fold step is a narrow
-union or a null-safe join against the (small) per-event image set,
-which Spark broadcasts. Lineage is truncated with localCheckpoint every
-``checkpoint_every`` fold steps so unbounded event chains keep bounded
-plans. Tables are independent effect streams and fold independently
-(§7.4.1): order within a table, parallelism across tables.
+Scale posture: run-grouping happens distributively (two window passes
+over tiny metadata columns, shuffled by db / (db, table)); only RUN
+SUMMARIES reach the driver — O(#runs), not O(#events), so a
+billion-event bulk load collects one row. Row payloads never leave
+the cluster — each fold step is a narrow union or a null-safe join
+against the (small) per-event image set, which Spark broadcasts.
+Lineage is truncated with localCheckpoint every ``checkpoint_every``
+fold steps so unbounded event chains keep bounded plans. Tables are
+independent effect streams and fold independently (§7.4.1): order
+within a table, parallelism across tables.
 """
 
 from __future__ import annotations
@@ -148,61 +151,89 @@ def apply_changes(
     events = events.persist()
     state._cached_events.append(events)
 
-    # Event metadata (tiny columns only — row payloads stay distributed);
-    # Arrow transfer instead of row-by-row collect.
-    meta = (
-        events.select(
-            "sequence", "db", "table", "op_type", "query",
-            F.size("columns").alias("ncols"),
-        )
-        .orderBy("sequence")
-        .toPandas()
+    # Group row events into per-table runs DISTRIBUTIVELY. A run
+    # coalesces consecutive same-op events of one table (bulk Adds
+    # become ONE union) and may span other tables' events — tables are
+    # independent effect streams (§7.4.1) — but never a DDL barrier of
+    # its own db (a Query event bumps the db's running barrier count,
+    # so later row events start a fresh run and therefore apply after
+    # the DDL). Only RUN SUMMARIES reach the driver — O(#runs), not
+    # O(#events): a bulk load of a billion Adds collects one row. The
+    # two windows shuffle tiny metadata columns keyed by (db) and
+    # (db, table) — row payloads never move.
+    from pyspark.sql import Window
+
+    meta = events.select(
+        "sequence", "db", "table", "op_type", "query",
+        F.size("columns").alias("ncols"),
+    )
+    wdb = Window.partitionBy("db").orderBy("sequence").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    meta = meta.withColumn(
+        "barrier",
+        F.sum(F.when(F.col("op_type") == "Query", 1).otherwise(0)).over(wdb),
+    )
+    rowev = meta.filter(F.col("op_type").isin("Add", "Update", "Delete"))
+    wt = Window.partitionBy("db", "table").orderBy("sequence")
+    new_run = (
+        (F.col("op_type") != "Add")
+        | F.lag("op_type").over(wt).isNull()
+        | (F.lag("op_type").over(wt) != "Add")
+        | (F.lag("ncols").over(wt) != F.col("ncols"))
+        | (F.lag("barrier").over(wt) != F.col("barrier"))
+    )
+    runs_part = (
+        rowev.withColumn("run_id", F.sum(new_run.cast("int")).over(wt))
+        .groupBy("db", "table", "run_id", "op_type", "ncols")
+        .agg(F.min("sequence").alias("seq_min"), F.max("sequence").alias("seq_max"))
+        .withColumn("query", F.lit(None).cast("string"))
+        .select("db", "table", "op_type", "ncols", "seq_min", "seq_max", "query")
+    )
+    q_part = meta.filter(F.col("op_type") == "Query").select(
+        "db",
+        F.lit(None).cast("string").alias("table"),
+        "op_type",
+        F.lit(None).cast("int").alias("ncols"),
+        F.col("sequence").alias("seq_min"),
+        F.col("sequence").alias("seq_max"),
+        "query",
+    )
+    # DDL sorts before a row run starting at the same sequence (the
+    # reference's sequences are unique; this pins behavior if not).
+    summaries = (
+        runs_part.unionByName(q_part)
+        .orderBy("seq_min", F.col("op_type") != "Query")
+        .collect()
     )
 
-    # Group row events into per-table runs. A run coalesces consecutive
-    # same-op events of one table (bulk Adds become ONE union) and may
-    # span other tables' events — tables are independent effect streams
-    # (§7.4.1) — but never a DDL barrier of its own db (a Query event
-    # bumps the db's barrier, so later row events start a fresh run and
-    # therefore apply after the DDL).
     runs: list[dict] = []
-    open_runs: dict[tuple[str, str], dict] = {}
-    barriers: dict[str, int] = {}
-    for m in meta.itertuples(index=False):
-        db = (m.db or "").lower()
-        tbl = m.table.lower() if m.table else None
-        seq = int(m.sequence)
+    for r in summaries:
+        db = (r.db or "").lower()
+        if r.op_type == "Query":
+            runs.append({"op": "Query", "db": db, "query": r.query, "seq": r.seq_min})
+            continue
+        tbl = r.table.lower() if r.table else None
         if tbl is None:
-            if m.op_type == "Query":
-                barriers[db] = barriers.get(db, 0) + 1
-                open_runs = {k: r for k, r in open_runs.items() if k[0] != db}
-                runs.append({"op": "Query", "db": db, "query": m.query, "seq": seq})
             continue
         key = (db, tbl)
-        if state.watermarks.get(key, -1) >= seq:
-            continue  # replay → no-op (exactly-once)
-        cur = open_runs.get(key)
-        if (
-            cur is not None
-            and cur["op"] == m.op_type
-            and cur["op"] == "Add"
-            and cur["barrier"] == barriers.get(db, 0)
-            and cur["ncols"] == m.ncols
-        ):
-            cur["seq_max"] = seq
-        else:
-            run = {
-                "op": m.op_type,
+        wm = state.watermarks.get(key, -1)
+        if r.seq_max <= wm:
+            continue  # full replay → no-op (exactly-once)
+        # Partial replay can only hit a coalesced Add run; appends are
+        # per-event independent, so trimming the range is exact.
+        seq_min = max(r.seq_min, wm + 1)
+        runs.append(
+            {
+                "op": r.op_type,
                 "key": key,
                 "db": db,
                 "table": tbl,
-                "seq_min": seq,
-                "seq_max": seq,
-                "barrier": barriers.get(db, 0),
-                "ncols": m.ncols,
+                "seq_min": seq_min,
+                "seq_max": r.seq_max,
+                "ncols": r.ncols,
             }
-            runs.append(run)
-            open_runs[key] = run
+        )
 
     fold_steps: dict[tuple[str, str], int] = {}
     for run in runs:

@@ -79,7 +79,7 @@ def cdc_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assembled by string concat — all inside whole-stage codegen.
     event = F.concat(
         F.lit('{"uri":"flv://mysql-srv1/cdcdb/orders_r","sequence":'),
-        F.col("o_orderkey").cast("string"),
+        (F.col("o_orderkey") + 1).cast("string"),
         F.lit(',"bn_file":{"fileName":"binlog.000001","offset":'),
         F.col("o_orderkey").cast("string"),
         F.lit('},"columns":["o_orderkey","o_orderstatus","o_totalprice"],'

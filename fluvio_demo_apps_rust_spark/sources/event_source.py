@@ -20,8 +20,15 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_events_from_strings(spark: SparkSession, lines: list[str]) -> DataFrame:
-    """Normalize an in-memory list of event JSON strings (tests/demos)."""
-    df = spark.createDataFrame([(s,) for s in lines], "value string")
+    """Normalize an in-memory list of event JSON strings (tests/demos).
+
+    Partition count scales with the batch (1 partition per ~1k events)
+    so tiny batches don't fan out into defaultParallelism near-empty
+    tasks at every downstream fold step.
+    """
+    n = max(1, min(len(lines) // 1000 + 1, spark.sparkContext.defaultParallelism))
+    rdd = spark.sparkContext.parallelize([(s,) for s in lines], n)
+    df = spark.createDataFrame(rdd, "value string")
     return parse_events(df)
 
 

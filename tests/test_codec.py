@@ -63,6 +63,41 @@ def test_parse_pet_events(spark):
     assert ev[0].file_name == "binlog.000003" and ev[0].offset == 233
 
 
+def test_variant_decoder_parity(spark):
+    """The JVM VariantType decoder and the Arrow reference decoder
+    produce identical normalized events — goldens plus every Value
+    kind (Blob/Json/Decimal/Time/DateTime/Timestamp/Enum/Year/Float)."""
+    from fluvio_demo_apps_rust_spark.codec import parse_events
+
+    extra = (
+        '{"uri":"flv://m/d/t","sequence":1,'
+        '"bn_file":{"fileName":"b.1","offset":4},'
+        '"columns":["a","b","c","d","e","f","g","h","i","j"],'
+        '"operation":{"Update":{"rows":[{'
+        '"before_cols":[{"Blob":[72,255,0,200]},{"Json":{"b":1,"a":[2,{"z":3}]}},'
+        '{"Decimal":"1.250"},{"Time":{"hours":9,"minutes":8,"seconds":7,"subseconds":12}},'
+        '{"DateTime":{"year":1999,"month":3,"day":30,"hour":1,"minute":2,"second":3,"subsecond":4}},'
+        '{"Timestamp":{"unix_time":1591094076,"subsecond":5}},'
+        '{"Enum":2},{"Year":1999},{"Float":1.5},"Null"],'
+        '"after_cols":[{"String":"x"},"Null","Null","Null","Null","Null","Null","Null","Null","Null"]'
+        "}]}}}"
+    )
+    raw = spark.createDataFrame([(s,) for s in [*PET_EVENTS, extra]], "value string")
+    a = parse_events(raw, jvm=False).orderBy("sequence").collect()
+    b = parse_events(raw, jvm=True).orderBy("sequence").collect()
+    assert a == b
+    # K6 guard raises on the JVM path too
+    bad = (
+        '{"uri":"flv://m/d/t","sequence":1,"bn_file":{"fileName":"b.1","offset":4},'
+        '"columns":["a"],"operation":{"Add":{"rows":[{"cols":'
+        '[{"SignedInteger":1},{"SignedInteger":2}]}]}}}'
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="K6"):
+        parse_events(spark.createDataFrame([(bad,)], "value string"), jvm=True).collect()
+
+
 def test_render_roundtrip(spark):
     from fluvio_demo_apps_rust_spark.codec import render_events
 
