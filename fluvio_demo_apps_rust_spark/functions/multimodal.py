@@ -78,3 +78,66 @@ def decode_real(df: DataFrame, blob_col: str = "blob") -> DataFrame:
         "media decoding requires image/audio libraries not present in this "
         "environment; use decode_stub for the plumbing-equivalent path"
     )
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_sha string"
+
+
+def frame_sample_stub(
+    df: DataFrame,
+    blob_col: str = "blob",
+    frame_size: int = 64,
+    max_frames: int = 16,
+) -> DataFrame:
+    """Frame sampling: one input blob → up to ``max_frames`` output
+    rows (consecutive ``frame_size``-byte slices). This is the video
+    frame-extraction harness: mapInPandas with a row-multiplying output
+    — a real ffmpeg-based sampler drops into the same loop, replacing
+    byte slicing with frame decode. Deterministic (byte-slice + sha256)
+    so the DuckDB oracle can verify the fan-out exactly.
+    """
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):
+                b = bytes(b)
+                n = min(max_frames, max(1, -(-len(b) // frame_size)))
+                for i in range(n):
+                    fr = b[i * frame_size : (i + 1) * frame_size]
+                    # digest the lowercase-hex form (DuckDB's sha256
+                    # takes VARCHAR only, so the oracle hashes hex too)
+                    sha = hashlib.sha256(fr.hex().encode()).hexdigest()
+                    rows.append((doc_id, i, len(fr), sha))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_len", "frame_sha"]
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id bigint, resized binary, out_len int"
+
+
+def resize_stub(df: DataFrame, blob_col: str = "blob", target_bytes: int = 64) -> DataFrame:
+    """'Resize' harness: binary in → binary out through Arrow batches
+    (truncate-or-zero-pad stands in for an image resample; a real
+    PIL.Image.resize drops into the same loop). Proves the
+    binary-payload round trip through mapInPandas."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                bytes(b)[:target_bytes].ljust(target_bytes, b"\x00")
+                for b in pdf[blob_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized": out,
+                    "out_len": [len(b) for b in out],
+                }
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(resize, schema=RESIZED_SCHEMA)

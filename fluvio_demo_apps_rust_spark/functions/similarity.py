@@ -92,6 +92,88 @@ def lsh_signature(vec_col: str, nb: int, dim: int) -> Column:
     return F.expr("concat(" + ", ".join(f"cast(({b}) AS string)" for b in bits) + ")")
 
 
+def ivf_cells(
+    emb: DataFrame,
+    ncells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF coarse quantizer: score every vector against the (small,
+    broadcast) centroid set; ``rn`` ranks centroids per vector by
+    cosine (desc, centroid-id tiebreak). ``rn = 1`` is the vector's
+    cell; ``rn <= nprobe`` are a query's probe cells.
+
+    Centroids here are the first ``ncells`` vectors — deterministic, so
+    the DuckDB oracle reproduces the exact partition. In production the
+    centroid set comes from k-means sampling instead and is passed via
+    ``centroids``; with thousands of cells, swap the crossJoin+window
+    argmax for a Pandas-UDF matmul against a broadcast numpy matrix.
+    """
+    from pyspark.sql import Window
+
+    cent = centroids if centroids is not None else emb.filter(F.col(id_col) < ncells)
+    cent = cent.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            id_col,
+            vec_col,
+            "c_id",
+            F.round(cosine(vec_col, "c_vec"), 6).alias("c_sim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("c_id"))
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    ncells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus partitioned into cells by nearest centroid
+    (one assignment pass, shuffle on the cell key only); each query
+    rescores exactly against the ``nprobe`` nearest cells' members.
+
+    Scale path: candidate count ≈ N·nprobe/ncells per query instead of
+    N; the cell-keyed equi-join replaces the cross product. Each corpus
+    vector lives in exactly one cell, so no candidate dedup is needed.
+    """
+    from pyspark.sql import Window
+
+    corpus = (
+        ivf_cells(emb, ncells, id_col, vec_col)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("n_vec"),
+            F.col("c_id").alias("cell"),
+        )
+    )
+    probes = (
+        ivf_cells(queries, ncells, id_col, vec_col, centroids=emb.filter(F.col(id_col) < ncells))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("c_id").alias("cell"),
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", F.round(cosine("q_vec", "n_vec"), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -379,6 +379,69 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_ann_ivf",
+    tags=("llm", "similarity", "ann", "ivf"),
+    oracle=f"""
+WITH n AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM embeddings),
+cent AS (SELECT vec_id AS c_id, embedding AS c_vec, nrm AS c_nrm FROM n WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, embedding, nrm, c_id,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round({_dot_sql('embedding', 'c_vec')} / (nrm * c_nrm), 6) DESC, c_id
+         ) AS rn
+  FROM n CROSS JOIN cent),
+corpus AS (SELECT vec_id AS n_id, embedding AS n_vec, nrm AS n_nrm, c_id AS cell
+           FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm, c_id AS cell
+           FROM assign WHERE vec_id < 10 AND rn <= 2),
+scored AS (
+  SELECT q_id, n_id,
+         round({_dot_sql('q_vec', 'n_vec')} / (q_nrm * n_nrm), 6) AS cos_sim
+  FROM corpus JOIN probes USING (cell)
+  WHERE n_id <> q_id)
+SELECT q_id, n_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+""",
+)
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 16 deterministic centroid cells, nprobe=2 — candidate
+    set ≈ N/8 per query, cell-keyed equi-join instead of a cross
+    product (the inverted-file scale path; see similarity.ivf_topk)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = S.ivf_topk(e, q, k=5, ncells=16, nprobe=2)
+    return out.select("q_id", "n_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "llm_multimodal_frames",
+    tags=("llm", "multimodal"),
+    oracle="""
+WITH f AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+idx AS (
+  SELECT doc_id, hx,
+         unnest(generate_series(0,
+           greatest(least(15, CAST(ceil((length(hx) / 2) / 64.0) AS INT) - 1), 0)
+         )) AS frame_idx
+  FROM f)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       (length(substr(hx, frame_idx * 128 + 1, 128)) / 2)::INT AS frame_len,
+       sha256(substr(hx, frame_idx * 128 + 1, 128)) AS frame_sha
+FROM idx
+""",
+)
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the mapInPandas harness: blob → ≤16
+    64-byte frames, row-multiplying Arrow batches (the video-decode
+    plumbing, byte-slice stand-in)."""
+    d = M.attach_blob(load(spark, sf_dir, "documents"))
+    return M.frame_sample_stub(d)
+
+
+@register(
     "llm_multimodal_meta",
     tags=("llm", "multimodal"),
     oracle="""

@@ -101,3 +101,35 @@ def test_multimodal_stub_matches_meta(spark, docs):
 def test_decode_real_is_stubbed(docs):
     with pytest.raises(NotImplementedError):
         M.decode_real(docs)
+
+
+def test_frame_sample_fanout(spark, docs):
+    blobs = M.attach_blob(docs)
+    frames = M.frame_sample_stub(blobs, frame_size=64, max_frames=16)
+    got = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("frame_idx").alias("mx")
+    )
+    lens = {r.doc_id: r.byte_len for r in M.blob_meta(blobs).collect()}
+    for r in got.collect():
+        expect = min(16, max(1, -(-lens[r.doc_id] // 64)))
+        assert r.n == expect and r.mx == expect - 1
+    # full frames are 64 bytes
+    full = frames.filter(F.col("frame_idx") == 0).collect()
+    assert all(f.frame_len <= 64 for f in full)
+
+
+def test_resize_stub_binary_roundtrip(spark, docs):
+    blobs = M.attach_blob(docs)
+    out = M.resize_stub(blobs, target_bytes=32).collect()
+    assert all(r.out_len == 32 and len(bytes(r.resized)) == 32 for r in out)
+
+
+def test_ivf_topk_exact_on_clones(spark):
+    rows = [(i, [float(i % 5 + 1)] * 8 + [0.0] * 56) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = S.ivf_topk(emb, q, k=5, ncells=8, nprobe=2)
+    res = out.collect()
+    assert len(res) > 0
+    # scaled clones share direction → same cell → cosine-1 neighbors rank first
+    assert all(r.cos_sim == 1.0 for r in res if r.rank == 1)
