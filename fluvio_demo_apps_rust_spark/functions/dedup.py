@@ -156,6 +156,53 @@ def hamming60(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve candidate near-dup pairs into clusters: every node gets
+    the min node id reachable through the pair graph (the keeper id).
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels — one equi-join + one
+    hash-aggregate per round, shuffled on the node key. Converges in
+    O(cluster diameter) rounds; near-dup clusters are shallow, so this
+    beats star-contraction's extra passes in practice. Fixpoint is
+    detected by the (monotonically decreasing) label sum; lineage is
+    truncated per round with localCheckpoint so plans stay bounded.
+
+    Materializes one action per round — an iterative algorithm, not a
+    single declarative plan (the driver-side loop carries no row data).
+    """
+    e = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels["node"] == nbr["dst"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("label")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing ≥1 shingle, via
     posting lists: explode → groupBy(shingle) collecting the (sorted)

@@ -52,6 +52,38 @@ def cdc_pet_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_stream_stats",
+    tags=("cdc", "streaming", "stateful"),
+)
+def cdc_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (real Structured Streaming run, not SQL-expressible):
+    the pet scenario streamed through the applyInPandasWithState
+    per-table stats operator (availableNow trigger, memory sink)."""
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from ..sources.event_source import stream_events
+    from ..streaming.stateful import table_stats_stream
+
+    src = Path(tempfile.mkdtemp(prefix="cdc_stream_stats_"))
+    (src / "events.jsonl").write_text("\n".join(PET_EVENTS) + "\n")
+    name = "cdc_stream_stats_" + uuid.uuid4().hex[:8]
+    q = (
+        table_stats_stream(stream_events(spark, str(src)))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT db, table, n_events, n_rows, max_sequence FROM {name}"
+    )
+
+
+@register(
     "cdc_orders_roundtrip",
     tags=("cdc", "codec", "apply", "scale"),
     oracle="""

@@ -217,6 +217,41 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.lsh_bucket_pairs(sig, bands=4)
 
 
+@register(
+    "llm_dedup_clusters",
+    tags=("llm", "dedup", "minhash", "lsh", "iterative"),
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_CTE},
+buckets AS (
+  SELECT doc_id, j % 4 AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY j)) AS bucket
+  FROM mh GROUP BY doc_id, band),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION SELECT b, a FROM pairs
+  UNION SELECT doc_id, doc_id FROM documents),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+""",
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: MinHash-LSH candidate pairs →
+    connected components (iterative min-label propagation; the oracle
+    computes the same fixpoint as a recursive-CTE transitive closure).
+    Every document maps to its cluster keeper (min reachable id)."""
+    d = load(spark, sf_dir, "documents")
+    sig = X.minhash_signatures(d, spark)
+    pairs = X.lsh_bucket_pairs(sig, bands=4)
+    return X.connected_components(pairs, d)
+
+
 _SIMHASH_CTE = f"""
 tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents),
 h AS (SELECT doc_id, {_HEX60.format(x='t')} AS h FROM tok),
