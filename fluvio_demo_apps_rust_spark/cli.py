@@ -11,6 +11,11 @@
     python -m fluvio_demo_apps_rust_spark.cli sql-sink <profile.toml> <log>
         stream events → rendered SQL statements appended to <log>
         (the consumer path with the MySQL executor swapped for a file).
+
+    python -m fluvio_demo_apps_rust_spark.cli produce <profile.toml> <topic-dir>
+        stream un-sequenced binlog-style events from the profile's
+        source → filter → dense sequence → wire-JSON topic directory
+        (the producer path, drain-and-stop).
 """
 
 from __future__ import annotations
@@ -58,6 +63,22 @@ def main(argv: list[str]) -> int:
             .start()
         )
         q.awaitTermination()
+        return 0
+
+    if cmd == "produce":
+        if len(argv) < 3:
+            print("produce requires a topic directory path")
+            return 2
+        from .streaming.producer import CdcProducer
+
+        CdcProducer(
+            spark,
+            source_path=profile.source_path,
+            topic_path=argv[2],
+            state_path=profile.state_path,
+            checkpoint_path=profile.checkpoint_path,
+            filters=profile.filters,
+        ).run_available_now()
         return 0
 
     print(f"unknown command: {cmd}\n{__doc__}")

@@ -113,7 +113,7 @@ def value_to_canonical(v: Any) -> str | None:
         sub = int(payload.get("subsecond", 0))
         return f"{int(payload['unix_time'])}.{sub:06d}"
     if kind == "Json":
-        return json.dumps(payload, separators=(",", ":"), sort_keys=True)
+        return json.dumps(payload, separators=(",", ":"), sort_keys=True, ensure_ascii=False)
     if kind == "Blob":
         return base64.b64encode(bytes(payload)).decode("ascii")
     raise ValueError(f"unknown Value kind: {kind}")
@@ -152,7 +152,7 @@ def render_value_display(v: Any) -> str:
             f'.{payload.get("subsecond", 0)}"'
         )
     if kind == "Json":
-        return json.dumps(payload, separators=(",", ":"), sort_keys=True)
+        return json.dumps(payload, separators=(",", ":"), sort_keys=True, ensure_ascii=False)
     if kind == "Decimal":
         return str(payload)
     if kind == "Blob":

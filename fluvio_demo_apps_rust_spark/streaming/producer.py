@@ -61,7 +61,23 @@ class CdcProducer:
     def _load_hwm(self) -> int:
         if self.state_file.exists():
             return int(json.loads(self.state_file.read_text())["hwm"])
-        return -1
+        return self._recover_hwm_from_topic()
+
+    def _recover_hwm_from_topic(self) -> int:
+        """S6 (topic tail probe) done right: when the high-watermark
+        file is lost, recover the next sequence from the max published
+        one. The reference defines this path but never calls it and
+        restarts sequences at 0 (fluvio_manager.rs:56-77 dead code,
+        :49); here it is the actual fallback."""
+        if not Path(self.topic_path).exists():
+            return -1
+        import pyspark.sql.functions as F
+
+        df = self.spark.read.text(self.topic_path)
+        row = df.agg(
+            F.max(F.get_json_object("value", "$.sequence").cast("long"))
+        ).collect()[0]
+        return int(row[0]) if row[0] is not None else -1
 
     def _save_hwm(self) -> None:
         self.state_file.parent.mkdir(parents=True, exist_ok=True)

@@ -58,6 +58,12 @@ def test_producer_sequences_and_consumer_applies(spark, tmp_path):
     by_pos = sorted(rows, key=lambda r: (r["bn_file"]["fileName"], r["bn_file"]["offset"]))
     assert [r["sequence"] for r in by_pos] == list(range(9))
 
+    # S6: losing the high-watermark file must NOT restart sequences at
+    # 0 — the producer recovers the tail from the topic itself
+    (tmp_path / "pstate" / "sequence_hwm.json").unlink()
+    p3 = _producer(spark, tmp_path)
+    assert p3.hwm == 8
+
     # consumer replays the produced topic → golden pet table
     profile = PipelineProfile(
         source_path=str(tmp_path / "topic"),
