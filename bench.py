@@ -12,6 +12,7 @@ windows, CDC replay, dedup/LSH, ANN, text analysis.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -70,6 +71,11 @@ def main() -> int:
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            # Promptly release cached/checkpointed RDDs the query may
+            # hold (CDC folds localCheckpoint) so later queries don't
+            # inherit memory pressure.
+            del df
+            gc.collect()
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
