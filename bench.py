@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "llm_simhash",
     "llm_ann_topk",
     "llm_ann_lsh",
+    "llm_ann_ivf",
+    "llm_dedup_clusters",
 ]
 
 

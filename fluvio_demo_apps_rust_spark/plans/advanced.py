@@ -350,3 +350,80 @@ def q52_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
     )
+
+
+@register(
+    "q53_unpivot",
+    tags=("reshape", "unpivot"),
+    oracle="""
+SELECT l_returnflag, measure, val
+FROM (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2)      AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(sum(l_discount), 4)      AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+) UNPIVOT (val FOR measure IN (sum_qty, sum_price, sum_disc))
+""",
+)
+def q53_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt) over an aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "val"
+    )
+
+
+@register(
+    "q54_lateral_explode",
+    tags=("reshape", "explode", "lateral"),
+    oracle="""
+SELECT word, count(*) AS freq
+FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+GROUP BY word
+ORDER BY freq DESC, word
+LIMIT 20
+""",
+)
+def q54_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-generating lateral op: explode split words, count, top-20."""
+    p = load(spark, sf_dir, "part")
+    words = p.select(F.explode(F.split("p_name", " ")).alias("word"))
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "q56_sample_hash",
+    tags=("sampling",),
+    oracle="""
+SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sample_revenue
+FROM lineitem
+WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR), 1, 15))::BIGINT % 10 = 0
+""",
+)
+def q56_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by key hash — reproducible across
+    engines and runs (unlike TABLESAMPLE), the right sampling primitive
+    for a 100 TB pipeline: pure filter, no shuffle, prunes at the scan."""
+    li = load(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return li.filter(h % 10 == 0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sample_revenue"),
+    )

@@ -194,3 +194,61 @@ def q35_events_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("event_type").orderBy("day_start")
     return daily.withColumn("delta", F.col("cnt") - F.lag("cnt").over(w))
+
+
+@register(
+    "q36_events_gapfill",
+    tags=("events", "timeseries", "gapfill"),
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         count(*) AS c, avg(value) AS av
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events),
+grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+slots AS (SELECT h, event_type
+          FROM grid CROSS JOIN (SELECT DISTINCT event_type FROM events)),
+j AS (SELECT s.h, s.event_type, c, av FROM slots s
+      LEFT JOIN hourly USING (h, event_type))
+SELECT CAST(epoch(h) AS BIGINT) AS hour_start, event_type,
+       coalesce(c, 0) AS cnt,
+       round(last_value(av IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled_avg
+FROM j
+""",
+)
+def q36_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a dense 1-hour grid per event type (empty
+    slots count 0) with forward-filled hourly averages — the
+    hypertable-rollup / downsample-and-interpolate primitive. The grid
+    is generated from the bounds (two tiny rows crossed with the
+    distinct keys), never materialized wider than slots × keys."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"), F.avg("value").alias("av"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    slots = grid.crossJoin(e.select("event_type").distinct())
+    j = slots.join(hourly, ["h", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col("h").cast("long").alias("hour_start"),
+        "event_type",
+        F.coalesce("c", F.lit(0)).alias("cnt"),
+        F.round(F.last("av", ignorenulls=True).over(w), 4).alias("filled_avg"),
+    )
