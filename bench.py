@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "q32_events_session",
     "cdc_pet_replay",
     "cdc_orders_roundtrip",
+    "cdc_mixed_workload",
     "llm_dedup_exact",
     "llm_text_quality",
     "llm_dedup_ngram_jaccard",

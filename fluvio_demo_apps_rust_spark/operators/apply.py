@@ -2,8 +2,8 @@
 
 Reproduces the consumer's write path (SURVEY §2.5) Spark-first:
 
-- K2 INSERT  → union of typed after-images (runs of consecutive Add
-  events coalesce into ONE union — bulk loads cost one scan).
+- K2 INSERT  → union of typed after-images (consecutive Adds
+  coalesce into ONE union — bulk loads cost one scan).
 - K3 UPDATE  → full-row match on ALL before-image columns with
   null-safe equality (``<=>``), replacing EVERY matching duplicate row
   with the after-image (mysql_manager.rs:232-267: no keys exist, NULL
@@ -26,8 +26,9 @@ Scale posture: run-grouping happens distributively (two window passes
 over tiny metadata columns, shuffled by db / (db, table)); only RUN
 SUMMARIES reach the driver — O(#runs), not O(#events), so a
 billion-event bulk load collects one row. Row payloads never leave
-the cluster — each fold step is a narrow union or a null-safe join
-against the (small) per-event image set, which Spark broadcasts.
+the cluster — each fold step is a narrow union or a null-safe
+hash-joinable (``<=>``) join against the run's image set: AQE
+broadcasts small image sets, bulk runs shuffle-join.
 Lineage is truncated with localCheckpoint every ``checkpoint_every``
 fold steps so unbounded event chains keep bounded plans. Tables are
 independent effect streams and fold independently (§7.4.1): order
@@ -176,10 +177,15 @@ def apply_changes(
     )
     rowev = meta.filter(F.col("op_type").isin("Add", "Update", "Delete"))
     wt = Window.partitionBy("db", "table").orderBy("sequence")
+    # Adds and Deletes coalesce into bulk runs: appends are independent
+    # and deletes only remove (an earlier delete can't change what a
+    # later one matches), so one union / one anti-join applies the whole
+    # run exactly. Updates never coalesce across events — U1's after-
+    # image may be U2's before-image (chaining), so they fold one by one.
     new_run = (
-        (F.col("op_type") != "Add")
+        (F.col("op_type") == "Update")
         | F.lag("op_type").over(wt).isNull()
-        | (F.lag("op_type").over(wt) != "Add")
+        | (F.lag("op_type").over(wt) != F.col("op_type"))
         | (F.lag("ncols").over(wt) != F.col("ncols"))
         | (F.lag("barrier").over(wt) != F.col("barrier"))
     )
@@ -220,8 +226,9 @@ def apply_changes(
         wm = state.watermarks.get(key, -1)
         if r.seq_max <= wm:
             continue  # full replay → no-op (exactly-once)
-        # Partial replay can only hit a coalesced Add run; appends are
-        # per-event independent, so trimming the range is exact.
+        # Partial replay can only hit a coalesced Add or Delete run;
+        # appends are per-event independent and deletes idempotent, so
+        # trimming the range is exact.
         seq_min = max(r.seq_min, wm + 1)
         runs.append(
             {
@@ -256,9 +263,9 @@ def apply_changes(
             new = cur.unionByName(imgs)
         elif op == "Delete":
             imgs = _images_df(events, run, "before", cols, prefix="_d_").distinct()
-            new = cur.join(
-                F.broadcast(imgs), _nullsafe_cond(cur, imgs, names, "_d_"), "left_anti"
-            )
+            # null-safe equality is hash-joinable: AQE broadcasts small
+            # image sets and falls back to shuffle join for bulk deletes
+            new = cur.join(imgs, _nullsafe_cond(cur, imgs, names, "_d_"), "left_anti")
         elif op == "Update":
             pairs = _images_df(events, run, "before", cols, prefix="_b_", with_pos=True)
             afters = _images_df(events, run, "after", cols, prefix="_a_", with_pos=True)
@@ -276,9 +283,7 @@ def apply_changes(
                 .drop("_rn", "sequence", "pos")
                 .withColumn("_matched", F.lit(True))
             )
-            joined = cur.join(
-                F.broadcast(both), _nullsafe_cond(cur, both, names, "_b_"), "left"
-            )
+            joined = cur.join(both, _nullsafe_cond(cur, both, names, "_b_"), "left")
             new = joined.select(
                 *[
                     F.when(F.col("_matched"), F.col("_a_" + c)).otherwise(cur[c]).alias(c)

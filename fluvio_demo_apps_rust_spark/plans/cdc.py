@@ -52,6 +52,60 @@ def cdc_pet_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_mixed_workload",
+    tags=("cdc", "apply", "scale"),
+    oracle="""
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE o_orderstatus <> 'F'
+""",
+)
+def cdc_mixed_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk adds followed by BULK per-event deletes (every 'F' order
+    deleted by full-row match): delete events coalesce into ONE
+    anti-join run — the kernel's bulk-mutation scale path. Result must
+    equal the surviving orders."""
+    o = load(spark, sf_dir, "orders")
+    n = o.count()
+    ddl = spark.createDataFrame(
+        [
+            (
+                '{"uri":"flv://mysql-srv1/cdcdb","sequence":0,'
+                '"bn_file":{"fileName":"binlog.000001","offset":4},'
+                '"operation":{"Query":"CREATE TABLE orders_m (o_orderkey BIGINT, '
+                'o_orderstatus VARCHAR(1))"}}',
+            )
+        ],
+        "value string",
+    )
+
+    def ev(seq: F.Column, op: str, cols_key: str) -> F.Column:
+        return F.concat(
+            F.lit('{"uri":"flv://mysql-srv1/cdcdb/orders_m","sequence":'),
+            seq.cast("string"),
+            F.lit(',"bn_file":{"fileName":"binlog.000001","offset":'),
+            seq.cast("string"),
+            F.lit('},"columns":["o_orderkey","o_orderstatus"],'
+                  f'"operation":{{"{op}":{{"rows":[{{"{cols_key}":['),
+            F.to_json(F.struct(F.col("o_orderkey").alias("SignedInteger"))),
+            F.lit(","),
+            F.to_json(F.struct(F.col("o_orderstatus").alias("String"))),
+            F.lit("]}]}}}"),
+        )
+
+    adds = o.select(ev(F.col("o_orderkey") + 1, "Add", "cols").alias("value"))
+    dels = o.filter(F.col("o_orderstatus") == "F").select(
+        ev(F.col("o_orderkey") + 1 + F.lit(n), "Delete", "cols").alias("value")
+    )
+    from ..codec import parse_events
+
+    events = parse_events(ddl.unionByName(adds).unionByName(dels))
+    state = apply_changes(spark, events)
+    t = state.table("cdcdb", "orders_m")
+    return t.select("o_orderkey", "o_orderstatus")
+
+
+@register(
     "cdc_stream_stats",
     tags=("cdc", "streaming", "stateful"),
 )
