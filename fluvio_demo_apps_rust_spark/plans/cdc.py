@@ -93,8 +93,9 @@ def cdc_mixed_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("]}]}}}"),
         )
 
-    adds = o.select(ev(F.col("o_orderkey") + 1, "Add", "cols").alias("value"))
-    dels = o.filter(F.col("o_orderstatus") == "F").select(
+    par = spark.sparkContext.defaultParallelism
+    adds = o.repartition(par).select(ev(F.col("o_orderkey") + 1, "Add", "cols").alias("value"))
+    dels = o.repartition(par).filter(F.col("o_orderstatus") == "F").select(
         ev(F.col("o_orderkey") + 1 + F.lit(n), "Delete", "cols").alias("value")
     )
     from ..codec import parse_events
@@ -177,7 +178,12 @@ def cdc_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.struct(F.col("o_totalprice").alias("Double"))),
         F.lit("]}]}}}"),
     )
-    adds = o.select(event.alias("value"))
+    # The single-split parquet source would serialize the decode and
+    # the fold into one task; spread the wire rows first (at cluster
+    # scale the source already has many splits and this is a no-op
+    # cost-wise relative to the decode it parallelizes).
+    par = spark.sparkContext.defaultParallelism
+    adds = o.repartition(par).select(event.alias("value"))
     from ..codec import parse_events
 
     events = parse_events(ddl.unionByName(adds))
