@@ -427,3 +427,47 @@ def q56_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("sample_revenue"),
     )
+
+
+@register(
+    "q57_array_ops",
+    tags=("arrays", "nested"),
+    oracle="""
+SELECT l_orderkey,
+       qtys[1] AS first_qty,
+       len(qtys) AS n_items,
+       list_contains(qtys, 30.0) AS has_30,
+       round(list_sum(list_transform(qtys, q -> q * 2)), 2) AS doubled_sum,
+       qtys[2:3] AS mid_slice
+FROM (
+  SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+WHERE l_orderkey % 100 = 0
+""",
+)
+def q57_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested/array kernel: collect per-group sorted arrays, then
+    element access, containment, higher-order transform+sum, slicing —
+    all JVM-side array expressions."""
+    li = load(spark, sf_dir, "lineitem")
+    arr = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_quantity")).alias("qtys"))
+        .filter(F.col("l_orderkey") % 100 == 0)
+    )
+    return arr.select(
+        "l_orderkey",
+        F.element_at("qtys", 1).alias("first_qty"),
+        F.size("qtys").alias("n_items"),
+        F.array_contains("qtys", F.lit(30.0)).alias("has_30"),
+        F.round(
+            F.aggregate(
+                F.transform("qtys", lambda q: q * 2),
+                F.lit(0.0),
+                lambda acc, q: acc + q,
+            ),
+            2,
+        ).alias("doubled_sum"),
+        F.slice("qtys", 2, 2).alias("mid_slice"),
+    )

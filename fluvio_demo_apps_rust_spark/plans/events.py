@@ -252,3 +252,44 @@ def q36_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c", F.lit(0)).alias("cnt"),
         F.round(F.last("av", ignorenulls=True).over(w), 4).alias("filled_avg"),
     )
+
+
+@register(
+    "q37_stream_windowed",
+    tags=("events", "streaming", "watermark"),
+)
+def q37_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (real Structured Streaming run): watermarked tumbling
+    windows over a deterministic event file driven availableNow —
+    append mode emits only watermark-finalized windows."""
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from ..streaming.analytics import read_event_stream, windowed_counts
+
+    src = Path(tempfile.mkdtemp(prefix="q37_stream_"))
+    lines = []
+    for i in range(200):
+        # hours 0..4; the hour-4 tail holds the watermark open so hours
+        # 0..2 finalize (watermark = max_ts - 30min)
+        h, m = divmod(i, 50)
+        lines.append(
+            f'{{"event_id": {i}, "ts": "2024-01-01 0{h}:{m % 60:02d}:00", '
+            f'"user_id": {i % 7}, "event_type": "t{i % 3}", "value": {i % 5}.0}}'
+        )
+    (src / "events.jsonl").write_text("\n".join(lines) + "\n")
+    name = "q37_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        windowed_counts(read_event_stream(spark, str(src)), "1 hour", "30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT CAST(window_start AS STRING) AS window_start, event_type, cnt, "
+        f"total_value FROM {name}"
+    )
