@@ -471,3 +471,70 @@ def q57_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doubled_sum"),
         F.slice("qtys", 2, 2).alias("mid_slice"),
     )
+
+
+@register(
+    "q58_disjunctive_join",
+    tags=("join", "pushdown", "disjunction"),
+    oracle="""
+SELECT count(*) AS n, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 30)
+""",
+)
+def q58_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: equi-join with an OR-of-ANDs residual mixing
+    both sides' columns — Catalyst extracts the common join key and
+    pushes the single-side conjuncts (p_size/p_brand disjunction) into
+    the part scan."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(20, 50) & (F.col("l_quantity") >= 30))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
+@register(
+    "q59_profit_rollup",
+    tags=("join", "agg", "star"),
+    oracle="""
+SELECT n_name AS nation_name, CAST(year(l_shipdate) AS INT) AS yr,
+       round(sum(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1), 2) AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_type LIKE '%ECO%'
+GROUP BY nation_name, yr
+""",
+)
+def q59_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted — no partsupp table in the test data, so
+    supply cost is proxied by retail price): multi-way star join with an
+    expression aggregate, grouped by nation and year. Dim tables
+    broadcast; the LIKE filter prunes part before the join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type").like("%ECO%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    j = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    return (
+        j.groupBy(F.col("n_name").alias("nation_name"), F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
