@@ -85,7 +85,9 @@ class CdcPipeline:
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         events = skip_begin_statements(batch_df)
-        events = db_filter(events, self.profile.filters, drop_no_db=False)
+        # Consumer filter semantics (F2, mysql_manager.rs:375-391):
+        # events with no db are dropped, unlike the producer side.
+        events = db_filter(events, self.profile.filters, drop_no_db=True)
         self.state = apply_changes(self.spark, events, self.state)
         self._save_state()
         self.state.release()  # tables are on disk; drop the event cache
