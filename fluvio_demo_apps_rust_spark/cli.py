@@ -26,11 +26,19 @@ from .config import PipelineProfile
 from .session import get_spark
 
 
+_COMMANDS = {"apply": 2, "apply-once": 2, "sql-sink": 3, "produce": 3}
+
+
 def main(argv: list[str]) -> int:
-    if len(argv) < 2:
+    # Validate the command and arity BEFORE loading the profile or
+    # paying JVM startup, so a typo prints usage, not a traceback.
+    if len(argv) < 2 or argv[0] not in _COMMANDS:
         print(__doc__)
         return 2
     cmd, profile_path = argv[0], argv[1]
+    if len(argv) < _COMMANDS[cmd]:
+        print(f"{cmd} requires {_COMMANDS[cmd] - 1} arguments\n{__doc__}")
+        return 2
     profile = PipelineProfile.load(profile_path)
     spark = get_spark(f"cdc-{cmd}")
 
@@ -46,9 +54,6 @@ def main(argv: list[str]) -> int:
         return 0
 
     if cmd == "sql-sink":
-        if len(argv) < 3:
-            print("sql-sink requires a statements log path")
-            return 2
         log_path = argv[2]
         from .sources.event_source import stream_events
         from .streaming.sql_sink import append_statements_batch
@@ -58,7 +63,9 @@ def main(argv: list[str]) -> int:
             events.writeStream.foreachBatch(
                 lambda batch, _id: append_statements_batch(batch, log_path)
             )
-            .option("checkpointLocation", profile.checkpoint_path)
+            # per-command checkpoint subdir: sharing the apply query's
+            # checkpoint would silently resume from ITS offsets
+            .option("checkpointLocation", f"{profile.checkpoint_path}/sql-sink")
             .trigger(processingTime=f"{profile.trigger_ms} milliseconds")
             .start()
         )
@@ -66,9 +73,6 @@ def main(argv: list[str]) -> int:
         return 0
 
     if cmd == "produce":
-        if len(argv) < 3:
-            print("produce requires a topic directory path")
-            return 2
         from .streaming.producer import CdcProducer
 
         CdcProducer(
@@ -76,7 +80,7 @@ def main(argv: list[str]) -> int:
             source_path=profile.source_path,
             topic_path=argv[2],
             state_path=profile.state_path,
-            checkpoint_path=profile.checkpoint_path,
+            checkpoint_path=f"{profile.checkpoint_path}/produce",
             filters=profile.filters,
         ).run_available_now()
         return 0

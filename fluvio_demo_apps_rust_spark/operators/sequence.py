@@ -22,8 +22,17 @@ from pyspark.sql import DataFrame, Window
 
 def file_id(col: F.Column) -> F.Column:
     """Numeric suffix of a binlog file name — ``binlog.000042`` → 42
-    (reference: get_file_id, binlog_file.rs:85-90)."""
-    return F.regexp_extract(col, r"\.(\d+)$", 1).cast("long")
+    (reference: get_file_id, binlog_file.rs:85-90). A missing or
+    suffix-less name RAISES (as the reference's parser errors) rather
+    than silently sorting malformed events first with nondeterministic
+    sequence assignment."""
+    fid = F.regexp_extract(col, r"\.(\d+)$", 1)
+    return F.when(
+        col.isNull() | (fid == ""),
+        F.raise_error(
+            F.concat(F.lit("unparseable binlog file name: "), F.coalesce(col, F.lit("NULL")))
+        ).cast("long"),
+    ).otherwise(fid.cast("long"))
 
 
 def assign_sequence(

@@ -49,8 +49,16 @@ def windowed_counts(
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once-per-key event stream: duplicates of an event_id
     arriving within the watermark horizon are dropped; state for ids
-    older than the horizon is evicted (bounded memory)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    older than the horizon is evicted (bounded memory).
+
+    dropDuplicatesWithinWatermark, NOT dropDuplicates: with a key
+    subset that excludes the event-time column, plain dropDuplicates
+    keeps one state entry per key FOREVER (the watermark only bounds
+    state when the time column is part of the keys) — unbounded state
+    on a stream of mostly-unique ids."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def sessionized(events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes") -> DataFrame:

@@ -1,9 +1,19 @@
 """SQL-statement sink: the consumer's "apply to MySQL" path (K2-K5)
-without a MySQL — renders each change event to the exact SQL statement
-the reference consumer would execute (golden-parity formats from
-operators/render_sql.py) and appends them, in sequence order, to a
-statements log. Swap the file append for a JDBC executor and this IS
-the reference consumer (mysql_manager.rs:60-95).
+without a MySQL — renders change events to SQL statements (statement
+SHAPES match the reference's render kernel, operators/render_sql.py)
+and appends them, in sequence order, to a statements log that a JDBC
+executor can replay (mysql_manager.rs:60-95).
+
+Caveat: values rendered from NORMALIZED events use canonical string
+forms (every non-null cell re-enters as a String literal — e.g.
+numerics arrive quoted, dates zero-padded); byte-identical reference
+literals require rendering from the wire-format Values directly
+(render_sql golden tests do exactly that).
+
+Delivery: the log append is made effectively-once by a sequence
+high-watermark — foreachBatch is at-least-once, so a replayed batch
+after a crash re-renders statements the log already holds; entries at
+or below the log's max sequence are skipped on append.
 """
 
 from __future__ import annotations
@@ -70,11 +80,34 @@ def render_statements(events: DataFrame) -> DataFrame:
     return events.mapInPandas(render, schema="sequence long, stmt string")
 
 
+def _log_max_sequence(p: Path) -> int:
+    """Highest sequence already appended (scan of the tail-ordered log;
+    the log is small relative to the data it describes)."""
+    if not p.exists():
+        return -1
+    mx = -1
+    with p.open() as f:
+        for line in f:
+            if line.strip():
+                mx = max(mx, int(json.loads(line)["sequence"]))
+    return mx
+
+
 def append_statements_batch(events: DataFrame, log_path: str | Path) -> int:
     """foreachBatch body: render and append this batch's statements in
-    sequence order. Returns the number of statements written."""
-    rows = render_statements(events).orderBy("sequence").collect()
+    sequence order. Returns the number of statements written.
+
+    Idempotent under batch replay: statements at or below the log's
+    current max sequence are skipped, so an at-least-once re-delivery
+    (crash between append and checkpoint commit) appends nothing.
+    """
     p = Path(log_path)
+    hwm = _log_max_sequence(p)
+    rows = [
+        r
+        for r in render_statements(events).orderBy("sequence").collect()
+        if r.sequence is None or r.sequence > hwm
+    ]
     p.parent.mkdir(parents=True, exist_ok=True)
     with p.open("a") as f:
         for r in rows:

@@ -97,3 +97,38 @@ def test_sql_sink_renders_pet_statements(spark, tmp_path):
     assert lines[4]["stmt"].startswith("UPDATE pet SET")
     assert "is NULL" in lines[6]["stmt"] or lines[6]["stmt"].startswith("DELETE FROM pet")
     assert lines[8]["stmt"].startswith("UPDATE pet SET last_vaccine=")
+
+
+def test_sql_sink_replay_is_idempotent(spark, tmp_path):
+    from fluvio_demo_apps_rust_spark.fixtures import PET_EVENTS
+    from fluvio_demo_apps_rust_spark.sources.event_source import read_events_from_strings
+    from fluvio_demo_apps_rust_spark.streaming.sql_sink import append_statements_batch
+
+    events = read_events_from_strings(spark, PET_EVENTS)
+    log = tmp_path / "statements.jsonl"
+    assert append_statements_batch(events, log) == 9
+    # at-least-once replay of the SAME batch appends nothing
+    assert append_statements_batch(events, log) == 0
+    assert len(log.read_text().splitlines()) == 9
+
+
+def test_sessionized_gap_split(spark, tmp_path):
+    from fluvio_demo_apps_rust_spark.streaming.analytics import sessionized
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    _write(src, "b1.jsonl", [
+        _ev(1, "2024-01-01 10:00:00", uid=1, value=1.0),
+        _ev(2, "2024-01-01 10:02:00", uid=1, value=2.0),   # same session (gap < 5m)
+        _ev(3, "2024-01-01 10:30:00", uid=1, value=4.0),   # new session (gap > 5m)
+        _ev(4, "2024-01-01 13:00:00", uid=2, value=8.0),   # watermark advancer
+    ])
+    run_to_parquet(
+        sessionized(read_event_stream(spark, str(src))), str(out), str(ckpt)
+    )
+    rows = {
+        (str(r.session_start), r.user_id): (r.n_events, r.session_value)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # user 1's two sessions finalized (watermark far past); counts/sums split
+    assert rows[("2024-01-01 10:00:00", 1)] == (2, 3.0)
+    assert rows[("2024-01-01 10:30:00", 1)] == (1, 4.0)
