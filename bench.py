@@ -59,6 +59,16 @@ def main() -> int:
 
     # warm the JVM/session so the first query doesn't pay startup costs
     spark.range(1000).count()
+    # warm the Python worker pool: the first mapInPandas/pandas_udf in a
+    # Spark process forks one Python worker per core (each importing
+    # pandas/pyarrow, ~10-20 s across 32 cores); workers are reused
+    # afterwards (spark.python.worker.reuse), so this is a one-time
+    # process cost, not per-query throughput — same rationale as the
+    # JVM warmup above.
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4, numPartitions=par).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     # Two timed executions per query; report the min (steady state).
     # The first run of a plan pays one-time JVM codegen/JIT — a fixed

@@ -188,13 +188,16 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # eager=False + the immediate fixpoint aggregation below: the
+        # checkpoint materializes inside the same job as the agg — one
+        # job per round, not two.
         labels = (
             labels.join(nbr, labels["node"] == nbr["dst"], "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur = labels.agg(F.sum("label")).collect()[0][0]
         if cur == prev_sum:

@@ -149,33 +149,79 @@ def apply_changes(
     applied in sequence order; per-table watermarks drop replays.
     """
     state = state or CdcState()
-    events = events.persist()
+    # Prune to the columns the kernel reads before caching: uri/urn/
+    # file_name/offset never feed apply, and dropping them shrinks the
+    # in-memory columnar cache the image extraction re-scans.
+    events = events.select(
+        "sequence", "db", "table", "op_type", "query", "columns", "rows"
+    ).persist()
     state._cached_events.append(events)
 
     # Group row events into per-table runs DISTRIBUTIVELY. A run
     # coalesces consecutive same-op events of one table (bulk Adds
     # become ONE union) and may span other tables' events — tables are
     # independent effect streams (§7.4.1) — but never a DDL barrier of
-    # its own db (a Query event bumps the db's running barrier count,
-    # so later row events start a fresh run and therefore apply after
-    # the DDL). Only RUN SUMMARIES reach the driver — O(#runs), not
-    # O(#events): a bulk load of a billion Adds collects one row. The
-    # two windows shuffle tiny metadata columns keyed by (db) and
-    # (db, table) — row payloads never move.
+    # its own db (a Query event bumps the db's barrier count, so later
+    # row events start a fresh run and therefore apply after the DDL).
+    # Only RUN SUMMARIES and DDL events reach the driver — O(#runs +
+    # #DDLs), not O(#events): a bulk load of a billion Adds collects one
+    # row. DDL statements are inherently sparse in a CDC stream (each is
+    # a human-issued schema change), so the collected DDL list is tiny;
+    # the barrier is then a map-side expression over that list instead
+    # of a db-wide running-sum window — one full shuffle of the meta
+    # stream saved, and no single-partition sort skew on one-db streams.
     from pyspark.sql import Window
 
-    meta = events.select(
-        "sequence", "db", "table", "op_type", "query",
+    # First action: materializes the cache AND returns the (tiny) DDL
+    # list in one pass.
+    ddl_rows = sorted(
+        events.filter(F.col("op_type") == "Query")
+        .select("db", "sequence", "query")
+        .collect(),
+        key=lambda r: r.sequence,
+    )
+    ddl_seqs: dict[str, list[int]] = {}
+    for r in ddl_rows:
+        ddl_seqs.setdefault((r.db or "").lower(), []).append(r.sequence)
+
+    meta = events.filter(F.col("op_type").isin("Add", "Update", "Delete")).select(
+        "sequence", "db", "table", "op_type",
         F.size("columns").alias("ncols"),
     )
-    wdb = Window.partitionBy("db").orderBy("sequence").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    meta = meta.withColumn(
-        "barrier",
-        F.sum(F.when(F.col("op_type") == "Query", 1).otherwise(0)).over(wdb),
-    )
-    rowev = meta.filter(F.col("op_type").isin("Add", "Update", "Delete"))
+    # barrier = #DDLs of this db at or before this sequence.
+    barrier_expr = F.lit(0)
+    if ddl_seqs and sum(len(v) for v in ddl_seqs.values()) <= 10_000:
+        whens = None
+        for db_name, seqs in ddl_seqs.items():
+            cnt = F.size(
+                F.filter(
+                    F.array(*[F.lit(s).cast("long") for s in seqs]),
+                    lambda s: s <= F.col("sequence"),
+                )
+            )
+            whens = (
+                F.when(F.col("db") == db_name, cnt)
+                if whens is None
+                else whens.when(F.col("db") == db_name, cnt)
+            )
+        barrier_expr = F.coalesce(whens, F.lit(0))
+    elif ddl_seqs:
+        # Degenerate DDL-heavy batch: fall back to the running-sum
+        # window over the full meta stream (correct at any DDL count).
+        full = events.select(
+            "sequence", "db", "op_type"
+        ).withColumn(
+            "b",
+            F.sum(F.when(F.col("op_type") == "Query", 1).otherwise(0)).over(
+                Window.partitionBy("db")
+                .orderBy("sequence")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).select("sequence", "db", "b")
+        meta = meta.join(full, ["sequence", "db"])
+        barrier_expr = F.col("b")
+    meta = meta.withColumn("barrier", barrier_expr)
+
     wt = Window.partitionBy("db", "table").orderBy("sequence")
     # Adds and Deletes coalesce into bulk runs: appends are independent
     # and deletes only remove (an earlier delete can't change what a
@@ -189,56 +235,62 @@ def apply_changes(
         | (F.lag("ncols").over(wt) != F.col("ncols"))
         | (F.lag("barrier").over(wt) != F.col("barrier"))
     )
-    runs_part = (
-        rowev.withColumn("run_id", F.sum(new_run.cast("int")).over(wt))
+    run_rows = (
+        meta.withColumn("run_id", F.sum(new_run.cast("int")).over(wt))
         .groupBy("db", "table", "run_id", "op_type", "ncols")
         .agg(F.min("sequence").alias("seq_min"), F.max("sequence").alias("seq_max"))
-        .withColumn("query", F.lit(None).cast("string"))
-        .select("db", "table", "op_type", "ncols", "seq_min", "seq_max", "query")
+        .collect()
     )
-    q_part = meta.filter(F.col("op_type") == "Query").select(
-        "db",
-        F.lit(None).cast("string").alias("table"),
-        "op_type",
-        F.lit(None).cast("int").alias("ncols"),
-        F.col("sequence").alias("seq_min"),
-        F.col("sequence").alias("seq_max"),
-        "query",
-    )
+    # Driver-side merge of row runs and DDL events in sequence order;
     # DDL sorts before a row run starting at the same sequence (the
     # reference's sequences are unique; this pins behavior if not).
-    summaries = (
-        runs_part.unionByName(q_part)
-        .orderBy("seq_min", F.col("op_type") != "Query")
-        .collect()
+    summaries = sorted(
+        [
+            {
+                "db": r.db, "table": r.table, "op_type": r.op_type,
+                "ncols": r.ncols, "seq_min": r.seq_min, "seq_max": r.seq_max,
+                "query": None,
+            }
+            for r in run_rows
+        ]
+        + [
+            {
+                "db": d.db, "table": None, "op_type": "Query", "ncols": None,
+                "seq_min": d.sequence, "seq_max": d.sequence, "query": d.query,
+            }
+            for d in ddl_rows
+        ],
+        key=lambda s: (s["seq_min"], s["op_type"] != "Query"),
     )
 
     runs: list[dict] = []
     for r in summaries:
-        db = (r.db or "").lower()
-        if r.op_type == "Query":
-            runs.append({"op": "Query", "db": db, "query": r.query, "seq": r.seq_min})
+        db = (r["db"] or "").lower()
+        if r["op_type"] == "Query":
+            runs.append(
+                {"op": "Query", "db": db, "query": r["query"], "seq": r["seq_min"]}
+            )
             continue
-        tbl = r.table.lower() if r.table else None
+        tbl = r["table"].lower() if r["table"] else None
         if tbl is None:
             continue
         key = (db, tbl)
         wm = state.watermarks.get(key, -1)
-        if r.seq_max <= wm:
+        if r["seq_max"] <= wm:
             continue  # full replay → no-op (exactly-once)
         # Partial replay can only hit a coalesced Add or Delete run;
         # appends are per-event independent and deletes idempotent, so
         # trimming the range is exact.
-        seq_min = max(r.seq_min, wm + 1)
+        seq_min = max(r["seq_min"], wm + 1)
         runs.append(
             {
-                "op": r.op_type,
+                "op": r["op_type"],
                 "key": key,
                 "db": db,
                 "table": tbl,
                 "seq_min": seq_min,
-                "seq_max": r.seq_max,
-                "ncols": r.ncols,
+                "seq_max": r["seq_max"],
+                "ncols": r["ncols"],
             }
         )
 

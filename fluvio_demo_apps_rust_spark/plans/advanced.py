@@ -538,3 +538,162 @@ def q59_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy(F.col("n_name").alias("nation_name"), F.year("l_shipdate").cast("int").alias("yr"))
         .agg(F.round(F.sum(profit), 2).alias("profit"))
     )
+
+
+@register(
+    "q60_min_cost_supplier",
+    tags=("join", "subquery", "agg"),
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2),
+best AS (SELECT l_partkey, min(unit_cost) AS best_cost FROM ps GROUP BY 1)
+SELECT p_partkey, p_name, s_name, n_name, round(ps.unit_cost, 2) AS unit_cost
+FROM ps
+JOIN best ON best.l_partkey = ps.l_partkey AND ps.unit_cost = best.best_cost
+JOIN part ON p_partkey = ps.l_partkey
+JOIN supplier ON s_suppkey = ps.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_size <= 5
+""",
+)
+def q60_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted — no partsupp in the test data, so the
+    part-supplier cost relation is derived from lineitem): for each
+    small part, the supplier(s) at the minimum unit cost. The
+    correlated scalar subquery (min cost per part) becomes an
+    aggregate + equi-join back on (partkey, cost); min is exactly
+    deterministic on doubles so the float equality is safe on both
+    engines. Dim tables (part filtered, supplier, nation) broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = ps.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    best = best.select(F.col("l_partkey").alias("b_partkey"), "best_cost")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        ps.join(
+            best,
+            (F.col("b_partkey") == ps["l_partkey"])
+            & (ps["unit_cost"] == F.col("best_cost")),
+        )
+        .join(p, F.col("p_partkey") == ps["l_partkey"])
+        .join(s, F.col("s_suppkey") == ps["l_suppkey"])
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("unit_cost", 2).alias("unit_cost"),
+        )
+    )
+
+
+@register(
+    "q61_waiting_suppliers",
+    tags=("join", "exists", "anti"),
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1, 2)
+SELECT s_name, count(*) AS numwait
+FROM l l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.late = 1
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+GROUP BY s_name
+""",
+)
+def q61_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted — lateness is l_shipdate more than 60
+    days past o_orderdate): suppliers who were the SOLE late supplier
+    on a multi-supplier order. EXISTS → left-semi join, NOT EXISTS →
+    left-anti join, both against the per-(order, supplier) aggregate.
+    That aggregate is referenced three times, and self-join column
+    disambiguation defeats Spark's exchange reuse — so it is
+    materialized ONCE (lazy localCheckpoint: the single downstream
+    action computes it one time and the three branches scan the stored
+    partitions; at 100 TB you never recompute a fact-fact join 3×).
+    Supplier broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lagg = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60), 1
+                ).otherwise(0)
+            ).alias("late")
+        )
+        .localCheckpoint(eager=False)
+    )
+    l1 = lagg.filter(F.col("late") == 1).select(
+        F.col("l_orderkey").alias("k1"), F.col("l_suppkey").alias("sk1")
+    )
+    l2 = lagg.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2"))
+    l3 = lagg.filter(F.col("late") == 1).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3")
+    )
+    sole_late = (
+        l1.join(l2, (F.col("k2") == F.col("k1")) & (F.col("sk2") != F.col("sk1")), "left_semi")
+        .join(l3, (F.col("k3") == F.col("k1")) & (F.col("sk3") != F.col("sk1")), "left_anti")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(s, F.col("s_suppkey") == F.col("sk1"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q62_idle_rich_customers",
+    tags=("anti", "scalar-subquery", "agg"),
+    oracle="""
+WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+SELECT CAST(c_custkey % 10 AS BIGINT) AS code, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY code
+""",
+)
+def q62_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted — the country code becomes
+    c_custkey % 10, and "idle" means no URGENT-priority order, since
+    every test-data customer has orders): above-average-balance
+    customers with no urgent order, grouped by code. The scalar
+    subquery is a 1-row broadcast cross join; NOT EXISTS is a
+    left-anti join against the filtered orders custkey projection
+    (filter + 2-column pruning reach the scan: see .explain)."""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy((F.col("c_custkey") % 10).cast("long").alias("code"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totbal"),
+        )
+    )

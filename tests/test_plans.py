@@ -63,3 +63,19 @@ def test_ann_lsh_no_cartesian(spark):
     # the scale path must join on the bucket key, not cross-product
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q62_antijoin_filter_pushdown(spark):
+    plan = _formatted(spark, "q62_idle_rich_customers")
+    # NOT EXISTS → anti join, never a nested-loop; the priority filter
+    # reaches the orders scan and the projection is pruned to o_custkey
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert "o_custkey:bigint,o_orderpriority:string" in m  # 2-col pruned scan
+
+
+def test_q60_part_filter_pushdown(spark):
+    plan = _formatted(spark, "q60_min_cost_supplier")
+    assert "LessThanOrEqual(p_size,5)" in plan
+    assert "CartesianProduct" not in plan
