@@ -70,24 +70,46 @@ def minhash_params(spark, k: int = 16) -> DataFrame:
     return spark.range(k).select(j, a, b)
 
 
+def _minhash_param_values(k: int) -> list[tuple[int, int]]:
+    """Driver-side mirror of :func:`minhash_params` (same md5 formula,
+    verified equal in tests): lets the signature kernel inline a_j/b_j
+    as literals instead of cross-joining a params relation."""
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        (h60(f"mh_a_{j}") % (MINHASH_P - 1) + 1, h60(f"mh_b_{j}") % MINHASH_P)
+        for j in range(k)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, spark, k: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, j, mh): min over shingles of (a_j*x + b_j) mod P.
 
-    explode(shingles) → broadcast the k params → hash-aggregate min.
-    One shuffle on (id, j); partial min is map-side.
+    ONE wide hash-aggregate: explode(shingles) → groupBy(id) with k
+    min-columns (params inlined as literals), then an unpivot (stack)
+    to the (id, j, mh) shape — a narrow generate, no shuffle. Map-side
+    partial rows are one wide row per (partition, doc) instead of k
+    rows, so shuffle volume is 1/k of the param-cross-join plan.
+    a*x stays below 2^62 (a, x < 2^31), so the arithmetic never
+    overflows the signed 64-bit long.
     """
     sh = _spread(df, id_col).select(F.col(id_col), F.explode(word_shingles()).alias("sh"))
-    x = (md5_int60(F.col("sh")) % MINHASH_P).alias("x")
-    hx = sh.select(id_col, x)
-    params = F.broadcast(minhash_params(spark, k))
-    return (
-        hx.crossJoin(params)
-        .select(id_col, "j", ((F.col("a") * F.col("x") + F.col("b")) % MINHASH_P).alias("h"))
-        .groupBy(id_col, "j")
-        .agg(F.min("h").alias("mh"))
-    )
+    x = md5_int60(F.col("sh")) % MINHASH_P
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(_minhash_param_values(k))
+    ]
+    wide = sh.select(F.col(id_col), x.alias("x")).groupBy(id_col).agg(*aggs)
+    stack_args = ", ".join(f"{j}, mh_{j}" for j in range(k))
+    return wide.select(
+        F.col(id_col),
+        F.expr(f"stack({k}, {stack_args}) AS (j, mh)"),
+    ).select(id_col, F.col("j").cast("int").alias("j"), "mh")
 
 
 def minhash_digest(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -216,7 +238,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", n: int = 3) -> Da
     generation; a stop-shingle cap on posting size bounds hot-key
     blow-up.)
     """
-    sh = _spread(df, id_col).select(F.col(id_col), F.explode(word_shingles(n=n)).alias("sh"))
+    # Lazy localCheckpoint: the single downstream action materializes
+    # the exploded shingle stream ONCE and both the postings branch and
+    # the sizes branch scan the stored partitions — the corpus is
+    # tokenized one time, not two.
+    sh = (
+        _spread(df, id_col)
+        .select(F.col(id_col), F.explode(word_shingles(n=n)).alias("sh"))
+        .localCheckpoint(eager=False)
+    )
     postings = (
         sh.groupBy("sh")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ds"))
@@ -231,10 +261,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", n: int = 3) -> Da
         ).alias("p")
     ).select("p.a", "p.b")
     common = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
-    # Shingle-set sizes: a second scan, no wide shuffle (size() of the
-    # per-doc array), broadcast to the pair stream. _spread parallelizes
-    # the tokenization — the source is a single input split locally.
-    sizes = _spread(df, id_col).select(F.col(id_col), F.size(word_shingles(n=n)).alias("n_sh"))
+    # Shingle-set sizes from the SAME checkpointed stream (shingles are
+    # distinct per doc, so the per-doc count is the set size); result
+    # is doc-cardinality small, broadcast to the pair stream.
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
     return (

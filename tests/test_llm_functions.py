@@ -133,3 +133,10 @@ def test_ivf_topk_exact_on_clones(spark):
     assert len(res) > 0
     # scaled clones share direction → same cell → cosine-1 neighbors rank first
     assert all(r.cos_sim == 1.0 for r in res if r.rank == 1)
+
+
+def test_minhash_param_mirror(spark):
+    # the driver-side literal params must equal the SQL-md5 relation
+    sql_params = {r.j: (r.a, r.b) for r in X.minhash_params(spark, 16).collect()}
+    py_params = dict(enumerate(X._minhash_param_values(16)))
+    assert sql_params == py_params
