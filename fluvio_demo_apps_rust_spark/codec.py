@@ -23,6 +23,14 @@ import json
 from collections.abc import Iterator
 from typing import Any
 
+try:  # decode hot path: ~3-5× faster loads; stdlib fallback.
+    # Parse-only — rendering stays on json.dumps, whose float text
+    # ("1e+30") differs from orjson's ("1e30") and is pinned by the
+    # wire-format goldens.
+    from orjson import loads as _loads
+except ImportError:  # pragma: no cover
+    _loads = json.loads
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -145,7 +153,7 @@ def _parse_events_arrow(df: DataFrame, value_col: str = "value") -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [_decode_event(json.loads(s)) for s in pdf[value_col] if s and s.strip()]
+            out = [_decode_event(_loads(s)) for s in pdf[value_col] if s and s.strip()]
             yield pd.DataFrame(out, columns=_FIELDS)
 
     return df.select(value_col).mapInPandas(decode, schema=CHANGE_EVENT_SCHEMA)

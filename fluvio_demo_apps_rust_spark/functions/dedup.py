@@ -202,7 +202,13 @@ def connected_components(
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
-    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    # Propagate only over edge-incident nodes: isolated nodes (the vast
+    # majority of a near-dup corpus) can never change label, so they
+    # skip the loop entirely and are unioned back at the end — every
+    # per-round join and aggregate shrinks to the candidate-pair
+    # subgraph instead of the full corpus.
+    touched = edges.select(F.col("src").alias("node")).distinct()
+    labels = touched.withColumn("label", F.col("node"))
     prev_sum = None
     for _ in range(max_iter):
         nbr = (
@@ -225,7 +231,17 @@ def connected_components(
         if cur == prev_sum:
             break
         prev_sum = cur
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    resolved = labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+    return (
+        nodes.select(id_col)
+        .join(resolved, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:

@@ -172,55 +172,39 @@ def apply_changes(
     # stream saved, and no single-partition sort skew on one-db streams.
     from pyspark.sql import Window
 
-    # First action: materializes the cache AND returns the (tiny) DDL
-    # list in one pass.
-    ddl_rows = sorted(
+    # barrier = #DDLs of this db at or before this sequence, computed
+    # by broadcasting the per-db sorted DDL-sequence lists (DDLs are
+    # sparse — human-issued schema changes) and probing them map-side.
+    # Correct at ANY DDL count; a pathologically DDL-heavy batch only
+    # degrades to an O(#DDLs-in-db) array probe per row event, never to
+    # a wrong answer. This keeps summary extraction a SINGLE job (the
+    # broadcast side is a stage of the same action) with no db-keyed
+    # shuffle and no single-partition sort on one-db streams.
+    dbk = F.coalesce(F.col("db"), F.lit(""))
+    ddl_agg = (
         events.filter(F.col("op_type") == "Query")
-        .select("db", "sequence", "query")
-        .collect(),
-        key=lambda r: r.sequence,
+        .groupBy(dbk.alias("dbk"))
+        .agg(F.sort_array(F.collect_list("sequence")).alias("ddl_seqs"))
     )
-    ddl_seqs: dict[str, list[int]] = {}
-    for r in ddl_rows:
-        ddl_seqs.setdefault((r.db or "").lower(), []).append(r.sequence)
-
-    meta = events.filter(F.col("op_type").isin("Add", "Update", "Delete")).select(
-        "sequence", "db", "table", "op_type",
-        F.size("columns").alias("ncols"),
-    )
-    # barrier = #DDLs of this db at or before this sequence.
-    barrier_expr = F.lit(0)
-    if ddl_seqs and sum(len(v) for v in ddl_seqs.values()) <= 10_000:
-        whens = None
-        for db_name, seqs in ddl_seqs.items():
-            cnt = F.size(
-                F.filter(
-                    F.array(*[F.lit(s).cast("long") for s in seqs]),
-                    lambda s: s <= F.col("sequence"),
+    meta = (
+        events.filter(F.col("op_type").isin("Add", "Update", "Delete"))
+        .select(
+            "sequence", "db", "table", "op_type",
+            F.size("columns").alias("ncols"),
+        )
+        .join(F.broadcast(ddl_agg), dbk == F.col("dbk"), "left")
+        .withColumn(
+            "barrier",
+            F.when(F.col("ddl_seqs").isNull(), F.lit(0)).otherwise(
+                F.size(
+                    F.filter(
+                        F.col("ddl_seqs"), lambda s: s <= F.col("sequence")
+                    )
                 )
-            )
-            whens = (
-                F.when(F.col("db") == db_name, cnt)
-                if whens is None
-                else whens.when(F.col("db") == db_name, cnt)
-            )
-        barrier_expr = F.coalesce(whens, F.lit(0))
-    elif ddl_seqs:
-        # Degenerate DDL-heavy batch: fall back to the running-sum
-        # window over the full meta stream (correct at any DDL count).
-        full = events.select(
-            "sequence", "db", "op_type"
-        ).withColumn(
-            "b",
-            F.sum(F.when(F.col("op_type") == "Query", 1).otherwise(0)).over(
-                Window.partitionBy("db")
-                .orderBy("sequence")
-                .rowsBetween(Window.unboundedPreceding, 0)
             ),
-        ).select("sequence", "db", "b")
-        meta = meta.join(full, ["sequence", "db"])
-        barrier_expr = F.col("b")
-    meta = meta.withColumn("barrier", barrier_expr)
+        )
+        .drop("dbk", "ddl_seqs")
+    )
 
     wt = Window.partitionBy("db", "table").orderBy("sequence")
     # Adds and Deletes coalesce into bulk runs: appends are independent
@@ -235,31 +219,35 @@ def apply_changes(
         | (F.lag("ncols").over(wt) != F.col("ncols"))
         | (F.lag("barrier").over(wt) != F.col("barrier"))
     )
-    run_rows = (
+    runs_part = (
         meta.withColumn("run_id", F.sum(new_run.cast("int")).over(wt))
         .groupBy("db", "table", "run_id", "op_type", "ncols")
         .agg(F.min("sequence").alias("seq_min"), F.max("sequence").alias("seq_max"))
-        .collect()
+        .withColumn("query", F.lit(None).cast("string"))
+        .select("db", "table", "op_type", "ncols", "seq_min", "seq_max", "query")
     )
-    # Driver-side merge of row runs and DDL events in sequence order;
-    # DDL sorts before a row run starting at the same sequence (the
-    # reference's sequences are unique; this pins behavior if not).
+    q_part = events.filter(F.col("op_type") == "Query").select(
+        "db",
+        F.lit(None).cast("string").alias("table"),
+        "op_type",
+        F.lit(None).cast("int").alias("ncols"),
+        F.col("sequence").alias("seq_min"),
+        F.col("sequence").alias("seq_max"),
+        "query",
+    )
+    # ONE action: materializes the event cache and collects run
+    # summaries + DDL events together. Driver-side sort; DDL sorts
+    # before a row run starting at the same sequence (the reference's
+    # sequences are unique; this pins behavior if not).
     summaries = sorted(
-        [
+        (
             {
                 "db": r.db, "table": r.table, "op_type": r.op_type,
                 "ncols": r.ncols, "seq_min": r.seq_min, "seq_max": r.seq_max,
-                "query": None,
+                "query": r.query,
             }
-            for r in run_rows
-        ]
-        + [
-            {
-                "db": d.db, "table": None, "op_type": "Query", "ncols": None,
-                "seq_min": d.sequence, "seq_max": d.sequence, "query": d.query,
-            }
-            for d in ddl_rows
-        ],
+            for r in runs_part.unionByName(q_part).collect()
+        ),
         key=lambda s: (s["seq_min"], s["op_type"] != "Query"),
     )
 

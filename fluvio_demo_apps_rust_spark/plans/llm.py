@@ -494,3 +494,60 @@ def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload unread for metadata-only queries)."""
     d = M.attach_blob(load(spark, sf_dir, "documents"))
     return M.blob_meta(d)
+
+
+@register(
+    "llm_curation_pipeline",
+    tags=("llm", "dedup", "text", "pipeline"),
+    oracle=f"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+t AS (
+  SELECT d.doc_id, {_TOKS} AS toks, d.text
+  FROM documents d JOIN keepers USING (doc_id)),
+scored AS (
+  SELECT doc_id, toks, text,
+         round(0.4 * (len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+                      / len(toks)::DOUBLE)
+               + 0.4 * (len(list_distinct(toks)) / len(toks)::DOUBLE)
+               + 0.2 * least(len(toks)::DOUBLE, 100.0) / 100.0, 4) AS quality,
+         len(list_filter(toks, t -> t IN ('the','a','and','of','to')))       AS en_hits,
+         len(list_filter(toks, t -> t IN ('der','und','die','das','nicht'))) AS de_hits,
+         len(list_filter(toks, t -> t IN ('le','la','et','les','des')))      AS fr_hits,
+         len(list_filter(toks, t -> t IN ('el','los','las','una','por')))    AS es_hits,
+         len(list_filter(toks, t -> t IN ('de5','shi4','bu4','le5','wo3')))  AS zh_hits
+  FROM t)
+SELECT CASE WHEN en_hits >= greatest(de_hits, fr_hits, es_hits, zh_hits) THEN 'en'
+            WHEN de_hits >= greatest(fr_hits, es_hits, zh_hits) THEN 'de'
+            WHEN fr_hits >= greatest(es_hits, zh_hits) THEN 'fr'
+            WHEN es_hits >= zh_hits THEN 'es'
+            ELSE 'zh' END AS pred_lang,
+       count(*) AS n_docs,
+       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_bpe_tokens,
+       round(avg(quality), 4) AS avg_quality
+FROM scored
+WHERE quality >= 0.33
+GROUP BY pred_lang
+""",
+)
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation pass, composed from the
+    engine's own operators: exact dedup (keep lowest doc_id per
+    content hash) → quality gate (pinned formula, ≥ 0.33) → language
+    ID → per-language corpus stats (docs, BPE-ish token budget, mean
+    quality). One hash shuffle for dedup, everything else map-side
+    until the tiny final aggregate — the shape a 100 TB curation job
+    wants."""
+    d = load(spark, sf_dir, "documents")
+    keepers = (
+        X.exact_dup_clusters(d)
+        .select(F.col("keep_id").alias("doc_id"))
+    )
+    kept = d.join(keepers, "doc_id", "left_semi")
+    cols = TX.quality_columns() + TX.langid_columns()
+    scored = kept.select("doc_id", "text", *cols).filter(F.col("quality") >= 0.33)
+    return scored.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.bpe_token_count("text")).alias("total_bpe_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
