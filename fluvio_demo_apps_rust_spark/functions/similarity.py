@@ -55,17 +55,27 @@ def brute_force_topk(
     rank per query with a window (one shuffle on the query id)."""
     from pyspark.sql import Window
 
+    # Norms are computed ONCE per vector on each side (not per pair):
+    # per-pair work is the dot product plus one multiply.
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("q_norm"),
     )
-    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    c = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(vec_col).alias("n_norm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))
         .select(
             "q_id",
             "n_id",
-            F.round(cosine("q_vec", "n_vec"), 6).alias("cos_sim"),
+            F.round(
+                dot("q_vec", "n_vec") / (F.col("q_norm") * F.col("n_norm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
@@ -166,9 +176,16 @@ def ivf_topk(
         )
     )
     scored = (
-        corpus.join(F.broadcast(probes), "cell")
+        corpus.withColumn("n_norm", norm("n_vec"))
+        .join(F.broadcast(probes.withColumn("q_norm", norm("q_vec"))), "cell")
         .filter(F.col("n_id") != F.col("q_id"))
-        .select("q_id", "n_id", F.round(cosine("q_vec", "n_vec"), 6).alias("cos_sim"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                dot("q_vec", "n_vec") / (F.col("q_norm") * F.col("n_norm")), 6
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -187,14 +204,28 @@ def lsh_bucketed_topk(
     from pyspark.sql import Window
 
     sig = lsh_signature(vec_col, nb, dim)
-    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), sig.alias("bucket"))
+    c = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(vec_col).alias("n_norm"),
+        sig.alias("bucket"),
+    )
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), sig.alias("bucket")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("q_norm"),
+        sig.alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("n_id") != F.col("q_id"))
-        .select("q_id", "n_id", F.round(cosine("q_vec", "n_vec"), 6).alias("cos_sim"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                dot("q_vec", "n_vec") / (F.col("q_norm") * F.col("n_norm")), 6
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -302,7 +302,10 @@ def apply_changes(
             imgs = _images_df(events, run, "after", cols)
             new = cur.unionByName(imgs)
         elif op == "Delete":
-            imgs = _images_df(events, run, "before", cols, prefix="_d_").distinct()
+            # No dedup of the image set: duplicate right-side rows
+            # cannot change an anti-join's result, so a distinct here
+            # would only add a shuffle.
+            imgs = _images_df(events, run, "before", cols, prefix="_d_")
             # null-safe equality is hash-joinable: AQE broadcasts small
             # image sets and falls back to shuffle join for bulk deletes
             new = cur.join(imgs, _nullsafe_cond(cur, imgs, names, "_d_"), "left_anti")
