@@ -85,18 +85,15 @@ def _minhash_param_values(k: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signatures(
-    df: DataFrame, spark, k: int = 16, id_col: str = "doc_id"
-) -> DataFrame:
-    """(id, j, mh): min over shingles of (a_j*x + b_j) mod P.
+def minhash_wide(df: DataFrame, k: int = 16, id_col: str = "doc_id") -> DataFrame:
+    """(id, mh_0..mh_{k-1}): min over shingles of (a_j*x + b_j) mod P.
 
     ONE wide hash-aggregate: explode(shingles) → groupBy(id) with k
-    min-columns (params inlined as literals), then an unpivot (stack)
-    to the (id, j, mh) shape — a narrow generate, no shuffle. Map-side
-    partial rows are one wide row per (partition, doc) instead of k
-    rows, so shuffle volume is 1/k of the param-cross-join plan.
-    a*x stays below 2^62 (a, x < 2^31), so the arithmetic never
-    overflows the signed 64-bit long.
+    min-columns (params inlined as literals). Map-side partial rows
+    are one wide row per (partition, doc) instead of k rows, so
+    shuffle volume is 1/k of a param-cross-join plan. a*x stays below
+    2^62 (a, x < 2^31), so the arithmetic never overflows the signed
+    64-bit long.
     """
     sh = _spread(df, id_col).select(F.col(id_col), F.explode(word_shingles()).alias("sh"))
     x = md5_int60(F.col("sh")) % MINHASH_P
@@ -104,12 +101,43 @@ def minhash_signatures(
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"mh_{j}")
         for j, (a, b) in enumerate(_minhash_param_values(k))
     ]
-    wide = sh.select(F.col(id_col), x.alias("x")).groupBy(id_col).agg(*aggs)
+    return sh.select(F.col(id_col), x.alias("x")).groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame, spark, k: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, j, mh) long form: unpivot (stack) of :func:`minhash_wide` —
+    a narrow generate, no extra shuffle."""
+    wide = minhash_wide(df, k, id_col)
     stack_args = ", ".join(f"{j}, mh_{j}" for j in range(k))
     return wide.select(
         F.col(id_col),
         F.expr(f"stack({k}, {stack_args}) AS (j, mh)"),
     ).select(id_col, F.col("j").cast("int").alias("j"), "mh")
+
+
+def lsh_band_buckets_wide(
+    wide: DataFrame, k: int = 16, bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, bucket) computed MAP-SIDE from the wide signature row
+    — no re-aggregation shuffle. Band b holds rows j ≡ b (mod bands),
+    concatenated in ascending j (matching the long-form band hash:
+    md5 of the band's mh values ordered by j)."""
+    rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh_{j}").cast("string") for j in range(k) if j % bands == b]
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return wide.select(
+        F.col(id_col), F.explode(F.array(*rows)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def minhash_digest(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -128,12 +156,25 @@ def minhash_digest(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(band, bucket) equi-join → candidate pairs (a < b). Linear-time
+    candidate generation; the join shuffles on the bucket key only."""
+    a = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
 def lsh_bucket_pairs(
     sig: DataFrame, bands: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:
-    """LSH banding: band hash per (doc, band) → equi-join on
-    (band, bucket) → candidate pairs (a < b). Linear-time candidate
-    generation; the join shuffles on the bucket key only."""
+    """LSH banding from the LONG signature form (one re-aggregation
+    shuffle; prefer :func:`lsh_band_buckets_wide` when the wide row is
+    already at hand)."""
     banded = sig.withColumn("band", F.col("j") % bands)
     buckets = banded.groupBy(id_col, "band").agg(
         F.md5(
@@ -145,14 +186,7 @@ def lsh_bucket_pairs(
             )
         ).alias("bucket")
     )
-    a = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
-    b = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    return lsh_candidate_pairs(buckets, id_col)
 
 
 def simhash60(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -211,10 +211,11 @@ WHERE x.doc_id < y.doc_id
 )
 def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands × 4 rows): candidate near-dup pairs from
-    bucket equi-joins — the scale path for MinHash dedup."""
+    bucket equi-joins — the scale path for MinHash dedup. Band buckets
+    come map-side from the wide signature row (no re-aggregation)."""
     d = load(spark, sf_dir, "documents")
-    sig = X.minhash_signatures(d, spark)
-    return X.lsh_bucket_pairs(sig, bands=4)
+    buckets = X.lsh_band_buckets_wide(X.minhash_wide(d), bands=4)
+    return X.lsh_candidate_pairs(buckets)
 
 
 @register(
@@ -247,8 +248,8 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same fixpoint as a recursive-CTE transitive closure).
     Every document maps to its cluster keeper (min reachable id)."""
     d = load(spark, sf_dir, "documents")
-    sig = X.minhash_signatures(d, spark)
-    pairs = X.lsh_bucket_pairs(sig, bands=4)
+    buckets = X.lsh_band_buckets_wide(X.minhash_wide(d), bands=4)
+    pairs = X.lsh_candidate_pairs(buckets)
     return X.connected_components(pairs, d)
 
 
