@@ -192,3 +192,69 @@ def cdc_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
     )
+
+
+@register(
+    "cdc_replica_join",
+    tags=("cdc", "apply", "join", "integration"),
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON c_custkey = o_custkey
+WHERE o_orderstatus = 'O'
+GROUP BY c_mktsegment
+""",
+)
+def cdc_replica_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replica-as-source story end-to-end: orders is materialized
+    FROM the CDC event stream (wire JSON → codec → apply), then the
+    replica table joins the customer dimension like any other
+    DataFrame — what a reference user gets by pointing queries at the
+    follower DB, here inside one engine. The open-orders filter prunes
+    before the join; the aggregate is the usual partial/final pair."""
+    o = load(spark, sf_dir, "orders")
+    ddl = spark.createDataFrame(
+        [
+            (
+                '{"uri":"flv://mysql-srv1/cdcdb","sequence":0,'
+                '"bn_file":{"fileName":"binlog.000001","offset":4},'
+                '"operation":{"Query":"CREATE TABLE orders_j (o_orderkey BIGINT, '
+                'o_custkey BIGINT, o_orderstatus VARCHAR(1), o_totalprice DOUBLE)"}}',
+            )
+        ],
+        "value string",
+    )
+    event = F.concat(
+        F.lit('{"uri":"flv://mysql-srv1/cdcdb/orders_j","sequence":'),
+        (F.col("o_orderkey") + 1).cast("string"),
+        F.lit(',"bn_file":{"fileName":"binlog.000001","offset":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(
+            '},"columns":["o_orderkey","o_custkey","o_orderstatus","o_totalprice"],'
+            '"operation":{"Add":{"rows":[{"cols":['
+        ),
+        F.to_json(F.struct(F.col("o_orderkey").alias("SignedInteger"))),
+        F.lit(","),
+        F.to_json(F.struct(F.col("o_custkey").alias("SignedInteger"))),
+        F.lit(","),
+        F.to_json(F.struct(F.col("o_orderstatus").alias("String"))),
+        F.lit(","),
+        F.to_json(F.struct(F.col("o_totalprice").alias("Double"))),
+        F.lit("]}]}}}"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    adds = o.repartition(par).select(event.alias("value"))
+    from ..codec import parse_events
+
+    events = parse_events(ddl.unionByName(adds))
+    state = apply_changes(spark, events)
+    replica = state.table("cdcdb", "orders_j")
+    c = load(spark, sf_dir, "customer")
+    return (
+        replica.filter(F.col("o_orderstatus") == "O")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
