@@ -157,14 +157,32 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
+    # Corpus→cell assignment is an ARGMAX, not a ranking: max_by over
+    # struct(c_sim, -c_id) picks the highest-similarity centroid with
+    # the lowest-id tie-break (identical selection to ivf_cells rn=1)
+    # while keeping the aggregate partial/map-side — no per-vector
+    # window sort shuffle on the corpus, which is the big side at
+    # scale. Probes still use ivf_cells: top-nprobe needs a ranking.
+    cent = emb.filter(F.col(id_col) < ncells).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
     corpus = (
-        ivf_cells(emb, ncells, id_col, vec_col)
-        .filter(F.col("rn") == 1)
+        emb.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cent))
         .select(
-            F.col(id_col).alias("n_id"),
-            F.col(vec_col).alias("n_vec"),
-            F.col("c_id").alias("cell"),
+            id_col,
+            vec_col,
+            "c_id",
+            F.round(cosine(vec_col, "c_vec"), 6).alias("c_sim"),
         )
+        .groupBy(id_col)
+        .agg(
+            F.any_value(vec_col).alias("n_vec"),
+            F.max_by(
+                "c_id", F.struct(F.col("c_sim"), (-F.col("c_id")).alias("neg"))
+            ).alias("cell"),
+        )
+        .select(F.col(id_col).alias("n_id"), "n_vec", "cell")
     )
     probes = (
         ivf_cells(queries, ncells, id_col, vec_col, centroids=emb.filter(F.col(id_col) < ncells))
