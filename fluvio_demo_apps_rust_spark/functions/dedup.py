@@ -231,8 +231,53 @@ def connected_components(
 
     Materializes one action per round — an iterative algorithm, not a
     single declarative plan (the driver-side loop carries no row data).
+
+    Small-graph fast path: when the candidate-pair count is under
+    ``driver_threshold`` the component labels come from a driver-side
+    union-find over the collected pairs (2 jobs total instead of
+    O(diameter) join rounds — near-dup candidate graphs are usually a
+    sliver of the corpus). The distributed loop is the scale path for
+    pair sets too big to collect; both produce the identical
+    min-reachable-id fixpoint.
     """
-    e = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    # Lazy checkpoint: the size probe below materializes the candidate
+    # pipeline ONCE; the collect (fast path) or the per-round joins
+    # (distributed path) reuse the stored partitions.
+    e = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).localCheckpoint(
+        eager=False
+    )
+    driver_threshold = 500_000
+    if e.limit(driver_threshold + 1).count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in e.collect():
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                # union by smaller id so the root IS the min label
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        if not parent:
+            return nodes.select(id_col, F.col(id_col).alias("cluster_id"))
+        lbl = pairs.sparkSession.createDataFrame(
+            [(n, find(n)) for n in parent], ["node", "cluster"]
+        )
+        return (
+            nodes.select(id_col)
+            .join(F.broadcast(lbl), nodes[id_col] == lbl["node"], "left")
+            .select(
+                id_col,
+                F.coalesce("cluster", F.col(id_col)).alias("cluster_id"),
+            )
+        )
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
