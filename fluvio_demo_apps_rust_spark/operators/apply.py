@@ -22,13 +22,16 @@ per-table applied-sequence watermarks make replays no-ops — an
 exactly-once upgrade over the reference's at-least-once
 (SURVEY §7.4.7).
 
-Scale posture: run-grouping happens distributively (two window passes
-over tiny metadata columns, shuffled by db / (db, table)); only RUN
-SUMMARIES reach the driver — O(#runs), not O(#events), so a
+Scale posture: run-grouping happens distributively — the sparse
+per-db DDL-sequence lists broadcast and the barrier is probed
+map-side, then ONE window pass over tiny metadata columns (shuffled
+by (db, table)) finds run boundaries; only RUN SUMMARIES and DDL
+events reach the driver — O(#runs + #DDLs), not O(#events), so a
 billion-event bulk load collects one row. Row payloads never leave
 the cluster — each fold step is a narrow union or a null-safe
-hash-joinable (``<=>``) join against the run's image set: AQE
-broadcasts small image sets, bulk runs shuffle-join.
+hash-joinable (``<=>``) join against the run's image set: provably
+small image sets (exact counts ride in the summaries) get a
+broadcast hint, bulk runs are sized by AQE.
 Lineage is truncated with localCheckpoint every ``checkpoint_every``
 fold steps so unbounded event chains keep bounded plans. Tables are
 independent effect streams and fold independently (§7.4.1): order
