@@ -788,3 +788,39 @@ def q64_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mkt_share")
     )
+
+
+@register(
+    "q65_value_windows",
+    tags=("window", "frame", "value"),
+    oracle="""
+SELECT o_orderkey,
+       round(first_value(o_totalprice) OVER w, 2) AS cheapest_in_status,
+       round(last_value(o_totalprice)
+             OVER (w RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+         AS priciest_in_status,
+       round(nth_value(o_totalprice, 3)
+             OVER (w RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+         AS third_cheapest,
+       round(lag(o_totalprice, 1, -1.0) OVER w, 2)  AS prev_price,
+       round(lead(o_totalprice, 2, -1.0) OVER w, 2) AS next2_price
+FROM orders
+WHERE o_orderkey % 100 = 0
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q65_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions: first/last/nth value over a full-frame
+    window plus lag/lead with defaults — the ordering includes the key
+    so ties are deterministic on both engines."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("cheapest_in_status"),
+        F.round(F.last("o_totalprice").over(wfull), 2).alias("priciest_in_status"),
+        F.round(F.nth_value("o_totalprice", 3).over(wfull), 2).alias("third_cheapest"),
+        F.round(F.lag("o_totalprice", 1, -1.0).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 2, -1.0).over(w), 2).alias("next2_price"),
+    )
