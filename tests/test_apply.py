@@ -167,3 +167,27 @@ def test_untyped_bootstrap_without_ddl(spark):
     state = apply_changes(spark, read_events_from_strings(spark, events))
     rows = [(r.a, r.b) for r in state.table("testdb", "t").collect()]
     assert rows == [("v", "3")]
+
+
+def test_shuffled_batch_order_independent(spark):
+    """The batch's row order must not matter: run grouping orders by
+    sequence internally, so a shuffled pet scenario produces the same
+    golden table as the ordered one."""
+    import random
+
+    shuffled = list(PET_EVENTS)
+    random.Random(42).shuffle(shuffled)
+    state = apply_changes(spark, read_events_from_strings(spark, shuffled))
+    pet = state.table("flvdb", "pet")
+    rows = sorted(
+        tuple(str(v) if v is not None else None for v in r)
+        for r in pet.collect()
+    )
+    golden_state = apply_changes(
+        spark, read_events_from_strings(spark, PET_EVENTS)
+    )
+    golden = sorted(
+        tuple(str(v) if v is not None else None for v in r)
+        for r in golden_state.table("flvdb", "pet").collect()
+    )
+    assert rows == golden
