@@ -552,3 +552,53 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(TX.bpe_token_count("text")).alias("total_bpe_tokens"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
+
+
+@register(
+    "llm_dedup_fuzzy_verify",
+    tags=("llm", "dedup", "lsh", "fuzzy"),
+    oracle=f"""
+WITH {_MINHASH_CTE},
+buckets AS (
+  SELECT doc_id, j % 4 AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY j)) AS bucket
+  FROM mh GROUP BY doc_id, band),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id)
+SELECT a, b,
+       levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) AS edit_dist,
+       round(1.0 - levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80))
+             / greatest(length(substr(da.text, 1, 80)), length(substr(db.text, 1, 80)), 1),
+             6) AS lev_sim
+FROM pairs
+JOIN documents da ON da.doc_id = a
+JOIN documents db ON db.doc_id = b
+""",
+)
+def llm_dedup_fuzzy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of LSH candidate pairs: the cheap
+    probabilistic filter (MinHash banding) proposes, the exact
+    levenshtein similarity on 80-char prefixes disposes — the standard
+    two-stage shape for fuzzy dedup at scale (the expensive O(len²)
+    kernel runs only on candidates, never all pairs). Text lookups are
+    two broadcast-friendly equi-joins on doc_id."""
+    d = load(spark, sf_dir, "documents")
+    buckets = X.lsh_band_buckets_wide(X.minhash_wide(d), bands=4)
+    pairs = X.lsh_candidate_pairs(buckets)
+    prefix = F.substring(F.col("text"), 1, 80)
+    da = d.select(F.col("doc_id").alias("a"), prefix.alias("ta"))
+    db = d.select(F.col("doc_id").alias("b"), prefix.alias("tb"))
+    lev = F.levenshtein(F.col("ta"), F.col("tb"))
+    denom = F.greatest(F.length("ta"), F.length("tb"), F.lit(1))
+    return (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            lev.cast("long").alias("edit_dist"),
+            F.round(F.lit(1.0) - lev / denom, 6).alias("lev_sim"),
+        )
+    )
