@@ -293,3 +293,44 @@ def q37_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT CAST(window_start AS STRING) AS window_start, event_type, cnt, "
         f"total_value FROM {name}"
     )
+
+
+@register(
+    "q38_stream_dedup",
+    tags=("events", "streaming", "watermark", "dedup"),
+)
+def q38_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (real Structured Streaming run): watermark-bounded
+    streaming dedup — duplicate event_ids injected inside the horizon
+    are dropped, state for expired keys is reclaimed
+    (dropDuplicatesWithinWatermark, not dropDuplicates: a key subset
+    without the event-time column would otherwise grow state forever)."""
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from ..streaming.analytics import read_event_stream, streaming_dedup
+
+    src = Path(tempfile.mkdtemp(prefix="q38_stream_"))
+    lines = []
+    for i in range(120):
+        h, m = divmod(i, 40)
+        lines.append(
+            f'{{"event_id": {i % 60}, "ts": "2024-01-01 0{h}:{m % 60:02d}:00", '
+            f'"user_id": {i % 5}, "event_type": "t{i % 2}", "value": 1.0}}'
+        )
+    (src / "events.jsonl").write_text("\n".join(lines) + "\n")
+    name = "q38_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_dedup(read_event_stream(spark, str(src)), watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT event_id, CAST(ts AS STRING) AS ts, user_id, event_type "
+        f"FROM {name} ORDER BY event_id, ts"
+    )
