@@ -824,3 +824,68 @@ def q65_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lag("o_totalprice", 1, -1.0).over(w), 2).alias("prev_price"),
         F.round(F.lead("o_totalprice", 2, -1.0).over(w), 2).alias("next2_price"),
     )
+
+
+@register(
+    "q66_shipmode_buckets",
+    tags=("join", "agg", "case"),
+    oracle="""
+SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
+            WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'normal'
+            ELSE 'slow' END AS ship_speed,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY ship_speed
+""",
+)
+def q66_shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted — no shipmode column, so lines bucket
+    by ship latency): priority counts per latency bucket, conditional
+    sums in one aggregate pass after the fact-fact join."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    j = li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+    speed = (
+        F.when(F.col("l_shipdate") <= F.date_add("o_orderdate", 30), "fast")
+        .when(F.col("l_shipdate") <= F.date_add("o_orderdate", 90), "normal")
+        .otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(speed.alias("ship_speed")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@register(
+    "q67_order_count_histogram",
+    tags=("join", "outer", "agg", "histogram"),
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+""",
+)
+def q67_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts —
+    left outer join with a join-condition filter (not a WHERE: the
+    customers with zero qualifying orders must survive into the
+    c_count=0 bucket), then a two-level aggregation."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    j = c.join(
+        o,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderpriority") != "5-LOW"),
+        "left",
+    )
+    per_cust = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
