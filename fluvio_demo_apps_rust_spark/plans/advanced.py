@@ -889,3 +889,44 @@ def q67_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_cust = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q68_large_orders",
+    tags=("join", "having", "semi"),
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250)
+SELECT c_name, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM (SELECT l_orderkey AS k, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey) q
+JOIN big ON big.l_orderkey = q.k
+JOIN orders ON o_orderkey = q.k
+JOIN customer ON c_custkey = o_custkey
+""",
+)
+def q68_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity clears a threshold
+    (HAVING on a fact aggregate), joined back to order and customer
+    detail. The aggregate is computed once; the HAVING filter and the
+    detail join both consume it."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    qty = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum("l_quantity").alias("total_qty")
+    )
+    big = qty.filter(F.col("total_qty") > 250)
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("k"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
