@@ -262,8 +262,11 @@ votes AS (
   FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
   GROUP BY doc_id, j),
 sh AS (
+  -- CAST: DuckDB widens sum(BIGINT) to HUGEINT (int128); the driver's
+  -- canonicalizer routes hugeint through float64 and loses low bits of
+  -- 60-bit values. int64 keeps the hash comparison exact.
   SELECT doc_id,
-         sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id)
 """
 
