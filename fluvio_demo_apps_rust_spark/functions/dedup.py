@@ -191,25 +191,68 @@ def lsh_bucket_pairs(
 
 def simhash60(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash over distinct tokens: per bit j, the sign of
-    Σ ±1 over token hashes' bit j. explode → aggregate per (doc, bit)
-    → reassemble; two narrow shuffles on the doc key."""
-    tok = _spread(df, id_col).select(F.col(id_col), F.explode(F.array_distinct(tokens())).alias("t"))
+    Σ ±1 over token hashes' bit j.
+
+    ONE wide hash-aggregate (same shape as :func:`minhash_wide`):
+    explode(tokens) → groupBy(doc) with 60 per-bit vote sums, then a
+    map-side reassembly of the sign bits into the 60-bit hash. Map-side
+    partials carry one wide row per (partition, doc) — no per-(doc,bit)
+    row fan-out, no bit-index join, a single shuffle on the doc key."""
+    tok = _spread(df, id_col).select(
+        F.col(id_col), F.explode(F.array_distinct(tokens())).alias("t")
+    )
     h = tok.select(id_col, md5_int60(F.col("t")).alias("h"))
-    bits = h.crossJoin(F.broadcast(h.sparkSession.range(60).select(F.col("id").cast("int").alias("j"))))
-    votes = bits.groupBy(id_col, "j").agg(
+    votes = [
         F.sum(
-            F.when(F.expr("shiftright(h, j) & 1") == 1, 1).otherwise(-1)
-        ).alias("v")
-    )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 AS bigint), j)")).otherwise(0)
-        ).alias("simhash")
-    )
+            F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(60)
+    ]
+    wide = h.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(60):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return wide.select(id_col, sim.cast("long").alias("simhash"))
 
 
 def hamming60(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_band_pairs(
+    sh: DataFrame, bands: int = 4, bits: int = 60, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs from banding the simhash into ``bands`` contiguous
+    chunks: band b's key is bits [b*w, (b+1)*w) of the hash (w = bits /
+    bands). Pairs sharing any band key are candidates — by pigeonhole,
+    every pair with Hamming distance < ``bands`` is guaranteed caught
+    (≤ bands-1 differing bits can dirty at most bands-1 of the bands).
+
+    The same explode → (band, key) equi-join shape as MinHash LSH:
+    candidate generation is linear in corpus size, one shuffle on the
+    band key, never all-pairs. Signatures ride along so the exact
+    Hamming verify needs no second join."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    chunks = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"shiftright(simhash, {b * width}) & {mask}").alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunks)).alias("bb")
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band", "key")
+    b = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .dropDuplicates(["a", "b"])
+    )
 
 
 def connected_components(

@@ -209,6 +209,51 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def embedding_candidate_pairs(
+    emb: DataFrame,
+    nb: int = 8,
+    bands: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup candidate pairs from banded hyperplane signatures:
+    the nb-bit signature splits into ``bands`` contiguous bit groups;
+    pairs agreeing on any full group are candidates. Same linear
+    explode → (band, key) equi-join shape as MinHash LSH — one shuffle
+    on the band key, no cross product. Vectors and norms ride along so
+    the exact cosine verify needs no second join."""
+    width = nb // bands
+    sig = lsh_signature(vec_col, nb, dim)
+    base = emb.select(
+        F.col(id_col), F.col(vec_col), norm(vec_col).alias("nrm"), sig.alias("sig")
+    )
+    chunks = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring(F.col("sig"), b * width + 1, width).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = base.select(
+        id_col, vec_col, "nrm", F.explode(F.array(*chunks)).alias("bb")
+    ).select(id_col, vec_col, "nrm", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a = banded.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na"),
+        "band", "key",
+    )
+    b = banded.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb_"),
+        "band", "key",
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb", "na", "nb_")
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -285,25 +285,32 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_simhash_pairs",
     tags=("llm", "dedup", "simhash"),
     oracle=f"""
-WITH {_SIMHASH_CTE}
-SELECT x.doc_id AS a, y.doc_id AS b,
-       bit_count(xor(x.simhash, y.simhash)) AS hamming
-FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+WITH {_SIMHASH_CTE},
+banded AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS key
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS ha, y.simhash AS hb
+  FROM banded x JOIN banded y USING (band, key)
+  WHERE x.doc_id < y.doc_id)
+SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+FROM cand
 ORDER BY hamming, a, b
 LIMIT 20
 """,
 )
 def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 closest pairs by SimHash Hamming distance. (All-pairs is
-    oracle-side only; at scale candidates come from banding the 60 bits
-    the same way as MinHash LSH.)"""
+    """Top-20 closest SimHash pairs among BANDED candidates: the 60-bit
+    hash splits into 4×15-bit bands; pairs sharing any band are
+    candidates (pigeonhole: every pair with Hamming < 4 is caught),
+    then exact Hamming ranks them. Candidate generation is a linear
+    (band, key) equi-join — the oracle mirrors the banding, so both
+    sides rank the identical candidate set. No cross product anywhere
+    (pinned by test_plans.py)."""
     sh = X.simhash60(load(spark, sf_dir, "documents"))
-    a = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", X.hamming60(F.col("ha"), F.col("hb")).cast("long").alias("hamming"))
+    cand = X.simhash_band_pairs(sh, bands=4, bits=60)
+    pairs = cand.select(
+        "a", "b", X.hamming60(F.col("ha"), F.col("hb")).cast("long").alias("hamming")
     )
     return pairs.orderBy("hamming", "a", "b").limit(20)
 
@@ -319,28 +326,59 @@ def _norm_sql(a: str) -> str:
     return f"sqrt(list_sum([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE) for i in generate_series(1, 64)]))"
 
 
+def _lsh_sig_sql(vec: str, nb: int = 8, dim: int = 64) -> str:
+    """DuckDB expression mirroring similarity.lsh_signature exactly."""
+    bits = []
+    for j in range(nb):
+        comps = ", ".join(
+            f"(('0x' || substr(md5('hp_{j}_{i}'), 1, 15))::BIGINT % 2001 - 1000) / 1000.0"
+            for i in range(dim)
+        )
+        dot = (
+            f"list_sum([CAST({vec}[i] AS DOUBLE) * ([{comps}])[i] "
+            f"for i in generate_series(1, {dim})])"
+        )
+        bits.append(f"CAST((CASE WHEN {dot} > 0 THEN 1 ELSE 0 END) AS VARCHAR)")
+    return "concat(" + ", ".join(bits) + ")"
+
+
 @register(
     "llm_embedding_neardup",
     tags=("llm", "dedup", "embedding"),
     oracle=f"""
-WITH n AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM embeddings)
-SELECT x.vec_id AS a, y.vec_id AS b,
+WITH n AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
+                  {_lsh_sig_sql('embedding')} AS sig
+           FROM embeddings),
+banded AS (
+  SELECT vec_id, band, substr(sig, band * 4 + 1, 4) AS key
+  FROM n CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band)),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM banded x JOIN banded y USING (band, key)
+  WHERE x.vec_id < y.vec_id)
+SELECT a, b,
        round({_dot_sql('x.embedding', 'y.embedding')} / (x.nrm * y.nrm), 6) AS cos_sim
-FROM n x JOIN n y ON x.vec_id < y.vec_id
+FROM cand JOIN n x ON x.vec_id = a JOIN n y ON y.vec_id = b
 ORDER BY cos_sim DESC, a, b
 LIMIT 20
 """,
 )
 def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most-similar embedding pairs by cosine (exact; the scale
-    path buckets by hyperplane signature first — see llm_ann_lsh)."""
+    """Top-20 most-similar embedding pairs among LSH-banded candidates:
+    the 8-bit hyperplane signature splits into 2×4-bit bands; pairs
+    agreeing on either band are candidates, then exact cosine ranks
+    them (LSH proposes, cosine disposes — same propose-then-verify
+    shape as llm_dedup_fuzzy_verify). The oracle mirrors the banding,
+    so both sides rank the identical candidate set. Linear equi-join
+    candidate generation — no cross product (pinned by test_plans.py)."""
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(S.cosine("va", "vb"), 6).alias("cos_sim"))
+    cand = S.embedding_candidate_pairs(e, nb=8, bands=2, dim=64)
+    pairs = cand.select(
+        "a",
+        "b",
+        F.round(
+            S.dot("va", "vb") / (F.col("na") * F.col("nb_")), 6
+        ).alias("cos_sim"),
     )
     return pairs.orderBy(F.desc("cos_sim"), "a", "b").limit(20)
 
@@ -370,22 +408,6 @@ def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10)
     out = S.brute_force_topk(e, q, k=5)
     return out.select("q_id", "n_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
-
-
-def _lsh_sig_sql(vec: str, nb: int = 8, dim: int = 64) -> str:
-    """DuckDB expression mirroring similarity.lsh_signature exactly."""
-    bits = []
-    for j in range(nb):
-        comps = ", ".join(
-            f"(('0x' || substr(md5('hp_{j}_{i}'), 1, 15))::BIGINT % 2001 - 1000) / 1000.0"
-            for i in range(dim)
-        )
-        dot = (
-            f"list_sum([CAST({vec}[i] AS DOUBLE) * ([{comps}])[i] "
-            f"for i in generate_series(1, {dim})])"
-        )
-        bits.append(f"CAST((CASE WHEN {dot} > 0 THEN 1 ELSE 0 END) AS VARCHAR)")
-    return "concat(" + ", ".join(bits) + ")"
 
 
 @register(

@@ -65,6 +65,22 @@ def test_ann_lsh_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_pairs_no_cartesian(spark):
+    # candidate pairs come from the 4x15-bit band equi-join, never the
+    # all-pairs cross product the oracle-equivalent naive form implies
+    plan = _formatted(spark, "llm_simhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_neardup_no_cartesian(spark):
+    # candidate pairs come from the banded hyperplane-signature
+    # equi-join (LSH proposes, exact cosine disposes)
+    plan = _formatted(spark, "llm_embedding_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q62_antijoin_filter_pushdown(spark):
     plan = _formatted(spark, "q62_idle_rich_customers")
     # NOT EXISTS → anti join, never a nested-loop; the priority filter
