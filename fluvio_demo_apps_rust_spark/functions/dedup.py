@@ -366,15 +366,25 @@ def connected_components(
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_posting: int | None = None,
+) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing ≥1 shingle, via
     posting lists: explode → groupBy(shingle) collecting the (sorted)
     doc list → fan out ordered pairs per posting → count common /
     inclusion-exclusion. ONE scan of the corpus and one shuffle on the
-    shingle key (vs. two scans + a self-join); pair fan-out is the same
-    Σ|posting|² either way. (At scale, run AFTER LSH candidate
-    generation; a stop-shingle cap on posting size bounds hot-key
-    blow-up.)
+    shingle key (vs. two scans + a self-join).
+
+    ``max_posting`` drops stop-shingle postings (shingles appearing in
+    more than that many documents) BEFORE the pair fan-out: one hot
+    shingle of posting size m otherwise emits m²/2 pairs from a single
+    key — the classic skew blow-up. Capped runs report a lower-bound
+    jaccard (common counts miss the dropped shingles; denominators stay
+    exact), which is the standard posting-pruning trade: stop-shingles
+    carry no dedup signal but all of the cost. ``None`` = exact.
     """
     # Lazy localCheckpoint: the single downstream action materializes
     # the exploded shingle stream ONCE and both the postings branch and
@@ -390,6 +400,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", n: int = 3) -> Da
         .agg(F.array_sort(F.collect_list(id_col)).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
+    if max_posting is not None:
+        postings = postings.filter(F.size("ds") <= max_posting)
     pairs = postings.select(
         F.explode(
             F.expr(

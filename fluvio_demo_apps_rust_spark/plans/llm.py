@@ -140,10 +140,11 @@ def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM t WHERE len(t) >= 3),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+kept AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 100),
 common AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
   FROM sh x JOIN sh y USING (sh)
-  WHERE x.doc_id < y.doc_id
+  WHERE x.doc_id < y.doc_id AND sh IN (SELECT sh FROM kept)
   GROUP BY 1, 2)
 SELECT a, b,
        round(common::DOUBLE / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
@@ -155,10 +156,13 @@ LIMIT 20
 """,
 )
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most similar pairs by exact 3-gram Jaccard (shingle
-    equi-join — linear in posting lists, not all-pairs)."""
+    """Top-20 most similar pairs by 3-gram Jaccard (shingle equi-join —
+    linear in posting lists, not all-pairs). Posting lists over 100
+    docs are dropped before the pair fan-out (stop-shingle cap: one hot
+    key otherwise emits |posting|²/2 pairs); the oracle mirrors the
+    cap, so both sides rank the identical pair set."""
     d = load(spark, sf_dir, "documents")
-    pairs = X.ngram_jaccard_pairs(d)
+    pairs = X.ngram_jaccard_pairs(d, max_posting=100)
     return pairs.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")).limit(20)
 
 

@@ -43,6 +43,20 @@ def test_ngram_jaccard_finds_neardup(docs):
     assert (0, 2) not in pairs           # nothing shared
 
 
+def test_ngram_jaccard_posting_cap(spark):
+    # every doc opens with the same stop-shingle; pairwise they share
+    # nothing else, so capping below the corpus size must drop ALL pairs
+    rows = [(i, f"common stop shingle unique{i} text{i} words{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = X.ngram_jaccard_pairs(df).collect()
+    assert len(uncapped) == 15                    # C(6,2) via the hot key
+    capped = X.ngram_jaccard_pairs(df, max_posting=5).collect()
+    assert capped == []                           # hot posting (6 docs) dropped
+    # a cap above every posting size is a no-op
+    same = {(r.a, r.b): r.jaccard for r in X.ngram_jaccard_pairs(df, max_posting=6).collect()}
+    assert same == {(r.a, r.b): r.jaccard for r in uncapped}
+
+
 def test_minhash_lsh_candidates(spark, docs):
     sig = X.minhash_signatures(docs, spark)
     # identical docs → identical signatures
