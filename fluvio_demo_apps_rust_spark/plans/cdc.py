@@ -106,14 +106,42 @@ def cdc_mixed_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("o_orderkey", "o_orderstatus")
 
 
+# The stats operator folds the deterministic PET_EVENTS fixture, so the
+# final update-mode state is expressible as a batch aggregate over the
+# same wire JSON: count events / sum row-images / max sequence per
+# (db, table) parsed straight from the inlined event strings.
+_PET_VALUES = ",\n  ".join(
+    "('" + s.replace("'", "''") + "')" for s in PET_EVENTS
+)
+
+_STREAM_STATS_ORACLE = f"""
+WITH ev(j) AS (VALUES
+  {_PET_VALUES}),
+t AS (SELECT string_split(json_extract_string(j, '$.uri'), '/') AS p,
+             CAST(json_extract(j, '$.sequence') AS BIGINT) AS seq,
+             coalesce(json_array_length(j, '$.operation.Add.rows'),
+                      json_array_length(j, '$.operation.Update.rows'),
+                      json_array_length(j, '$.operation.Delete.rows'), 0) AS nr
+      FROM ev),
+f AS (SELECT p[4] AS db, p[5] AS "table", seq, nr FROM t WHERE len(p) >= 5)
+SELECT db, "table",
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(nr) AS BIGINT) AS n_rows,
+       max(seq) AS max_sequence
+FROM f GROUP BY db, "table"
+"""
+
+
 @register(
     "cdc_stream_stats",
     tags=("cdc", "streaming", "stateful"),
+    oracle=_STREAM_STATS_ORACLE,
 )
 def cdc_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (real Structured Streaming run, not SQL-expressible):
-    the pet scenario streamed through the applyInPandasWithState
-    per-table stats operator (availableNow trigger, memory sink)."""
+    """Real Structured Streaming run: the pet scenario streamed through
+    the applyInPandasWithState per-table stats operator (availableNow
+    trigger, memory sink). The oracle folds the same fixture as a batch
+    JSON aggregate."""
     import tempfile
     import uuid
     from pathlib import Path

@@ -257,11 +257,34 @@ def q36_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q37_stream_windowed",
     tags=("events", "streaming", "watermark"),
+    # The streaming fixture is deterministic (generated inline, no sf
+    # dependence), so append-mode emission is expressible as a batch
+    # query: a window is emitted iff its END is <= the final watermark
+    # (max event time - 30 min). The oracle regenerates the same 200
+    # events and applies that cutoff.
+    oracle="""
+WITH raw AS (SELECT unnest(generate_series(0, 199)) AS i),
+e AS (SELECT TIMESTAMP '2024-01-01 00:00:00'
+             + (i // 50) * INTERVAL '1 hour'
+             + (i % 50) * INTERVAL '1 minute' AS ts,
+             't' || CAST(i % 3 AS VARCHAR) AS event_type,
+             CAST(i % 5 AS DOUBLE) AS value
+      FROM raw),
+wm AS (SELECT max(ts) - INTERVAL '30 minutes' AS w FROM e)
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS total_value
+FROM e, wm
+WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= w
+GROUP BY 1, 2
+""",
 )
 def q37_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (real Structured Streaming run): watermarked tumbling
-    windows over a deterministic event file driven availableNow —
-    append mode emits only watermark-finalized windows."""
+    """Real Structured Streaming run: watermarked tumbling windows over
+    a deterministic event file driven availableNow — append mode emits
+    only watermark-finalized windows (the oracle mirrors the cutoff as
+    a batch GROUP BY + max-ts filter)."""
     import tempfile
     import uuid
     from pathlib import Path
@@ -298,13 +321,31 @@ def q37_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q38_stream_dedup",
     tags=("events", "streaming", "watermark", "dedup"),
+    # Deterministic fixture, single file → single microbatch, so every
+    # duplicate arrives while its key's state is live: the surviving
+    # row per event_id is the first occurrence = min-ts row. The oracle
+    # regenerates the 120 events and takes row_number()=1 per key.
+    oracle="""
+WITH raw AS (SELECT unnest(generate_series(0, 119)) AS i),
+e AS (SELECT i, CAST(i % 60 AS BIGINT) AS event_id,
+             TIMESTAMP '2024-01-01 00:00:00'
+             + (i // 40) * INTERVAL '1 hour'
+             + (i % 40) * INTERVAL '1 minute' AS ts,
+             CAST(i % 5 AS BIGINT) AS user_id,
+             't' || CAST(i % 2 AS VARCHAR) AS event_type
+      FROM raw)
+SELECT event_id, CAST(ts AS VARCHAR) AS ts, user_id, event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY i) AS rn FROM e)
+WHERE rn = 1
+ORDER BY event_id, ts
+""",
 )
 def q38_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (real Structured Streaming run): watermark-bounded
-    streaming dedup — duplicate event_ids injected inside the horizon
-    are dropped, state for expired keys is reclaimed
-    (dropDuplicatesWithinWatermark, not dropDuplicates: a key subset
-    without the event-time column would otherwise grow state forever)."""
+    """Real Structured Streaming run: watermark-bounded streaming dedup
+    — duplicate event_ids injected inside the horizon are dropped,
+    state for expired keys is reclaimed (dropDuplicatesWithinWatermark,
+    not dropDuplicates: a key subset without the event-time column
+    would otherwise grow state forever)."""
     import tempfile
     import uuid
     from pathlib import Path
