@@ -57,7 +57,9 @@ _IDENT = r"`?(?:\w+`?\.`?)?(\w+)`?"  # optionally db-qualified, backticked
 _CREATE_RE = re.compile(rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_IDENT}\s*\((.*)\)\s*[^)]*$", re.I | re.S)
 _ALTER_RE = re.compile(rf"^\s*ALTER\s+TABLE\s+{_IDENT}\s+(.*)$", re.I | re.S)
 _DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(.*)$", re.I | re.S)
-_ADD_COL_RE = re.compile(r"^ADD\s+(?:COLUMN\s+)?`?(\w+)`?\s+([^,]+?)\s*$", re.I | re.S)
+# Clauses are already split on TOP-LEVEL commas, so the type may
+# contain parenthesized commas (DECIMAL(10,2), ENUM('a','b')).
+_ADD_COL_RE = re.compile(r"^ADD\s+(?:COLUMN\s+)?`?(\w+)`?\s+(.+?)\s*$", re.I | re.S)
 _RENAME_COL_RE = re.compile(r"^RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*$", re.I)
 _CHANGE_COL_RE = re.compile(r"^CHANGE\s+(?:COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+(.+?)\s*$", re.I | re.S)
 _DROP_COL_RE = re.compile(r"^DROP\s+(?:COLUMN\s+)?`?(\w+)`?\s*$", re.I)

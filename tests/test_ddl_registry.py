@@ -45,6 +45,21 @@ def test_alter_variants():
     assert D.parse_query("ALTER TABLE pet DROP COLUMN sex") == [D.DropColumn("pet", "sex")]
 
 
+def test_alter_multi_clause():
+    # multi-action ALTER splits on top-level commas; parenthesized type
+    # args (DECIMAL(10,2)) must survive the split AND the clause regex
+    assert D.parse_query(
+        "ALTER TABLE t ADD a INT, ADD b DECIMAL(10,2), DROP COLUMN c, "
+        "RENAME COLUMN d TO e, CHANGE f g VARCHAR(5)"
+    ) == [
+        D.AddColumn("t", "a", "INT"),
+        D.AddColumn("t", "b", "DECIMAL(10,2)"),
+        D.DropColumn("t", "c"),
+        D.RenameColumn("t", "d", "e"),
+        D.RenameColumn("t", "f", "g", "VARCHAR(5)"),
+    ]
+
+
 def test_drop_table_multi():
     assert D.parse_query("DROP TABLE a, `b`") == [D.DropTable(["a", "b"])]
     assert D.parse_query("DROP TABLE IF EXISTS db1.c") == [D.DropTable(["c"])]
