@@ -83,14 +83,17 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
 def test_sql_sink_renders_pet_statements(spark, tmp_path):
     from fluvio_demo_apps_rust_spark.fixtures import PET_EVENTS
     from fluvio_demo_apps_rust_spark.sources.event_source import read_events_from_strings
-    from fluvio_demo_apps_rust_spark.streaming.sql_sink import append_statements_batch
+    from fluvio_demo_apps_rust_spark.streaming.sql_sink import (
+        append_statements_batch,
+        read_statements_log,
+    )
 
     events = read_events_from_strings(spark, PET_EVENTS)
-    log = tmp_path / "statements.jsonl"
+    log = tmp_path / "stmt_log"
     n = append_statements_batch(events, log)
-    lines = [json.loads(line) for line in log.read_text().splitlines()]
+    lines = read_statements_log(log)
     assert n == len(lines) == 9
-    # sequence order preserved; op shapes correct
+    # global replay order (across range-partitioned part files)
     assert [line["sequence"] for line in lines] == list(range(9))
     assert lines[0]["stmt"].startswith("CREATE DATABASE")
     assert lines[2]["stmt"].startswith("INSERT INTO pet (name, owner, species, sex, birth)")
@@ -102,14 +105,41 @@ def test_sql_sink_renders_pet_statements(spark, tmp_path):
 def test_sql_sink_replay_is_idempotent(spark, tmp_path):
     from fluvio_demo_apps_rust_spark.fixtures import PET_EVENTS
     from fluvio_demo_apps_rust_spark.sources.event_source import read_events_from_strings
-    from fluvio_demo_apps_rust_spark.streaming.sql_sink import append_statements_batch
+    from fluvio_demo_apps_rust_spark.streaming.sql_sink import (
+        append_statements_batch,
+        read_statements_log,
+    )
 
     events = read_events_from_strings(spark, PET_EVENTS)
-    log = tmp_path / "statements.jsonl"
+    log = tmp_path / "stmt_log"
     assert append_statements_batch(events, log) == 9
     # at-least-once replay of the SAME batch appends nothing
     assert append_statements_batch(events, log) == 0
-    assert len(log.read_text().splitlines()) == 9
+    assert len(read_statements_log(log)) == 9
+
+
+def test_sql_sink_drops_null_sequences(spark, tmp_path):
+    from fluvio_demo_apps_rust_spark.fixtures import PET_EVENTS
+    from fluvio_demo_apps_rust_spark.sources.event_source import read_events_from_strings
+    from fluvio_demo_apps_rust_spark.streaming.sql_sink import (
+        append_statements_batch,
+        read_statements_log,
+    )
+    import pyspark.sql.functions as F
+
+    events = read_events_from_strings(spark, PET_EVENTS).withColumn(
+        "sequence",
+        F.when(F.col("sequence") == 3, F.lit(None).cast("long")).otherwise(
+            F.col("sequence")
+        ),
+    )
+    log = tmp_path / "stmt_log"
+    # null-sequence statements have no replay identity: dropped, and a
+    # redelivered batch cannot duplicate them
+    assert append_statements_batch(events, log) == 8
+    assert append_statements_batch(events, log) == 0
+    seqs = [r["sequence"] for r in read_statements_log(log)]
+    assert seqs == [0, 1, 2, 4, 5, 6, 7, 8]
 
 
 def test_sessionized_gap_split(spark, tmp_path):
