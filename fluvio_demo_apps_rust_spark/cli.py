@@ -82,6 +82,7 @@ def main(argv: list[str]) -> int:
             state_path=profile.state_path,
             checkpoint_path=f"{profile.checkpoint_path}/produce",
             filters=profile.filters,
+            kafka=profile.kafka,  # publish to the broker when configured
         ).run_available_now()
         return 0
 

@@ -43,6 +43,42 @@ class Filters:
         return True
 
 
+@dataclass(frozen=True)
+class KafkaConfig:
+    """Real topic transport (S5 source / K1 sink) — the Spark analog of
+    the reference's streaming-platform client (fluvio_manager.rs:13-52,
+    consumer.rs:60-75). Enabled when both broker and topic are set; the
+    file-directory "topic" stays the default (and the only option in a
+    broker-less sandbox). Requires the spark-sql-kafka package on the
+    session classpath at stream start."""
+
+    bootstrap_servers: str = ""
+    topic: str = ""
+    starting_offsets: str = "earliest"   # resume default; checkpoint overrides
+    extra: tuple[tuple[str, str], ...] = ()  # passthrough kafka.* options
+
+    @property
+    def enabled(self) -> bool:
+        return bool(self.bootstrap_servers and self.topic)
+
+    def source_options(self) -> dict[str, str]:
+        """readStream.format("kafka") options (subscribe side)."""
+        return {
+            "kafka.bootstrap.servers": self.bootstrap_servers,
+            "subscribe": self.topic,
+            "startingOffsets": self.starting_offsets,
+            **dict(self.extra),
+        }
+
+    def sink_options(self) -> dict[str, str]:
+        """writeStream.format("kafka") options (publish side)."""
+        return {
+            "kafka.bootstrap.servers": self.bootstrap_servers,
+            "topic": self.topic,
+            **dict(self.extra),
+        }
+
+
 @dataclass
 class PipelineProfile:
     """Unified producer/consumer profile for the Spark pipeline."""
@@ -54,6 +90,7 @@ class PipelineProfile:
     filters: Filters = field(default_factory=Filters)
     trigger_ms: int = 500           # reference poll floor: manager.rs:22
     max_files_per_trigger: int | None = None  # backpressure (channel cap analog)
+    kafka: KafkaConfig = field(default_factory=KafkaConfig)
 
     @classmethod
     def load(cls, path: str | Path) -> "PipelineProfile":
@@ -63,7 +100,14 @@ class PipelineProfile:
             raise ConfigError("filters: include_dbs and exclude_dbs are mutually exclusive")
         data = raw.get("data", {})
         fluvio = raw.get("fluvio", {})
+        kafka = raw.get("kafka", {})
         return cls(
+            kafka=KafkaConfig(
+                bootstrap_servers=kafka.get("bootstrap_servers", ""),
+                topic=kafka.get("topic", ""),
+                starting_offsets=kafka.get("starting_offsets", "earliest"),
+                extra=tuple(sorted(kafka.get("options", {}).items())),
+            ),
             resource_name=raw.get("mysql_resource_name", "mysql-srv1"),
             source_path=str(Path(data.get("base_path", "")).expanduser()),
             checkpoint_path=str(Path(data.get("checkpoint_path", "")).expanduser()),

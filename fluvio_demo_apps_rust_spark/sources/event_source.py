@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..codec import parse_events
+from ..config import KafkaConfig
 
 
 def read_events(spark: SparkSession, path: str) -> DataFrame:
@@ -44,3 +45,30 @@ def stream_events(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return parse_events(reader.text(str(path)))
+
+
+def stream_events_kafka(spark: SparkSession, kafka: KafkaConfig) -> DataFrame:
+    """Topic source (S5) over a real broker: the reference consumes the
+    fluvio topic from a stored offset (consumer.rs:60-75); here the
+    Kafka source + checkpointLocation carries the offset/resume state.
+    Same normalized output as the file source — the rest of the
+    pipeline is transport-agnostic.
+
+    Requires the spark-sql-kafka connector on the classpath (ship with
+    ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``);
+    construction is pure, the classpath is only consulted at load.
+    """
+    if not kafka.enabled:
+        raise ValueError("KafkaConfig needs bootstrap_servers and topic")
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka.source_options().items():
+        reader = reader.option(k, v)
+    try:
+        raw = reader.load()
+    except Exception as e:  # connector jar absent → actionable message
+        raise RuntimeError(
+            "Kafka source requires the spark-sql-kafka-0-10 package on "
+            "the Spark classpath (--packages org.apache.spark:"
+            "spark-sql-kafka-0-10_2.13:<spark-version>)"
+        ) from e
+    return parse_events(raw.selectExpr("CAST(value AS STRING) AS value"))

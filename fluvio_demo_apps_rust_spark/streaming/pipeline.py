@@ -96,9 +96,16 @@ class CdcPipeline:
     # -- run ----------------------------------------------------------------
 
     def start(self, available_now: bool = False):
-        events = stream_events(
-            self.spark, self.profile.source_path, self.profile.max_files_per_trigger
-        )
+        # Transport is a config flag: the real broker (S5) when a
+        # [kafka] section is present, the JSON-lines dir otherwise.
+        if self.profile.kafka.enabled:
+            from ..sources.event_source import stream_events_kafka
+
+            events = stream_events_kafka(self.spark, self.profile.kafka)
+        else:
+            events = stream_events(
+                self.spark, self.profile.source_path, self.profile.max_files_per_trigger
+            )
         writer = (
             events.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", self.profile.checkpoint_path)

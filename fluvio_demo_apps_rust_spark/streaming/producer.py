@@ -34,10 +34,24 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 from ..codec import render_events
-from ..config import Filters
+from ..config import Filters, KafkaConfig
 from ..operators.filters import db_filter, skip_begin_statements
 from ..operators.sequence import assign_sequence
 from ..sources.event_source import stream_events
+
+
+def kafka_topic_writer(rendered: DataFrame, kafka: KafkaConfig, checkpoint_path: str):
+    """K1 over a real broker: writeStream.format("kafka") builder for
+    rendered wire events — the Spark analog of the reference's
+    single-partition publish (fluvio_manager.rs:13-52). Construction is
+    pure; the connector jar is consulted at start(). Total order is
+    carried by the embedded sequence, so no partitioner is needed."""
+    if not kafka.enabled:
+        raise ValueError("KafkaConfig needs bootstrap_servers and topic")
+    writer = rendered.writeStream.format("kafka")
+    for k, v in kafka.sink_options().items():
+        writer = writer.option(k, v)
+    return writer.option("checkpointLocation", checkpoint_path)
 
 
 class CdcProducer:
@@ -49,6 +63,7 @@ class CdcProducer:
         state_path: str,
         checkpoint_path: str,
         filters: Filters | None = None,
+        kafka: KafkaConfig | None = None,
     ) -> None:
         self.spark = spark
         self.source_path = source_path
@@ -56,6 +71,9 @@ class CdcProducer:
         self.state_file = Path(state_path) / "sequence_hwm.json"
         self.checkpoint_path = checkpoint_path
         self.filters = filters or Filters()
+        # Kafka publish (K1 real transport) when configured; the
+        # JSON-lines topic dir remains the broker-less default.
+        self.kafka = kafka if kafka is not None and kafka.enabled else None
         self.hwm = self._load_hwm()
 
     def _load_hwm(self) -> int:
@@ -91,7 +109,14 @@ class CdcProducer:
         rendered = render_events(seqd).persist()
         n = rendered.count()
         if n:
-            rendered.write.mode("append").text(self.topic_path)
+            if self.kafka is not None:
+                (
+                    rendered.write.format("kafka")
+                    .options(**self.kafka.sink_options())
+                    .save()
+                )
+            else:
+                rendered.write.mode("append").text(self.topic_path)
             self.hwm += n
             self._save_hwm()
         rendered.unpersist()
