@@ -369,6 +369,206 @@ def apply_changes(
     return state
 
 
+def apply_events_local(
+    spark: SparkSession,
+    lines: list[str],
+    state: CdcState | None = None,
+    strict_ddl: bool = False,
+    max_rows: int = 10_000,
+) -> CdcState:
+    """Driver fast path for SMALL wire-event batches — the apply-kernel
+    analog of the union-find gate in ``dedup.connected_components``.
+
+    Semantically identical to
+    ``apply_changes(spark, read_events_from_strings(spark, lines))`` —
+    the property suite runs both kernels on the same random streams and
+    compares (tests/test_apply_property.py) — but decodes and folds on
+    the driver in one pass: a tiny batch (the nine-event pet fixture, a
+    trickle microbatch) costs zero Spark jobs for the fold instead of a
+    summary-collect job plus a deep join plan. Cell matching uses the
+    same typed null-safe semantics (``_cmp_cell`` mirrors the
+    ``_cast_canonical`` casts, including Spark's NaN-equals-NaN join
+    behavior); the materialized output goes through the IDENTICAL
+    ``_cast_canonical`` Spark expressions, so output types match the
+    distributed kernel exactly.
+
+    Falls back to the distributed kernel when the batch exceeds
+    ``max_rows`` decoded row images or when ``state`` already holds
+    (possibly large, distributed) tables.
+    """
+    from ..codec import _decode_event, _loads
+
+    decoded = [
+        _decode_event(_loads(s)) for s in lines if s and s.strip()
+    ]
+    n_imgs = sum(len(e["rows"] or ()) for e in decoded)
+    if (state is not None and state.tables) or n_imgs > max_rows:
+        from ..sources.event_source import read_events_from_strings
+
+        return apply_changes(
+            spark, read_events_from_strings(spark, lines), state, strict_ddl
+        )
+
+    state = state or CdcState()
+    # local rep: key -> {"cols": [(name, mysql_type)], "rows": [[canonical|None]]}
+    local: dict[tuple[str, str], dict] = {}
+
+    def key_of(row: list, cols: list) -> tuple:
+        return tuple(
+            _cmp_cell(row[i] if i < len(row) else None, t)
+            for i, (_, t) in enumerate(cols)
+        )
+
+    # same total order as the distributed kernel's summary sort:
+    # by sequence, DDL before a row event at the same sequence
+    for e in sorted(decoded, key=lambda e: (e["sequence"], e["op_type"] != "Query")):
+        op = e["op_type"]
+        db = (e["db"] or "").lower()
+        if op == "Query":
+            _apply_ddl_local(state, local, db, e["query"], strict_ddl)
+            continue
+        tbl = (e["table"] or "").lower()
+        if not tbl:
+            continue
+        key = (db, tbl)
+        if e["sequence"] <= state.watermarks.get(key, -1):
+            continue  # replay → no-op (exactly-once)
+        if key not in local:
+            # bootstrap from the self-describing header (T3)
+            if not e["columns"]:
+                raise ApplyError(
+                    f"no schema for {db}.{tbl} and event carries no columns (K6)"
+                )
+            local[key] = {"cols": [(c, None) for c in e["columns"]], "rows": []}
+        rep = local[key]
+        cols, rows = rep["cols"], rep["rows"]
+        width = len(cols)
+
+        def pad(img: list | None) -> list:
+            img = list(img or ())
+            return img[:width] + [None] * (width - len(img))
+
+        if op == "Add":
+            rows.extend(pad(r["after"]) for r in e["rows"])
+        elif op == "Delete":
+            gone = {key_of(pad(r["before"]), cols) for r in e["rows"]}
+            rep["rows"] = [r for r in rows if key_of(r, cols) not in gone]
+        elif op == "Update":
+            # last pair with an identical before-image wins; the after
+            # replaces EVERY matching duplicate row
+            repl: dict[tuple, list] = {}
+            for r in e["rows"]:
+                repl[key_of(pad(r["before"]), cols)] = pad(r["after"])
+            rep["rows"] = [repl.get(key_of(r, cols), r) for r in rows]
+        else:
+            raise ApplyError(f"unknown op type: {op}")
+        state.watermarks[key] = e["sequence"]
+
+    # materialize: string cells → the SAME typed casts as _images_df
+    for key, rep in local.items():
+        cols = rep["cols"]
+        str_schema = T.StructType(
+            [T.StructField(c, T.StringType(), True) for c, _ in cols]
+        )
+        df = spark.createDataFrame(
+            [tuple(r) for r in rep["rows"]], str_schema
+        )
+        state.tables[key] = df.select(
+            *[_cast_canonical(F.col(c), t).alias(c) for c, t in cols]
+        )
+    return state
+
+
+def _cmp_cell(cell: str | None, mysql_type: str | None):
+    """Typed comparison key for one canonical cell — the Python mirror
+    of ``_cast_canonical`` + Spark's null-safe join semantics (NULLs
+    match NULLs; NaN matches NaN as in Spark join keys; a failed cast
+    is NULL). Used only for matching; output values never pass through
+    here."""
+    import base64
+    import math
+    import struct
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if cell is None:
+        return None
+    t = mysql_type_to_spark(mysql_type)
+    base = (mysql_type or "").strip().lower().split("(")[0]
+    try:
+        if base == "timestamp":
+            return float(cell)  # epoch seconds, same double Spark casts
+        if isinstance(t, T.BinaryType):
+            return base64.b64decode(cell)
+        if isinstance(t, (T.LongType, T.IntegerType, T.ShortType)):
+            return int(cell)
+        if isinstance(t, T.DoubleType):
+            f = float(cell)
+            return "NaN" if math.isnan(f) else f
+        if isinstance(t, T.FloatType):
+            f = struct.unpack("f", struct.pack("f", float(cell)))[0]
+            return "NaN" if math.isnan(f) else f
+        if isinstance(t, T.DecimalType):
+            return Decimal(cell).quantize(
+                Decimal(1).scaleb(-t.scale), rounding=ROUND_HALF_UP
+            )
+        if isinstance(t, T.BooleanType):
+            low = cell.strip().lower()
+            if low in ("1", "t", "true", "y", "yes"):
+                return True
+            if low in ("0", "f", "false", "n", "no"):
+                return False
+            return None
+        return cell  # strings, dates, datetimes: canonical text is the value
+    except Exception:
+        return None  # Spark's non-ANSI cast failure → NULL
+
+
+def _apply_ddl_local(
+    state: CdcState,
+    local: dict[tuple[str, str], dict],
+    db: str,
+    query: str | None,
+    strict: bool,
+) -> None:
+    """DDL replay against the driver-local table reps — same ops as
+    ``_apply_ddl``, applied to (cols, rows) lists instead of frames."""
+    from .. import ddl as D
+
+    ops = state.registry.apply_query(db, query, strict=strict)
+    for op in ops:
+        if isinstance(op, D.CreateTable):
+            local[(db, op.table)] = {
+                "cols": [(c, t or None) for c, t in op.columns],
+                "rows": [],
+            }
+        elif isinstance(op, D.AddColumn):
+            rep = local.get((db, op.table))
+            if rep is not None:
+                rep["cols"].append((op.column, op.mysql_type))
+                for r in rep["rows"]:
+                    r.append(None)
+        elif isinstance(op, D.RenameColumn):
+            rep = local.get((db, op.table))
+            if rep is not None:
+                # rename keeps the existing type (withColumnRenamed twin)
+                rep["cols"] = [
+                    (op.new if c == op.old else c, t) for c, t in rep["cols"]
+                ]
+        elif isinstance(op, D.DropColumn):
+            rep = local.get((db, op.table))
+            if rep is not None:
+                idx = [i for i, (c, _) in enumerate(rep["cols"]) if c == op.column]
+                if idx:
+                    i = idx[0]
+                    rep["cols"].pop(i)
+                    for r in rep["rows"]:
+                        r.pop(i)
+        elif isinstance(op, D.DropTable):
+            for tname in op.tables:
+                local.pop((db, tname), None)
+                state.watermarks.pop((db, tname), None)
+
+
 def _run_cols(
     state: CdcState, events: DataFrame, run: dict
 ) -> list[tuple[str, str | None]]:

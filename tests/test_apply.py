@@ -191,3 +191,28 @@ def test_shuffled_batch_order_independent(spark):
         for r in golden_state.table("flvdb", "pet").collect()
     )
     assert rows == golden
+
+
+def test_local_kernel_matches_distributed_on_pet(spark):
+    """The driver-local fast path and the distributed kernel produce the
+    identical typed table for the pet fixture (schema AND values,
+    including the ALTER-added nullable column)."""
+    from fluvio_demo_apps_rust_spark.operators.apply import apply_events_local
+
+    dist = apply_changes(spark, read_events_from_strings(spark, PET_EVENTS))
+    local = apply_events_local(spark, PET_EVENTS)
+    d, l = dist.table("flvdb", "pet"), local.table("flvdb", "pet")
+    assert d.schema == l.schema
+    assert sorted(map(tuple, d.collect())) == sorted(map(tuple, l.collect()))
+    dist.release()
+
+
+def test_local_kernel_falls_back_above_threshold(spark):
+    """Above the row gate the local kernel delegates to the distributed
+    one (and still produces the right result)."""
+    from fluvio_demo_apps_rust_spark.operators.apply import apply_events_local
+
+    state = apply_events_local(spark, PET_EVENTS, max_rows=0)
+    rows = state.table("flvdb", "pet").collect()
+    assert len(rows) == 2
+    state.release()

@@ -87,3 +87,23 @@ def test_apply_matches_naive_replay(spark, data):
     )
     state.release()
     assert got == expected
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(event_stream())
+def test_local_kernel_matches_naive_replay(spark, data):
+    # the driver-local fast path must produce the identical fixpoint
+    from fluvio_demo_apps_rust_spark.operators.apply import apply_events_local
+
+    events_json, expected = data
+    state = apply_events_local(spark, events_json)
+    got = sorted(
+        ((r.k, r.v) for r in state.table("propdb", "t").collect()),
+        key=lambda t: (t[0] is None, t[0], t[1] is None, t[1]),
+    )
+    assert got == expected
