@@ -153,7 +153,12 @@ def _parse_events_arrow(df: DataFrame, value_col: str = "value") -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [_decode_event(_loads(s)) for s in pdf[value_col] if s and s.strip()]
+            # isspace() instead of strip(): no per-line copy allocation
+            out = [
+                _decode_event(_loads(s))
+                for s in pdf[value_col]
+                if s and not s.isspace()
+            ]
             yield pd.DataFrame(out, columns=_FIELDS)
 
     return df.select(value_col).mapInPandas(decode, schema=CHANGE_EVENT_SCHEMA)

@@ -79,6 +79,48 @@ OP_TYPES = ("Query", "Add", "Update", "Delete")
 INT_KINDS = {"UnsignedInteger", "SignedInteger", "Enum", "Year"}
 
 
+def _canon_date(p) -> str:
+    return f"{p['year']:04d}-{p['month']:02d}-{p['day']:02d}"
+
+
+def _canon_time(p) -> str:
+    return (
+        f"{p['hours']:02d}:{p['minutes']:02d}:{p['seconds']:02d}"
+        f".{int(p.get('subseconds', 0)):06d}"
+    )
+
+
+def _canon_datetime(p) -> str:
+    return (
+        f"{p['year']:04d}-{p['month']:02d}-{p['day']:02d} "
+        f"{p['hour']:02d}:{p['minute']:02d}:{p['second']:02d}"
+        f".{int(p.get('subsecond', 0)):06d}"
+    )
+
+
+# One-lookup dispatch instead of an if-chain: value_to_canonical runs
+# once per CELL of every decoded event — the hottest line in the wire
+# decode path.
+_KIND_CANON: dict[str, Any] = {
+    "String": lambda p: p,
+    "UnsignedInteger": lambda p: str(int(p)),
+    "SignedInteger": lambda p: str(int(p)),
+    "Enum": lambda p: str(int(p)),
+    "Year": lambda p: str(int(p)),
+    "Float": lambda p: repr(float(p)),
+    "Double": lambda p: repr(float(p)),
+    "Decimal": str,
+    "Date": _canon_date,
+    "Time": _canon_time,
+    "DateTime": _canon_datetime,
+    "Timestamp": lambda p: f"{int(p['unix_time'])}.{int(p.get('subsecond', 0)):06d}",
+    "Json": lambda p: json.dumps(
+        p, separators=(",", ":"), sort_keys=True, ensure_ascii=False
+    ),
+    "Blob": lambda p: base64.b64encode(bytes(p)).decode("ascii"),
+}
+
+
 def value_to_canonical(v: Any) -> str | None:
     """Decode one externally-tagged Value JSON object to its canonical
     string (None for Null)."""
@@ -87,36 +129,10 @@ def value_to_canonical(v: Any) -> str | None:
     if not isinstance(v, dict) or len(v) != 1:
         raise ValueError(f"malformed Value: {v!r}")
     kind, payload = next(iter(v.items()))
-    if kind == "String":
-        return payload
-    if kind in INT_KINDS:
-        return str(int(payload))
-    if kind in ("Float", "Double"):
-        return repr(float(payload))
-    if kind == "Decimal":
-        return str(payload)
-    if kind == "Date":
-        return f"{payload['year']:04d}-{payload['month']:02d}-{payload['day']:02d}"
-    if kind == "Time":
-        sub = int(payload.get("subseconds", 0))
-        return (
-            f"{payload['hours']:02d}:{payload['minutes']:02d}:{payload['seconds']:02d}"
-            f".{sub:06d}"
-        )
-    if kind == "DateTime":
-        sub = int(payload.get("subsecond", 0))
-        return (
-            f"{payload['year']:04d}-{payload['month']:02d}-{payload['day']:02d} "
-            f"{payload['hour']:02d}:{payload['minute']:02d}:{payload['second']:02d}.{sub:06d}"
-        )
-    if kind == "Timestamp":
-        sub = int(payload.get("subsecond", 0))
-        return f"{int(payload['unix_time'])}.{sub:06d}"
-    if kind == "Json":
-        return json.dumps(payload, separators=(",", ":"), sort_keys=True, ensure_ascii=False)
-    if kind == "Blob":
-        return base64.b64encode(bytes(payload)).decode("ascii")
-    raise ValueError(f"unknown Value kind: {kind}")
+    fn = _KIND_CANON.get(kind)
+    if fn is None:
+        raise ValueError(f"unknown Value kind: {kind}")
+    return fn(payload)
 
 
 def render_value_display(v: Any) -> str:
