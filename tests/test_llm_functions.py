@@ -154,3 +154,30 @@ def test_minhash_param_mirror(spark):
     sql_params = {r.j: (r.a, r.b) for r in X.minhash_params(spark, 16).collect()}
     py_params = dict(enumerate(X._minhash_param_values(16)))
     assert sql_params == py_params
+
+
+def test_simhash_band_pairs_catch_neardups(spark, docs):
+    # pigeonhole: any pair with hamming < 4 must appear as a candidate
+    sh = X.simhash60(docs)
+    cand = {(r.a, r.b) for r in X.simhash_band_pairs(sh).collect()}
+    assert (0, 3) in cand                      # exact dup: hamming 0
+    vals = {r.doc_id: r.simhash for r in sh.collect()}
+    for (a, b) in cand:
+        assert a < b
+    d01 = bin(vals[0] ^ vals[1]).count("1")
+    if d01 < 4:
+        assert (0, 1) in cand
+
+
+def test_embedding_candidate_pairs_shape(spark):
+    from fluvio_demo_apps_rust_spark.functions import similarity as S2
+
+    rows = [(i, [float((i * 7 + j) % 13) - 6.0 for j in range(8)]) for i in range(40)]
+    rows.append((100, rows[0][1]))  # exact duplicate vector of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cand = S2.embedding_candidate_pairs(df, nb=8, bands=2, dim=8)
+    pairs = {(r.a, r.b) for r in cand.collect()}
+    assert (0, 100) in pairs                   # identical signature → candidate
+    assert all(a < b for a, b in pairs)
+    n = df.count()
+    assert len(pairs) < n * (n - 1) / 2        # a strict subset of all-pairs
