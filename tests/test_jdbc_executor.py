@@ -1,0 +1,145 @@
+"""JDBC follower-apply twin (K5 second half): ordering, commit
+batching, null-sequence contract, foreachBatch + log-replay wiring.
+
+No database exists in the sandbox, so the executor runs against a
+recording PEP 249 fake whose connections journal their statements to
+files (foreachPartition runs in worker processes — module state is
+invisible to the driver). The reference applies statements serially
+over one live connection (mysql_manager.rs:295-299); serial mode must
+reproduce exactly that statement order.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from pathlib import Path
+
+from fluvio_demo_apps_rust_spark.streaming.jdbc_executor import (
+    apply_statements_batch_jdbc,
+    execute_statements,
+    replay_log_jdbc,
+)
+
+
+class RecordingConnection:
+    def __init__(self, dest: str):
+        self.dest = dest
+        self.stmts: list[str] = []
+        self.commits = 0
+
+    def execute(self, sql: str) -> None:
+        self.stmts.append(sql)
+
+    def commit(self) -> None:
+        self.commits += 1
+
+    def close(self) -> None:
+        Path(self.dest, f"conn-{uuid.uuid4().hex}.json").write_text(
+            json.dumps({"stmts": self.stmts, "commits": self.commits})
+        )
+
+
+class RecordingConnect:
+    """Picklable connection factory journaling to ``dest``."""
+
+    def __init__(self, dest: str):
+        self.dest = dest
+
+    def __call__(self) -> RecordingConnection:
+        return RecordingConnection(self.dest)
+
+
+def _read_conns(dest: Path) -> list[dict]:
+    return [json.loads(f.read_text()) for f in sorted(dest.glob("conn-*.json"))]
+
+
+def _stmts_df(spark, rows):
+    return spark.createDataFrame(rows, "sequence long, sub int, stmt string")
+
+
+def test_serial_applies_in_global_sequence_order(spark, tmp_path):
+    # deliberately shuffled input: order must come from (sequence, sub)
+    rows = [(5, 0, "s5"), (1, 1, "s1b"), (3, 0, "s3"), (1, 0, "s1a"), (2, 0, "s2")]
+    n = execute_statements(_stmts_df(spark, rows), RecordingConnect(str(tmp_path)))
+    assert n == 5
+    conns = _read_conns(tmp_path)
+    assert len(conns) == 1  # serial = one connection
+    assert conns[0]["stmts"] == ["s1a", "s1b", "s2", "s3", "s5"]
+    assert conns[0]["commits"] == 1  # single final commit under the batch size
+
+
+def test_commit_batching(spark, tmp_path):
+    rows = [(i, 0, f"s{i}") for i in range(7)]
+    execute_statements(
+        _stmts_df(spark, rows), RecordingConnect(str(tmp_path)), commit_every=3
+    )
+    (conn,) = _read_conns(tmp_path)
+    # 7 statements at commit_every=3: commits after s2, s5, and the final flush
+    assert conn["commits"] == 3
+
+
+def test_null_sequence_dropped(spark, tmp_path):
+    rows = [(1, 0, "keep"), (None, 0, "drop-me"), (2, 0, "keep2")]
+    n = execute_statements(_stmts_df(spark, rows), RecordingConnect(str(tmp_path)))
+    assert n == 2
+    (conn,) = _read_conns(tmp_path)
+    assert conn["stmts"] == ["keep", "keep2"]
+
+
+def test_parallel_ranges_are_disjoint_and_ordered(spark, tmp_path):
+    rows = [(i, 0, f"s{i:03d}") for i in range(64)]
+    n = execute_statements(
+        _stmts_df(spark, rows), RecordingConnect(str(tmp_path)), serial=False
+    )
+    assert n == 64
+    conns = [c for c in _read_conns(tmp_path) if c["stmts"]]
+    assert len(conns) > 1  # actually parallel
+    all_stmts = []
+    spans = []
+    for c in conns:
+        assert c["stmts"] == sorted(c["stmts"])  # in-order within a connection
+        spans.append((c["stmts"][0], c["stmts"][-1]))
+        all_stmts.extend(c["stmts"])
+    assert sorted(all_stmts) == [f"s{i:03d}" for i in range(64)]  # nothing lost
+    # sequence ranges are disjoint: spans sorted by start must not overlap
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo
+
+
+def test_foreachbatch_twin_matches_sql_sink_render(spark, tmp_path):
+    from fluvio_demo_apps_rust_spark.codec import parse_events
+    from fluvio_demo_apps_rust_spark.fixtures import PET_EVENTS
+    from fluvio_demo_apps_rust_spark.streaming.sql_sink import render_statements
+
+    events = parse_events(spark.createDataFrame([(s,) for s in PET_EVENTS], "value string"))
+    n = apply_statements_batch_jdbc(events, RecordingConnect(str(tmp_path)))
+    expected = [
+        r.stmt
+        for r in render_statements(events).orderBy("sequence", "sub").collect()
+        if r.sequence is not None
+    ]
+    assert n == len(expected) > 0
+    (conn,) = _read_conns(tmp_path)
+    assert conn["stmts"] == expected
+
+
+def test_replay_log_bootstraps_follower(spark, tmp_path):
+    from fluvio_demo_apps_rust_spark.codec import parse_events
+    from fluvio_demo_apps_rust_spark.fixtures import PET_EVENTS
+    from fluvio_demo_apps_rust_spark.streaming.sql_sink import (
+        append_statements_batch,
+        read_statements_log,
+    )
+
+    log_dir = tmp_path / "log"
+    conn_dir = tmp_path / "conns"
+    conn_dir.mkdir()
+    events = parse_events(spark.createDataFrame([(s,) for s in PET_EVENTS], "value string"))
+    append_statements_batch(events, log_dir)
+    n = replay_log_jdbc(spark, str(log_dir), RecordingConnect(str(conn_dir)))
+    expected = [r["stmt"] for r in read_statements_log(log_dir)]
+    assert n == len(expected) > 0
+    (conn,) = _read_conns(conn_dir)
+    assert conn["stmts"] == expected
