@@ -62,6 +62,7 @@ _DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(.*)$", re.I | re.
 _ADD_COL_RE = re.compile(r"^ADD\s+(?:COLUMN\s+)?`?(\w+)`?\s+(.+?)\s*$", re.I | re.S)
 _RENAME_COL_RE = re.compile(r"^RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*$", re.I)
 _CHANGE_COL_RE = re.compile(r"^CHANGE\s+(?:COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+(.+?)\s*$", re.I | re.S)
+_MODIFY_COL_RE = re.compile(r"^MODIFY\s+(?:COLUMN\s+)?`?(\w+)`?\s+(.+?)\s*$", re.I | re.S)
 _DROP_COL_RE = re.compile(r"^DROP\s+(?:COLUMN\s+)?`?(\w+)`?\s*$", re.I)
 
 _CONSTRAINT_PREFIXES = (
@@ -129,6 +130,11 @@ def parse_query(query: str | None, strict: bool = False) -> list[TableOp]:
                 ops.append(
                     RenameColumn(table, mm.group(1).lower(), mm.group(2).lower(), mm.group(3).strip())
                 )
+            elif (mm := _MODIFY_COL_RE.match(clause)):
+                # MODIFY = type change, name unchanged: a self-rename
+                # carrying the new type (registry updates the type slot).
+                name = mm.group(1).lower()
+                ops.append(RenameColumn(table, name, name, mm.group(2).strip()))
             elif (mm := _DROP_COL_RE.match(clause)):
                 ops.append(DropColumn(table, mm.group(1).lower()))
             else:
@@ -143,7 +149,9 @@ def parse_query(query: str | None, strict: bool = False) -> list[TableOp]:
         tables = [t.strip().strip("`").split(".")[-1].lower() for t in m.group(1).split(",")]
         return [DropTable(tables=[t for t in tables if t])]
 
-    if any(lowered.startswith(p) for p in ("insert", "update", "delete", "select", "set", "use", "commit")):
+    # "truncate" is a data op the registry ignores, like the reference's
+    # sqlparser path (Statement::Truncate falls through the match arms).
+    if any(lowered.startswith(p) for p in ("insert", "update", "delete", "select", "set", "use", "commit", "truncate")):
         return []
     msg = f"unsupported DDL statement: {q[:120]!r}"
     if strict:

@@ -43,6 +43,13 @@ def test_alter_variants():
         D.RenameColumn("pet", "owner", "keeper", "VARCHAR(30)")
     ]
     assert D.parse_query("ALTER TABLE pet DROP COLUMN sex") == [D.DropColumn("pet", "sex")]
+    # MODIFY: type change with the name unchanged = self-rename + type
+    assert D.parse_query("ALTER TABLE pet MODIFY COLUMN owner VARCHAR(50)") == [
+        D.RenameColumn("pet", "owner", "owner", "VARCHAR(50)")
+    ]
+    assert D.parse_query("ALTER TABLE pet MODIFY owner TEXT NOT NULL") == [
+        D.RenameColumn("pet", "owner", "owner", "TEXT NOT NULL")
+    ]
 
 
 def test_alter_multi_clause():
@@ -73,9 +80,12 @@ def test_database_ddl_bypasses_registry():
 def test_dml_ignored_and_unsupported_raises_in_strict():
     assert D.parse_query("BEGIN") == []
     assert D.parse_query("INSERT INTO t VALUES (1)") == []
-    assert D.parse_query("TRUNCATE TABLE t") == []  # warns
+    # TRUNCATE is a data op the registry ignores (reference sqlparser
+    # falls through its match arms) — benign even in strict mode
+    assert D.parse_query("TRUNCATE TABLE t") == []
+    assert D.parse_query("TRUNCATE TABLE t", strict=True) == []
     with pytest.raises(ValueError):
-        D.parse_query("TRUNCATE TABLE t", strict=True)
+        D.parse_query("CREATE INDEX idx ON t(a)", strict=True)
 
 
 def test_registry_state_machine():
