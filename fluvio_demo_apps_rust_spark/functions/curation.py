@@ -1,0 +1,117 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+contamination detection, deterministic stratified sampling, and PII-style
+text scrubbing.
+
+These extend the reference's query surface with the operations a
+large-scale pretraining-data pipeline runs alongside dedup/quality
+(SURVEY §2 extension family). Every kernel is pinned to a portable
+formula so the DuckDB oracle computes the identical value.
+
+Scale posture:
+- Contamination is the canonical decontamination join: explode corpus
+  shingles once, semi-probe the (small) distinct benchmark shingle set
+  via broadcast — map-side at any corpus size; falls back to a
+  shingle-keyed equi-join shuffle if the benchmark outgrows broadcast.
+- Stratified sampling is a pure row-local filter on a deterministic
+  md5-uniform — no shuffle, reproducible across engines and runs
+  (unlike ``df.sample`` whose seed is partition-layout-dependent).
+- Scrubbing is a row-local regexp projection inside codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .dedup import _spread, md5_int60, word_shingles
+
+SAMPLE_BUCKETS = 1_000_000
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document benchmark-overlap stats: how many of the document's
+    distinct word n-gram shingles appear in ANY benchmark document.
+
+    Returns (id, n_shingles, n_contaminated, contamination) — documents
+    with fewer than ``n`` tokens carry no shingles and drop out (same
+    as the oracle's unnest of an empty list).
+
+    The benchmark side reduces to its DISTINCT shingle set first (eval
+    benchmarks are tiny relative to a pretraining corpus), so the probe
+    is a broadcast left join carrying one boolean — the corpus-side
+    explode never shuffles.
+    """
+    bsh = benchmark.select(
+        F.explode(word_shingles(text_col, n=n)).alias("sh")
+    ).distinct()
+    csh = _spread(corpus, id_col).select(
+        F.col(id_col), F.explode(word_shingles(text_col, n=n)).alias("sh")
+    )
+    hit = csh.join(
+        F.broadcast(bsh.withColumn("_hit", F.lit(1))), "sh", "left"
+    )
+    return hit.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("contamination"),
+    )
+
+
+def sample_uniform(id_col: str | Column = "doc_id") -> Column:
+    """Deterministic uniform bucket in [0, SAMPLE_BUCKETS) from the md5
+    of the row id — reproducible across engines (DuckDB mirror:
+    ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT %
+    1000000``)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return md5_int60(c.cast("string")) % SAMPLE_BUCKETS
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row iff its deterministic uniform falls under its
+    stratum's rate — hash-based stratified subsampling (the standard
+    way to rebalance a corpus by language/source without a shuffle or
+    a seed-fragile ``sample``). Row-local filter; rates are exact in
+    expectation and reproducible everywhere."""
+    rate = F.coalesce(
+        *[
+            F.when(F.col(strata_col) == k, F.lit(float(v)))
+            for k, v in rates.items()
+        ],
+        F.lit(float(default_rate)),
+    )
+    threshold = (rate * SAMPLE_BUCKETS).cast("long")
+    return df.filter(sample_uniform(id_col) < threshold)
+
+
+NUMBER_RE = "[0-9]+"
+
+
+def scrub_numbers(col: str | Column = "text") -> list[Column]:
+    """PII-style scrubbing columns: digit-run count and the md5 of the
+    text with every digit run replaced by the ``<NUM>`` placeholder
+    (the reversible-audit shape: counts + content hash, payload never
+    collected). Row-local regexp projections."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_numbers = F.size(F.regexp_extract_all(c, F.lit(NUMBER_RE), 0))
+    redacted = F.regexp_replace(c, NUMBER_RE, "<NUM>")
+    return [
+        n_numbers.alias("n_numbers"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_hash"),
+    ]

@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import curation as C
 from ..functions import dedup as X
 from ..functions import multimodal as M
 from ..functions import similarity as S
@@ -629,5 +630,146 @@ def llm_dedup_fuzzy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b",
             lev.cast("long").alias("edit_dist"),
             F.round(F.lit(1.0) - lev / denom, 6).alias("lev_sim"),
+        )
+    )
+
+
+@register(
+    "llm_contamination",
+    tags=("llm", "curation", "decontamination"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM t WHERE len(t) >= 3),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0)
+SELECT c.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       round(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+           AS contamination
+FROM corp c LEFT JOIN bench b ON c.sh = b.sh
+GROUP BY c.doc_id
+""",
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination check: every 50th document plays the
+    held-out benchmark; each remaining document reports how many of its
+    distinct 3-gram shingles appear anywhere in the benchmark set. The
+    benchmark reduces to its distinct shingle set and broadcasts — the
+    corpus-side explode never shuffles (the decontamination shape a
+    100 TB pretraining pipeline runs before training)."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return C.benchmark_contamination(corpus, bench)
+
+
+@register(
+    "llm_stratified_sample",
+    tags=("llm", "curation", "sampling"),
+    oracle="""
+WITH s AS (
+  SELECT * FROM documents
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+        < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.25
+                ELSE 0.1 END) * 1000000 AS BIGINT))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY lang
+""",
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified subsampling (rebalance the
+    corpus by language: keep 50% of en, 25% of de/fr, 10% otherwise).
+    A row-local md5-uniform filter — reproducible across engines and
+    partition layouts, unlike seed-based ``df.sample`` — followed by a
+    tiny per-stratum aggregate."""
+    d = load(spark, sf_dir, "documents")
+    s = C.stratified_sample(
+        d, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}, default_rate=0.1
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "llm_pii_scrub",
+    tags=("llm", "curation", "scrub"),
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+       length(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_len,
+       md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_hash
+FROM documents
+""",
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing audit: digit-run count plus the hash and
+    length of the text with every digit run replaced by ``<NUM>``.
+    Pure row-local regexp projections inside codegen — the shape of a
+    redaction pass over 100 TB (counts and content hashes, payloads
+    never leave the executors)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", *C.scrub_numbers("text"))
+
+
+_ANN_RANKED = """
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q_id
+             ORDER BY round({dot} / (qn * n.nrm), 6) DESC, n.vec_id) AS rank
+    FROM {src}
+    WHERE n.vec_id <> q_id)
+  WHERE rank <= 5
+"""
+
+
+@register(
+    "llm_ann_recall",
+    tags=("llm", "similarity", "ann", "quality"),
+    oracle=f"""
+WITH n AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
+                  {_lsh_sig_sql('embedding')} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, bucket FROM n WHERE vec_id < 10),
+brute AS ({_ANN_RANKED.format(dot=_dot_sql('qv', 'n.embedding'), src='n CROSS JOIN q')}),
+lshk AS ({_ANN_RANKED.format(dot=_dot_sql('qv', 'n.embedding'), src='n JOIN q USING (bucket)')})
+SELECT b.q_id AS q_id,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(sum(CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+           AS recall
+FROM brute b LEFT JOIN lshk l ON l.q_id = b.q_id AND l.n_id = b.n_id
+GROUP BY b.q_id
+""",
+)
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@5 of the LSH-bucketed index against the
+    exact brute-force ranking, per probe query — the standard way to
+    tune nb/bands before trusting an approximate index at scale. Both
+    sides are existing engine operators; the comparison is one
+    broadcast-size left join + a 10-row aggregate."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = S.brute_force_topk(e, q, k=5).select("q_id", "n_id")
+    lsh = (
+        S.lsh_bucketed_topk(e, q, k=5, nb=8, dim=64)
+        .select("q_id", "n_id")
+        .withColumn("_m", F.lit(1))
+    )
+    return (
+        brute.join(lsh, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("_m"), F.lit(0))).alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("_m"), F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("recall"),
         )
     )
