@@ -49,6 +49,32 @@ BENCH_QUERIES = [
     "llm_dedup_clusters",
 ]
 
+# Per-family subtotals so cross-round regressions (CDC vs dedup vs ANN)
+# are visible straight from BENCH_r{N}.json.
+FAMILY = {
+    "q01_pricing_summary": "relational",
+    "q03_top_revenue_orders": "relational",
+    "q05_nation_volume": "relational",
+    "q06_revenue_delta": "relational",
+    "q08_left_join_agg": "relational",
+    "q11_topk_per_group": "relational",
+    "q14_rollup": "relational",
+    "q30_events_tumbling": "events",
+    "q32_events_session": "events",
+    "cdc_pet_replay": "cdc",
+    "cdc_orders_roundtrip": "cdc",
+    "cdc_mixed_workload": "cdc",
+    "llm_dedup_exact": "dedup",
+    "llm_text_quality": "text",
+    "llm_dedup_ngram_jaccard": "dedup",
+    "llm_minhash_lsh_pairs": "dedup",
+    "llm_simhash": "dedup",
+    "llm_ann_topk": "ann",
+    "llm_ann_lsh": "ann",
+    "llm_ann_ivf": "ann",
+    "llm_dedup_clusters": "dedup",
+}
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,40 +103,53 @@ def main() -> int:
     # Co-tenant host load swings wall times ±50%; when the two runs
     # disagree by >30% the spread is load, not the plan, so take up to
     # two extra runs and keep the min.
-    times: dict[str, float] = {}
+    times: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         spec = REGISTRY[name]
         runs: list[float] = []
-        while len(runs) < 4:
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-            # Promptly release cached/checkpointed RDDs the query may
-            # hold (CDC folds localCheckpoint) so later queries don't
-            # inherit memory pressure.
-            del df
-            gc.collect()
-            s = sorted(runs)
-            # stable = the two fastest runs agree (or the query is
-            # too small for load to matter)
-            if len(runs) >= 2 and (s[0] < 0.2 or (s[1] - s[0]) / s[0] <= 0.3):
-                break
-        times[name] = round(min(runs), 3)
+        # Per-query error isolation: one broken plan must never zero out
+        # the whole artifact — record the error and keep benchmarking.
+        try:
+            while len(runs) < 4:
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+                # Promptly release cached/checkpointed RDDs the query may
+                # hold (CDC folds localCheckpoint) so later queries don't
+                # inherit memory pressure.
+                del df
+                gc.collect()
+                s = sorted(runs)
+                # stable = the two fastest runs agree (or the query is
+                # too small for load to matter)
+                if len(runs) >= 2 and (s[0] < 0.2 or (s[1] - s[0]) / s[0] <= 0.3):
+                    break
+            times[name] = round(min(runs), 3)
+        except Exception as exc:  # noqa: BLE001 — isolate any plan failure
+            msg = f"{type(exc).__name__}: {exc}"
+            times[name] = {"err": msg[:500]}
+            errors[name] = msg[:500]
 
-    total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared-query wall time (noop sink, steady-state min of 2-4 adaptive runs), all operator families",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "runs_per_query": "2-4 (adaptive)",
-            }
-        )
-    )
+    ok = {k: v for k, v in times.items() if isinstance(v, float)}
+    total = round(sum(ok.values()), 3)
+    families: dict[str, float] = {}
+    for name, t in ok.items():
+        fam = FAMILY.get(name, "other")
+        families[fam] = round(families.get(fam, 0.0) + t, 3)
+    out = {
+        "metric": "declared-query wall time (noop sink, steady-state min of 2-4 adaptive runs), all operator families",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "families": families,
+        "sf": sf,
+        "runs_per_query": "2-4 (adaptive)",
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     return 0
 
 

@@ -24,13 +24,19 @@ from .base import load, register
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
-    # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    # rejects; read the raw int64 nanos and truncate to micros (exactly
-    # what DuckDB's reader does), giving a UTC-pinned TIMESTAMP column.
+    # events.parquet has shipped with two layouts: TIMESTAMP(NANOS) (which
+    # Spark's reader only accepts as raw int64 via nanosAsLong) and plain
+    # timestamp[us] (read as TIMESTAMP_NTZ). Branch on the dtype actually
+    # loaded so either layout yields the same UTC-pinned TIMESTAMP column.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return load(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    df = load(spark, sf_dir, "events")
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        # int64 nanos -> truncate to micros (what DuckDB's reader does).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # timestamp / timestamp_ntz: session is UTC, so the cast is a no-op
+    # reinterpretation that matches DuckDB's naive timestamp arithmetic.
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 @register(
