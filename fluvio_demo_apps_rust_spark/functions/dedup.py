@@ -290,7 +290,11 @@ def connected_components(
         eager=False
     )
     driver_threshold = 500_000
-    if e.limit(driver_threshold + 1).count() <= driver_threshold:
+    # Single job doubles as size probe and fast-path fetch: collect at
+    # most threshold+1 edges and branch on how many came back — if we
+    # got <= threshold we already hold the whole edge set.
+    head = e.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -301,7 +305,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in e.collect():
+        for r in head:
             ra, rb = find(r.src), find(r.dst)
             if ra != rb:
                 # union by smaller id so the root IS the min label

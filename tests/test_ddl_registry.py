@@ -88,6 +88,68 @@ def test_dml_ignored_and_unsupported_raises_in_strict():
         D.parse_query("CREATE INDEX idx ON t(a)", strict=True)
 
 
+def test_exotic_but_legal_ddl():
+    # quoted identifiers containing commas/spaces survive the tokenizer
+    ops = D.parse_query("CREATE TABLE `weird, name` (`col, a` INT, `col b` TEXT)")
+    assert ops == [D.CreateTable("weird, name", [("col, a", "INT"), ("col b", "TEXT")])]
+    # string literals with commas/parens/escapes don't break clause splits
+    ops = D.parse_query(
+        "CREATE TABLE t (a ENUM('x,y','z(1)') DEFAULT 'a''b', b INT COMMENT 'c, (d)')"
+    )
+    assert [c for c, _ in ops[0].columns] == ["a", "b"]
+    assert "ENUM('x,y','z(1)')" in ops[0].columns[0][1]
+    # table options after the column list are ignored
+    ops = D.parse_query(
+        "CREATE TABLE t (a INT) ENGINE=InnoDB AUTO_INCREMENT=7 "
+        "DEFAULT CHARSET=utf8mb4 COMMENT='opts (x), y'"
+    )
+    assert ops == [D.CreateTable("t", [("a", "INT")])]
+    # comments are stripped anywhere
+    ops = D.parse_query(
+        "CREATE TABLE t ( -- trailing\n a INT, /* block, with comma */ b TEXT)"
+    )
+    assert [c for c, _ in ops[0].columns] == ["a", "b"]
+    # multi-column ADD and position specifiers
+    assert D.parse_query("ALTER TABLE t ADD COLUMN (a INT, b DECIMAL(10,2))") == [
+        D.AddColumn("t", "a", "INT"),
+        D.AddColumn("t", "b", "DECIMAL(10,2)"),
+    ]
+    assert D.parse_query("ALTER TABLE t ADD a INT AFTER z, ADD b INT FIRST") == [
+        D.AddColumn("t", "a", "INT"),
+        D.AddColumn("t", "b", "INT"),
+    ]
+    # index/constraint/option ALTER clauses are benign, even in strict mode
+    assert D.parse_query(
+        "ALTER TABLE t ADD PRIMARY KEY (a), DROP INDEX idx, ADD CONSTRAINT fk "
+        "FOREIGN KEY (b) REFERENCES o(id), ALGORITHM=INPLACE, LOCK=NONE, "
+        "ALTER COLUMN c SET DEFAULT 1, ADD d INT",
+        strict=True,
+    ) == [D.AddColumn("t", "d", "INT")]
+    # IF NOT EXISTS + db-qualified quoted names
+    assert D.parse_query("CREATE TABLE IF NOT EXISTS `db`.`t` (a INT)") == [
+        D.CreateTable("t", [("a", "INT")])
+    ]
+    # multi-statement input and DROP ... CASCADE
+    assert D.parse_query("DROP TABLE a CASCADE; CREATE TABLE b (x INT);") == [
+        D.DropTable(["a"]),
+        D.CreateTable("b", [("x", "INT")]),
+    ]
+
+
+def test_regex_fallback_agrees_on_core_shapes():
+    for stmt in [
+        "CREATE TABLE pet (name VARCHAR(20), birth DATE)",
+        "ALTER TABLE pet ADD COLUMN nick VARCHAR(10)",
+        "ALTER TABLE pet CHANGE owner keeper VARCHAR(30)",
+        "ALTER TABLE pet MODIFY owner TEXT NOT NULL",
+        "ALTER TABLE pet DROP COLUMN sex",
+        "DROP TABLE a, `b`",
+        "CREATE DATABASE flvDb",
+        "INSERT INTO t VALUES (1)",
+    ]:
+        assert D.parse_query(stmt) == D._parse_query_regex(stmt), stmt
+
+
 def test_registry_state_machine():
     r = SchemaRegistry()
     r.apply_query("flvdb", "CREATE TABLE pet (name VARCHAR(20), birth DATE)")
