@@ -389,41 +389,57 @@ def ngram_jaccard_pairs(
     jaccard (common counts miss the dropped shingles; denominators stay
     exact), which is the standard posting-pruning trade: stop-shingles
     carry no dedup signal but all of the cost. ``None`` = exact.
+
+    The per-doc shingle-set size rides along with each posting entry
+    (one extra int per (shingle, doc) record), so the pair fan-out
+    emits (a, na, b, nb) directly and the final aggregate computes
+    jaccard with NO size join: one corpus scan, two shuffles total
+    (shingle key, pair key), no checkpoint, no broadcast builds.
     """
-    # Lazy localCheckpoint: the single downstream action materializes
-    # the exploded shingle stream ONCE and both the postings branch and
-    # the sizes branch scan the stored partitions — the corpus is
-    # tokenized one time, not two.
+    # The explode keeps the shingling expression INLINE: naming the
+    # array in a projection lets InferFiltersFromGenerate clone the
+    # whole expression into a non-empty filter that predicate pushdown
+    # then sinks BELOW the _spread exchange — evaluating the shingling
+    # twice per doc on the single pre-repartition scan partition
+    # (measured 16 s vs 0.9 s at sf0.1). n_sh comes from a count window
+    # over the doc key instead (shingles are distinct per doc, so the
+    # count IS the set size); the window reuses _spread's hash
+    # partitioning, so it adds a per-partition sort and no shuffle.
+    from pyspark.sql import Window
+
     sh = (
         _spread(df, id_col)
         .select(F.col(id_col), F.explode(word_shingles(n=n)).alias("sh"))
-        .localCheckpoint(eager=False)
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     )
+    # array_sort on structs orders by the leading field (the doc id), so
+    # the fan-out below emits each pair once with a < b. The sort runs
+    # AFTER the size filters so uncapped stop-shingle postings are
+    # pruned before paying the struct-comparator sort.
     postings = (
         sh.groupBy("sh")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ds"))
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("d"), "n_sh")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
     if max_posting is not None:
         postings = postings.filter(F.size("ds") <= max_posting)
+    postings = postings.withColumn("ds", F.array_sort("ds"))
     pairs = postings.select(
         F.explode(
             F.expr(
                 "flatten(transform(ds, (x, i) -> "
-                "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+                "transform(slice(ds, i + 2, size(ds)), y -> "
+                "struct(x.d AS a, x.n_sh AS na, y.d AS b, y.n_sh AS nb))))"
             )
         ).alias("p")
-    ).select("p.a", "p.b")
-    common = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
-    # Shingle-set sizes from the SAME checkpointed stream (shingles are
-    # distinct per doc, so the per-doc count is the set size); result
-    # is doc-cardinality small, broadcast to the pair stream.
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
+    ).select("p.a", "p.na", "p.b", "p.nb")
     return (
-        common.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        pairs.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
         .select(
             "a",
             "b",

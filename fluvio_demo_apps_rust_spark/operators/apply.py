@@ -154,9 +154,21 @@ def apply_changes(
     state = state or CdcState()
     # Prune to the columns the kernel reads before caching: uri/urn/
     # file_name/offset never feed apply, and dropping them shrinks the
-    # in-memory columnar cache the image extraction re-scans.
+    # in-memory columnar cache the image extraction re-scans. ncols /
+    # nrows_ev are precomputed here so every summary-phase scan of the
+    # cache touches ONLY scalar columns — sizing the nested arrays at
+    # scan time forced the columnar cache to decompress rows/columns
+    # for each of the 3 summary scans (measured ~1 s at 217k events).
     events = events.select(
-        "sequence", "db", "table", "op_type", "query", "columns", "rows"
+        "sequence",
+        "db",
+        "table",
+        "op_type",
+        "query",
+        "columns",
+        "rows",
+        F.size("columns").alias("ncols"),
+        F.size("rows").alias("nrows_ev"),
     ).persist()
     state._cached_events.append(events)
 
@@ -191,11 +203,7 @@ def apply_changes(
     )
     meta = (
         events.filter(F.col("op_type").isin("Add", "Update", "Delete"))
-        .select(
-            "sequence", "db", "table", "op_type",
-            F.size("columns").alias("ncols"),
-            F.size("rows").alias("nrows_ev"),
-        )
+        .select("sequence", "db", "table", "op_type", "ncols", "nrows_ev")
         .join(F.broadcast(ddl_agg), dbk == F.col("dbk"), "left")
         .withColumn(
             "barrier",

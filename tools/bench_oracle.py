@@ -1,13 +1,7 @@
 #!/usr/bin/env python
-"""DuckDB side of the benchmark: runs each BENCH query's own oracle
-SQL (the same statements the correctness gate uses) on the sf0.1
-parquet with all host threads, min of 2 runs, and prints one JSON
-line — the reproducible source of BASELINE.md's comparison column.
-
-Queries with no oracle (rows-only streaming checks) are skipped.
-
-Usage: python tools/bench_oracle.py [sf_dir]
-"""
+"""Time the DuckDB oracle SQL for every bench query at the same SF —
+the denominator of the bench-vs-baseline ratio. Same adaptive-min
+method as bench.py so the two JSON lines are directly comparable."""
 
 from __future__ import annotations
 
@@ -17,51 +11,51 @@ import sys
 import time
 from pathlib import Path
 
-import duckdb
-
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import BENCH_QUERIES  # noqa: E402
-from fluvio_demo_apps_rust_spark.plans import REGISTRY  # noqa: E402
+import duckdb
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings".split()
-)
+from bench import BENCH_QUERIES
+from fluvio_demo_apps_rust_spark.plans import REGISTRY
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     con = duckdb.connect()
-    con.execute(f"SET threads TO {os.cpu_count()}")
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
     for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if Path(p).exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-
-    times: dict[str, float] = {}
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    times: dict[str, object] = {}
     for name in BENCH_QUERIES:
-        spec = REGISTRY[name]
-        if spec.oracle is None:
+        sql = REGISTRY[name].oracle
+        if not sql:
+            times[name] = {"err": "no oracle"}
             continue
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            con.execute(spec.oracle).fetchall()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
-
+        runs: list[float] = []
+        try:
+            while len(runs) < 4:
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                runs.append(time.perf_counter() - t0)
+                s = sorted(runs)
+                if len(runs) >= 2 and (s[0] < 0.2 or (s[1] - s[0]) / s[0] <= 0.3):
+                    break
+            times[name] = round(min(runs), 3)
+        except Exception as exc:  # noqa: BLE001
+            times[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+    ok = {k: v for k, v in times.items() if isinstance(v, float)}
     print(
         json.dumps(
             {
-                "metric": "DuckDB oracle wall time for the BENCH queries (min of 2)",
-                "value": round(sum(times.values()), 3),
+                "metric": "DuckDB oracle wall time, same queries/method as bench.py",
+                "value": round(sum(ok.values()), 3),
                 "unit": "sec",
                 "queries": times,
-                "sf_dir": sf_dir,
-                "threads": os.cpu_count(),
+                "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
             }
         )
     )
@@ -69,4 +63,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    raise SystemExit(main())
