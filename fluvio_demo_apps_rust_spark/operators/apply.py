@@ -257,7 +257,19 @@ def apply_changes(
     # ONE action: materializes the event cache and collects run
     # summaries + DDL events together. Driver-side sort; DDL sorts
     # before a row run starting at the same sequence (the reference's
-    # sequences are unique; this pins behavior if not).
+    # sequences are unique; this pins behavior if not). AQE is scoped
+    # OFF for this collect: the meta stream is tiny (one row per event,
+    # scalar columns) but AQE materializes each of its exchanges as a
+    # separate job — measured 9 jobs vs 3 for the same plan — and
+    # per-job latency dominates a metadata-sized query. The bulk image
+    # joins later keep AQE (it picks their join strategy at real size).
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_was = spark.conf.get(aqe_key, "true")
+    spark.conf.set(aqe_key, "false")
+    try:
+        collected = runs_part.unionByName(q_part).collect()
+    finally:
+        spark.conf.set(aqe_key, aqe_was)
     summaries = sorted(
         (
             {
@@ -265,7 +277,7 @@ def apply_changes(
                 "ncols": r.ncols, "seq_min": r.seq_min, "seq_max": r.seq_max,
                 "n_rows": r.n_rows, "query": r.query,
             }
-            for r in runs_part.unionByName(q_part).collect()
+            for r in collected
         ),
         key=lambda s: (s["seq_min"], s["op_type"] != "Query"),
     )

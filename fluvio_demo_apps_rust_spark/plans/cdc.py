@@ -100,13 +100,28 @@ def cdc_mixed_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     par = spark.sparkContext.defaultParallelism
-    adds = o.repartition(par).select(ev(F.col("o_orderkey") + 1, "Add", "cols").alias("value"))
-    dels = o.repartition(par).filter(F.col("o_orderstatus") == "F").select(
-        ev(F.col("o_orderkey") + 1 + F.lit(n), "Delete", "cols").alias("value")
+    # ONE scan + ONE repartition renders both event kinds: each order
+    # row emits its Add event plus, for 'F' orders, the Delete event —
+    # array_compact drops the non-delete slot before the explode.
+    rendered = (
+        o.repartition(par)
+        .select(
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        ev(F.col("o_orderkey") + 1, "Add", "cols"),
+                        F.when(
+                            F.col("o_orderstatus") == "F",
+                            ev(F.col("o_orderkey") + 1 + F.lit(n), "Delete", "cols"),
+                        ),
+                    )
+                )
+            ).alias("value")
+        )
     )
     from ..codec import parse_events
 
-    events = parse_events(ddl.unionByName(adds).unionByName(dels))
+    events = parse_events(ddl.unionByName(rendered))
     state = apply_changes(spark, events)
     t = state.table("cdcdb", "orders_m")
     return t.select("o_orderkey", "o_orderstatus")
