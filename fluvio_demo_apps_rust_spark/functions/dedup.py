@@ -157,14 +157,25 @@ def minhash_digest(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(band, bucket) equi-join → candidate pairs (a < b). Linear-time
-    candidate generation; the join shuffles on the bucket key only."""
-    a = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
-    b = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
+    """(band, bucket) posting lists → candidate pairs (a < b).
+    Linear-time candidate generation: ONE shuffle of one copy of the
+    bucket stream (groupBy the bucket key, ordered fan-out per posting)
+    instead of a self-join that reshuffles both sides, then a distinct
+    to merge pairs that collide in several bands. A bucket of size m
+    emits m·(m-1)/2 pairs — same output as the join formulation."""
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        buckets.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
     )
 
