@@ -115,3 +115,89 @@ def scrub_numbers(col: str | Column = "text") -> list[Column]:
         F.length(redacted).alias("redacted_len"),
         F.md5(redacted).alias("redacted_hash"),
     ]
+
+
+def sequence_pack(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    range_size: int = 4096,
+) -> DataFrame:
+    """Concat-then-chunk sample packing: documents are concatenated in
+    ``id_col`` order and split into fixed ``budget``-token context
+    windows — each doc gets its global token ``start_offset``, its
+    ``pack_id`` (the window its first token lands in), and a
+    ``crosses`` flag (doc straddles a window boundary). This is the
+    standard pretraining packing layout (GPT-style concat+chunk).
+
+    Scale posture: the global prefix sum is computed in TWO phases so
+    no window ever sees the whole corpus in one partition — (1) docs
+    are range-bucketed by ``floor(id / range_size)``; per-range token
+    totals (#docs / range_size rows) get their exclusive running sum
+    on a driver-small stream; (2) the per-range offsets broadcast-join
+    back and an intra-range window (partitioned by range, so fully
+    parallel) adds the within-range exclusive cumsum. Identical output
+    to a single global-order window at any size.
+    """
+    from pyspark.sql import Window
+
+    from .text import ws_token_count
+
+    base = df.select(
+        F.col(id_col),
+        ws_token_count().cast("long").alias("n_tokens"),
+        F.floor(F.col(id_col) / range_size).alias("rk"),
+    )
+    range_tot = base.groupBy("rk").agg(F.sum("n_tokens").alias("rtot"))
+    w_ranges = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, -1)
+    range_off = range_tot.select(
+        "rk", F.coalesce(F.sum("rtot").over(w_ranges), F.lit(0)).alias("roff")
+    )
+    w_intra = (
+        Window.partitionBy("rk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (
+        F.col("roff") + F.coalesce(F.sum("n_tokens").over(w_intra), F.lit(0))
+    ).alias("start_offset")
+    packed = base.join(F.broadcast(range_off), "rk").select(
+        id_col, "n_tokens", start
+    )
+    pack_id = F.floor(F.col("start_offset") / budget)
+    last_pack = F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / budget)
+    return packed.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        pack_id.alias("pack_id"),
+        (last_pack != pack_id).alias("crosses"),
+    )
+
+
+def incremental_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Incremental (snapshot) dedup: treat the lower half of the id
+    space as the already-ingested corpus snapshot and keep only the NEW
+    documents whose content hash does not appear in the snapshot — the
+    anti-join every periodically-refreshed corpus runs instead of
+    re-deduplicating from scratch.
+
+    Scale posture: one hash anti-join shuffled on the content hash
+    (AQE broadcasts the snapshot side when it is small; at 100 TB both
+    sides shuffle on the hash key — linear, never all-pairs). The
+    split threshold is computed distributively (a one-row aggregate
+    broadcast into the scan filters)."""
+    hashed = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    thr = df.agg(F.floor(F.max(id_col) / 2).cast("long").alias("thr"))
+    with_thr = hashed.crossJoin(F.broadcast(thr))
+    snapshot = with_thr.filter(F.col(id_col) <= F.col("thr")).select("content_hash")
+    fresh = with_thr.filter(F.col(id_col) > F.col("thr")).select(
+        id_col, "content_hash"
+    )
+    return fresh.join(snapshot, "content_hash", "left_anti").select(
+        id_col, "content_hash"
+    )

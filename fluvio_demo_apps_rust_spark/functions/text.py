@@ -105,6 +105,44 @@ def langid_columns(col: str | Column = "text") -> list[Column]:
     ]
 
 
+def word_ngrams(col_name: str = "text", n: int = 2) -> Column:
+    """NON-distinct word n-grams of the lowercased text (order kept,
+    duplicates kept — the repetition metrics need multiplicity; the
+    dedup shingles in functions/dedup.py use the distinct variant)."""
+    toks = f"split(lower(trim({col_name})), '\\\\s+')"
+    parts = ", ".join(f"{toks}[i + {k}]" for k in range(n))
+    return F.expr(
+        f"CASE WHEN size({toks}) < {n} THEN cast(array() AS array<string>) "
+        f"ELSE transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', {parts})) END"
+    )
+
+
+def repetition_columns(col_name: str = "text") -> list[Column]:
+    """Within-document repetition metrics (Gopher-style quality rules):
+    the fraction of word 2-grams / 3-grams that are duplicates of an
+    earlier occurrence in the same document. High values flag the
+    boilerplate/keyword-stuffing documents a pretraining pipeline
+    drops. Row-local (no shuffle); the ``repetitive`` flag pins the
+    pipeline's drop rule at dup3_frac >= 0.1."""
+
+    def dup_frac(arr: Column) -> Column:
+        sz = F.size(arr)
+        return F.when(sz == 0, F.lit(0.0)).otherwise(
+            F.round((sz - F.size(F.array_distinct(arr))) / sz.cast("double"), 4)
+        )
+
+    g2 = word_ngrams(col_name, 2)
+    g3 = word_ngrams(col_name, 3)
+    d2 = dup_frac(g2)
+    d3 = dup_frac(g3)
+    return [
+        d2.alias("dup2_frac"),
+        d3.alias("dup3_frac"),
+        (d3 >= 0.1).alias("repetitive"),
+    ]
+
+
 def fingerprint(col: str | Column = "text") -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted
     distinct token set (the classic "fingerprint clustering" key)."""

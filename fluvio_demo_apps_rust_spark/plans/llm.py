@@ -773,3 +773,76 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "llm_sequence_pack",
+    tags=("llm", "curation", "packing", "window"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
+      FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       (start_offset // 2048)::BIGINT AS pack_id,
+       ((start_offset + n_tokens - 1) // 2048) <> (start_offset // 2048) AS crosses
+FROM c
+""",
+)
+def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sample packing (2048-token windows): global
+    token offsets via a two-phase prefix sum (range totals + intra-range
+    windows) so no single partition ever holds the whole corpus; the
+    oracle computes the same offsets with one global window."""
+    return C.sequence_pack(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_incremental_dedup",
+    tags=("llm", "curation", "dedup", "anti-join"),
+    oracle="""
+WITH thr AS (SELECT (max(doc_id) // 2)::BIGINT AS t FROM documents),
+h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
+SELECT d.doc_id, d.content_hash
+FROM h d, thr
+WHERE d.doc_id > thr.t
+  AND NOT EXISTS (
+    SELECT 1 FROM h o, thr WHERE o.doc_id <= thr.t
+      AND o.content_hash = d.content_hash)
+""",
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot dedup: new documents (upper id half) anti-joined on
+    content hash against the already-ingested snapshot (lower half) —
+    the incremental path a periodically-refreshed corpus runs instead
+    of full re-dedup."""
+    return C.incremental_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_doc_repetition",
+    tags=("llm", "text", "quality"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id,
+             [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)] AS g2,
+             [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              for i in generate_series(1, len(toks) - 2)] AS g3
+      FROM t)
+SELECT doc_id,
+       CASE WHEN len(g2) = 0 THEN 0.0
+            ELSE round((len(g2) - len(list_distinct(g2))) / len(g2)::DOUBLE, 4) END AS dup2_frac,
+       CASE WHEN len(g3) = 0 THEN 0.0
+            ELSE round((len(g3) - len(list_distinct(g3))) / len(g3)::DOUBLE, 4) END AS dup3_frac,
+       (CASE WHEN len(g3) = 0 THEN 0.0
+             ELSE round((len(g3) - len(list_distinct(g3))) / len(g3)::DOUBLE, 4) END) >= 0.1 AS repetitive
+FROM g
+""",
+)
+def llm_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style duplicate n-gram
+    fractions): row-local array arithmetic, no shuffle; flags
+    boilerplate/keyword-stuffed documents at dup3_frac >= 0.1."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", *TX.repetition_columns())

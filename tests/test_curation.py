@@ -66,3 +66,77 @@ def test_scrub_numbers_pinned(spark):
     r = df.select("doc_id", *C.scrub_numbers("text")).collect()[0]
     assert r.n_numbers == 3
     assert r.redacted_len == len("call <NUM> <NUM> now <NUM> times")
+
+
+def test_sequence_pack_matches_sequential_fold(spark):
+    """Two-phase prefix sum == sequential concat-then-chunk fold,
+    including docs straddling window boundaries."""
+    texts = [(i, " ".join(["w"] * ((i * 37) % 900 + 1))) for i in range(200)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in C.sequence_pack(df, budget=512, range_size=16).collect()
+    }
+    # sequential oracle
+    start = 0
+    for i, t in texts:
+        n = len(t.split())
+        r = out[i]
+        assert r.n_tokens == n
+        assert r.start_offset == start, f"doc {i}"
+        assert r.pack_id == start // 512
+        assert r.crosses == ((start + n - 1) // 512 != start // 512)
+        start += n
+
+
+def test_sequence_pack_no_global_window(spark):
+    """The scale path: no window may order the full corpus in one
+    partition — the doc-ordered window must be partitioned by the
+    range key; the only unpartitioned window runs on the per-range
+    totals (corpus_size / range_size rows)."""
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(100)], "doc_id long, text string"
+    )
+    plan = C.sequence_pack(df)._jdf.queryExecution().optimizedPlan().toString()
+    specs = [
+        line for line in plan.splitlines() if "windowspecdefinition" in line
+    ]
+    assert len(specs) == 2
+    doc_specs = [s for s in specs if "doc_id" in s]
+    assert len(doc_specs) == 1
+    # partition key rk leads the spec: windowspecdefinition(rk#N, doc_id# ...
+    assert "windowspecdefinition(rk#" in doc_specs[0]
+    # the rk-free window orders the per-range totals stream only
+    other = next(s for s in specs if s not in doc_specs)
+    assert "rtot" in other
+
+
+def test_incremental_dedup_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha"), (2, "beta"), (3, "gamma"),
+            (4, "alpha"),   # dup of snapshot -> dropped
+            (5, "delta"),   # new unique -> kept
+            (6, "delta"),   # dup of another NEW doc -> kept (only snapshot dedups)
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in C.incremental_dedup(df).collect())
+    assert kept == [5, 6]
+
+
+def test_repetition_columns_pinned(spark):
+    from fluvio_demo_apps_rust_spark.functions import text as TX
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),     # g2: 5 grams, distinct 2 -> dup2 0.6
+            (2, "one two three"),   # no repetition
+            (3, "x"),               # too short for 2-grams -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in df.select("doc_id", *TX.repetition_columns()).collect()}
+    assert rows[1].dup2_frac == 0.6
+    assert rows[1].repetitive is True
+    assert rows[2].dup2_frac == 0.0 and rows[2].dup3_frac == 0.0
+    assert rows[3].dup2_frac == 0.0 and rows[3].repetitive is False
