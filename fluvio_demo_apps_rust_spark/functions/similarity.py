@@ -292,3 +292,73 @@ def lsh_bucketed_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    ncells: int = 16,
+    tau: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: vectors are coarse-quantized into
+    IVF cells, and within each cell a vector is PRUNED when a lower-id
+    cell-mate sits above the cosine threshold (its ``keeper``). Output:
+    one row per vector — (id, cell, keeper, pruned).
+
+    Scale posture: the pair blow-up is bounded per cell (the SemDeDup
+    trade — clustering first makes the quadratic local); cell
+    assignment is the map-side max_by argmax (no per-vector window
+    shuffle), pairs come from ONE cell-keyed posting fan-out of one
+    copy of the corpus, and the prune marks need one more shuffle on
+    the pruned id. Centroids are the first ``ncells`` vectors so the
+    oracle reproduces the exact partition (production would pass
+    k-means centroids — the plan shape is unchanged).
+    """
+    cent = emb.filter(F.col(id_col) < ncells).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    corpus = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            id_col,
+            vec_col,
+            "c_id",
+            F.round(cosine(vec_col, "c_vec"), 6).alias("c_sim"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.any_value(vec_col).alias("vec"),
+            F.max_by(
+                "c_id", F.struct(F.col("c_sim"), (-F.col("c_id")).alias("neg"))
+            ).alias("cell"),
+        )
+    )
+    a = corpus.select(
+        F.col(id_col).alias("a"), F.col("vec").alias("va"), norm("vec").alias("na"), "cell"
+    )
+    b = corpus.select(
+        F.col(id_col).alias("b"), F.col("vec").alias("vb"), norm("vec").alias("nb_"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "b",
+            F.col("a"),
+            F.round(dot("va", "vb") / (F.col("na") * F.col("nb_")), 6).alias("cs"),
+        )
+        .filter(F.col("cs") >= tau)
+    )
+    dup = pairs.groupBy("b").agg(F.min("a").alias("keeper"))
+    return (
+        corpus.select(id_col, "cell")
+        .join(dup, corpus[id_col] == dup["b"], "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce("keeper", F.col(id_col)).alias("keeper"),
+            F.col("keeper").isNotNull().alias("pruned"),
+        )
+    )

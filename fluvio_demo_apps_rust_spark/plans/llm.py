@@ -846,3 +846,36 @@ def llm_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/keyword-stuffed documents at dup3_frac >= 0.1."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", *TX.repetition_columns())
+
+
+@register(
+    "llm_semdedup",
+    tags=("llm", "dedup", "embedding", "ivf"),
+    oracle=f"""
+WITH n AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM embeddings),
+cent AS (SELECT vec_id AS c_id, embedding AS c_vec, nrm AS c_nrm FROM n WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, embedding, nrm, c_id,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round({_dot_sql('embedding', 'c_vec')} / (nrm * c_nrm), 6) DESC, c_id
+         ) AS rn
+  FROM n CROSS JOIN cent),
+corpus AS (SELECT vec_id, embedding, nrm, c_id AS cell FROM assign WHERE rn = 1),
+pairs AS (
+  SELECT y.vec_id AS b, x.vec_id AS a
+  FROM corpus x JOIN corpus y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE round({_dot_sql('x.embedding', 'y.embedding')} / (x.nrm * y.nrm), 6) >= 0.3),
+dup AS (SELECT b, min(a) AS keeper FROM pairs GROUP BY b)
+SELECT c.vec_id, c.cell, coalesce(d.keeper, c.vec_id) AS keeper,
+       d.keeper IS NOT NULL AS pruned
+FROM corpus c LEFT JOIN dup d ON d.b = c.vec_id
+""",
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: IVF-cell clustering bounds the
+    pairwise cosine check to cell-mates; a vector is pruned when a
+    lower-id cell-mate exceeds cosine 0.3 (its keeper). Cluster-first
+    makes the quadratic local — the scale shape of embedding dedup."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.semdedup_prune(e, ncells=16, tau=0.3)

@@ -181,3 +181,35 @@ def test_embedding_candidate_pairs_shape(spark):
     assert all(a < b for a, b in pairs)
     n = df.count()
     assert len(pairs) < n * (n - 1) / 2        # a strict subset of all-pairs
+
+
+def test_semdedup_prune_semantics(spark):
+    import pyspark.sql.functions as F
+    from fluvio_demo_apps_rust_spark.functions import similarity as S
+
+    # 4 vectors in 2d: ids 0,1 are the centroids. 2 is nearly parallel
+    # to 0 (same cell, high cos -> pruned by 0); 3 aligns with 1 but
+    # low-similarity to its cell-mates? make 3 parallel to 1 -> pruned.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.999, 0.01]),
+        (3, [0.01, 0.999]),
+        (4, [-1.0, 0.5]),   # cell of 1 (cos<0 vs 0, ~0.44 vs 1) but far
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in S.semdedup_prune(df, ncells=2, tau=0.9).collect()}
+    assert out[0].pruned is False and out[0].keeper == 0
+    assert out[2].pruned is True and out[2].keeper == 0
+    assert out[3].pruned is True and out[3].keeper == 1
+    assert out[4].pruned is False and out[4].keeper == 4
+
+
+def test_semdedup_prunes_on_testdata(spark):
+    from fluvio_demo_apps_rust_spark.functions import similarity as S
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = S.semdedup_prune(e, ncells=16, tau=0.3)
+    n_pruned = out.filter("pruned").count()
+    assert out.count() == 500
+    assert n_pruned > 0, "tau=0.3 should prune at least one near-dup"
