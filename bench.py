@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "llm_ann_lsh",
     "llm_ann_ivf",
     "llm_dedup_clusters",
+    "llm_sequence_pack",
+    "llm_semdedup",
+    "llm_doc_repetition",
 ]
 
 # Per-family subtotals so cross-round regressions (CDC vs dedup vs ANN)
@@ -73,6 +76,9 @@ FAMILY = {
     "llm_ann_lsh": "ann",
     "llm_ann_ivf": "ann",
     "llm_dedup_clusters": "dedup",
+    "llm_sequence_pack": "curation",
+    "llm_semdedup": "dedup",
+    "llm_doc_repetition": "text",
 }
 
 

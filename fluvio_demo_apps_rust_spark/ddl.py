@@ -150,13 +150,15 @@ def _render(toks: list[_Tok]) -> str:
     neighbors, so DECIMAL(10,2) and ENUM('a','b') come back verbatim
     while TEXT NOT NULL keeps its spaces."""
     out: list[str] = []
-    prev_wordlike = False
+    prev: _Tok | None = None
     for t in toks:
         wordlike = t.kind in ("word", "qident", "string")
-        if out and wordlike and prev_wordlike:
+        prev_wordlike = prev is not None and prev.kind in ("word", "qident", "string")
+        prev_close = prev is not None and prev.kind == "punct" and prev.value == ")"
+        if out and wordlike and (prev_wordlike or prev_close):
             out.append(" ")
         out.append(t.raw)
-        prev_wordlike = wordlike
+        prev = t
     return "".join(out)
 
 
