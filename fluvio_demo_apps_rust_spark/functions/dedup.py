@@ -43,13 +43,20 @@ def md5_int60(col: Column) -> Column:
 def word_shingles(col_name: str = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles of the lowercased text (JVM-side:
     transform over an index sequence; empty array when the document has
-    fewer than n tokens)."""
+    fewer than n tokens).
+
+    The token split is LET-bound (single-element transform) so the
+    inner lambda indexes a bound array: higher-order lambdas evaluate
+    interpreted without common-subexpression elimination, so an
+    inlined ``split(...)[i + k]`` re-splits the document once per
+    element per reference — O(tokens²) per doc."""
     toks = f"split(lower(trim({col_name})), '\\\\s+')"
-    parts = ", ".join(f"{toks}[i + {k}]" for k in range(n))
+    parts = ", ".join(f"t[i + {k}]" for k in range(n))
     return F.expr(
-        f"CASE WHEN size({toks}) < {n} THEN cast(array() AS array<string>) "
-        f"ELSE array_distinct(transform(sequence(0, size({toks}) - {n}), "
-        f"i -> concat_ws(' ', {parts}))) END"
+        f"transform(array({toks}), t -> "
+        f"CASE WHEN size(t) < {n} THEN cast(array() AS array<string>) "
+        f"ELSE array_distinct(transform(sequence(0, size(t) - {n}), "
+        f"i -> concat_ws(' ', {parts}))) END)[0]"
     )
 
 

@@ -108,13 +108,20 @@ def langid_columns(col: str | Column = "text") -> list[Column]:
 def word_ngrams(col_name: str = "text", n: int = 2) -> Column:
     """NON-distinct word n-grams of the lowercased text (order kept,
     duplicates kept — the repetition metrics need multiplicity; the
-    dedup shingles in functions/dedup.py use the distinct variant)."""
+    dedup shingles in functions/dedup.py use the distinct variant).
+
+    The token split is LET-bound via a single-element transform so the
+    inner lambda indexes a bound array: higher-order lambdas evaluate
+    interpreted WITHOUT common-subexpression elimination, so inlining
+    the split into ``t[i + k]`` would re-split the document once per
+    element per reference — O(tokens²) per doc."""
     toks = f"split(lower(trim({col_name})), '\\\\s+')"
-    parts = ", ".join(f"{toks}[i + {k}]" for k in range(n))
+    parts = ", ".join(f"t[i + {k}]" for k in range(n))
     return F.expr(
-        f"CASE WHEN size({toks}) < {n} THEN cast(array() AS array<string>) "
-        f"ELSE transform(sequence(0, size({toks}) - {n}), "
-        f"i -> concat_ws(' ', {parts})) END"
+        f"transform(array({toks}), t -> "
+        f"CASE WHEN size(t) < {n} THEN cast(array() AS array<string>) "
+        f"ELSE transform(sequence(0, size(t) - {n}), "
+        f"i -> concat_ws(' ', {parts})) END)[0]"
     )
 
 
@@ -127,15 +134,27 @@ def repetition_columns(col_name: str = "text") -> list[Column]:
     pipeline's drop rule at dup3_frac >= 0.1."""
 
     def dup_frac(arr: Column) -> Column:
-        sz = F.size(arr)
-        return F.when(sz == 0, F.lit(0.0)).otherwise(
-            F.round((sz - F.size(F.array_distinct(arr))) / sz.cast("double"), 4)
+        # LET-binding: the ngram array is evaluated ONCE and bound to
+        # the lambda variable; referencing the raw expression directly
+        # would inline it into every use (size ×2, array_distinct,
+        # condition), which pushed the projection out of codegen —
+        # measured 80 s vs 0.5 s at sf0.1.
+        return F.element_at(
+            F.transform(
+                F.array(arr),
+                lambda a: F.when(F.size(a) == 0, F.lit(0.0)).otherwise(
+                    F.round(
+                        (F.size(a) - F.size(F.array_distinct(a)))
+                        / F.size(a).cast("double"),
+                        4,
+                    )
+                ),
+            ),
+            1,
         )
 
-    g2 = word_ngrams(col_name, 2)
-    g3 = word_ngrams(col_name, 3)
-    d2 = dup_frac(g2)
-    d3 = dup_frac(g3)
+    d2 = dup_frac(word_ngrams(col_name, 2))
+    d3 = dup_frac(word_ngrams(col_name, 3))
     return [
         d2.alias("dup2_frac"),
         d3.alias("dup3_frac"),
