@@ -381,3 +381,121 @@ def q38_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT event_id, CAST(ts AS STRING) AS ts, user_id, event_type "
         f"FROM {name} ORDER BY event_id, ts"
     )
+
+
+@register(
+    "q39_stream_late_data",
+    tags=("events", "streaming", "watermark", "late-data"),
+    # Three deterministic microbatches (maxFilesPerTrigger=1,
+    # mtime-ordered files). Spark's late-input filter uses the
+    # watermark recorded at batch PLANNING time (one batch stale), so
+    # the fixture puts the stragglers TWO batches after their window
+    # closed: batch 1 (hours 0-1 + an 02:1x tail) advances the
+    # watermark to 01:49, which finalizes+evicts the hour-0 window at
+    # the end of batch 2; batch 3's hour-0 stragglers then hit evicted
+    # state and are DROPPED (their window end 01:00 is below even the
+    # stale watermark), while its hour-1 stragglers (window end 02:00,
+    # still live) are counted. The final watermark (03:04-30min=02:34)
+    # finalizes hours 0 and 1 only. The oracle regenerates the batches
+    # and applies exactly those rules.
+    oracle="""
+WITH b1 AS (SELECT CASE WHEN i < 80 THEN TIMESTAMP '2024-01-01 00:00:00'
+                        + (i // 40) * INTERVAL '1 hour' + (i % 40) * INTERVAL '1 minute'
+                   ELSE TIMESTAMP '2024-01-01 02:10:00' + (i - 80) * INTERVAL '1 minute' END AS ts,
+                   't' || CAST(i % 3 AS VARCHAR) AS event_type,
+                   CAST(i % 5 AS DOUBLE) AS value
+            FROM (SELECT unnest(generate_series(0, 89)) AS i)),
+b2 AS (SELECT TIMESTAMP '2024-01-01 02:20:00' + j * INTERVAL '1 minute' AS ts,
+              't' || CAST(j % 3 AS VARCHAR) AS event_type,
+              CAST(j % 5 AS DOUBLE) AS value
+       FROM (SELECT unnest(generate_series(0, 9)) AS j)),
+b3 AS (SELECT CASE WHEN k < 5 THEN TIMESTAMP '2024-01-01 00:50:00' + k * INTERVAL '1 minute'
+                   WHEN k < 10 THEN TIMESTAMP '2024-01-01 01:50:00' + (k - 5) * INTERVAL '1 minute'
+                   ELSE TIMESTAMP '2024-01-01 03:00:00' + (k - 10) * INTERVAL '1 minute' END AS ts,
+              't' || CAST(k % 3 AS VARCHAR) AS event_type,
+              CAST(k % 5 AS DOUBLE) AS value
+       FROM (SELECT unnest(generate_series(0, 14)) AS k)),
+wm1 AS (SELECT max(ts) - INTERVAL '30 minutes' AS w FROM b1),
+surviving AS (
+  SELECT * FROM b1
+  UNION ALL SELECT * FROM b2
+  UNION ALL
+  SELECT b3.* FROM b3, wm1
+  WHERE date_trunc('hour', b3.ts) + INTERVAL '1 hour' > wm1.w),
+wmf AS (SELECT max(ts) - INTERVAL '30 minutes' AS w
+        FROM (SELECT ts FROM b1 UNION ALL SELECT ts FROM b2 UNION ALL SELECT ts FROM b3))
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS total_value
+FROM surviving, wmf
+WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= wmf.w
+GROUP BY 1, 2
+""",
+)
+def q39_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real three-microbatch Structured Streaming run: stragglers for a
+    window the watermark already finalized are dropped (and surface in
+    numRowsDroppedByWatermark), stragglers for a still-open window are
+    counted — the late-data semantics a single-batch run cannot show."""
+    import os
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from ..streaming.analytics import read_event_stream, windowed_counts
+
+    src = Path(tempfile.mkdtemp(prefix="q39_stream_"))
+    b1 = []
+    for i in range(90):
+        if i < 80:
+            h, m = divmod(i, 40)
+        else:
+            h, m = 2, 10 + (i - 80)
+        b1.append(
+            f'{{"event_id": {i}, "ts": "2024-01-01 0{h}:{m:02d}:00", '
+            f'"user_id": {i % 7}, "event_type": "t{i % 3}", "value": {i % 5}.0}}'
+        )
+    b2 = [
+        f'{{"event_id": {100 + j}, "ts": "2024-01-01 02:{20 + j}:00", '
+        f'"user_id": {j % 7}, "event_type": "t{j % 3}", "value": {j % 5}.0}}'
+        for j in range(10)
+    ]
+    b3 = []
+    for k in range(15):
+        if k < 5:
+            h, m = 0, 50 + k
+        elif k < 10:
+            h, m = 1, 50 + (k - 5)
+        else:
+            h, m = 3, k - 10
+        b3.append(
+            f'{{"event_id": {1000 + k}, "ts": "2024-01-01 0{h}:{m:02d}:00", '
+            f'"user_id": {k % 7}, "event_type": "t{k % 3}", "value": {k % 5}.0}}'
+        )
+    f1, f2, f3 = src / "a_b1.jsonl", src / "b_b2.jsonl", src / "c_b3.jsonl"
+    f1.write_text("\n".join(b1) + "\n")
+    f2.write_text("\n".join(b2) + "\n")
+    f3.write_text("\n".join(b3) + "\n")
+    # file source processes oldest-mtime first: pin the order explicitly
+    os.utime(f1, (1_700_000_000, 1_700_000_000))
+    os.utime(f2, (1_700_000_100, 1_700_000_100))
+    os.utime(f3, (1_700_000_200, 1_700_000_200))
+    name = "q39_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        windowed_counts(
+            read_event_stream(spark, str(src), max_files_per_trigger=1),
+            "1 hour",
+            "30 minutes",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT CAST(window_start AS STRING) AS window_start, event_type, cnt, "
+        f"total_value FROM {name}"
+    )

@@ -22,9 +22,18 @@ from pyspark.sql import DataFrame, SparkSession
 EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """Streaming read of JSON-lines analytics events."""
-    return spark.readStream.schema(EVENT_SCHEMA).json(str(path))
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming read of JSON-lines analytics events.
+
+    ``max_files_per_trigger`` splits the backlog into one-file
+    microbatches (oldest file first), which is how the late-data tests
+    drive the watermark across batch boundaries."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(str(path))
 
 
 def windowed_counts(

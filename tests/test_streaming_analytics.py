@@ -162,3 +162,69 @@ def test_sessionized_gap_split(spark, tmp_path):
     # user 1's two sessions finalized (watermark far past); counts/sums split
     assert rows[("2024-01-01 10:00:00", 1)] == (2, 3.0)
     assert rows[("2024-01-01 10:30:00", 1)] == (1, 4.0)
+
+
+def test_late_data_dropped_across_microbatches(spark, tmp_path):
+    """Stragglers for an already-finalized window must be dropped (and
+    counted in numRowsDroppedByWatermark); stragglers for a still-open
+    window must merge into its state. Mirrors q39_stream_late_data."""
+    import json
+    import os
+    import uuid
+
+    from fluvio_demo_apps_rust_spark.streaming.analytics import windowed_counts
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def dump(path, events):
+        path.write_text("\n".join(json.dumps(e) for e in events) + "\n")
+
+    dump(src / "a.jsonl", [
+        _ev(i, f"2024-01-01 0{h}:{m:02d}:00")
+        for i, (h, m) in enumerate(
+            [(0, mm) for mm in range(40)]
+            + [(1, mm) for mm in range(40)]
+            + [(2, 10 + mm) for mm in range(10)]
+        )
+    ])
+    dump(src / "b.jsonl", [
+        _ev(100 + j, f"2024-01-01 02:{20 + j}:00") for j in range(10)
+    ])
+    dump(src / "c.jsonl", [
+        _ev(1000, "2024-01-01 00:50:00"),   # dead window -> drop
+        _ev(1001, "2024-01-01 01:50:00"),   # open window -> count
+        _ev(1002, "2024-01-01 03:00:00"),   # fresh
+    ])
+    os.utime(src / "a.jsonl", (1_700_000_000,) * 2)
+    os.utime(src / "b.jsonl", (1_700_000_100,) * 2)
+    os.utime(src / "c.jsonl", (1_700_000_200,) * 2)
+    name = "late_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        windowed_counts(stream, "1 hour", "30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1, "the dead-window straggler must be watermark-dropped"
+    rows = {
+        str(r.window_start): r.cnt
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # hour-0 finalized WITHOUT the straggler; hour-1 WITH its straggler
+    assert rows == {"2024-01-01 00:00:00": 40, "2024-01-01 01:00:00": 41}
