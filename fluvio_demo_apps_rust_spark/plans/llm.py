@@ -879,3 +879,67 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the quadratic local — the scale shape of embedding dedup."""
     e = load(spark, sf_dir, "embeddings")
     return S.semdedup_prune(e, ncells=16, tau=0.3)
+
+
+@register(
+    "llm_pretrain_prep",
+    tags=("llm", "curation", "pipeline", "packing"),
+    oracle=f"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+t AS (
+  SELECT d.doc_id, {_TOKS} AS toks
+  FROM documents d JOIN keepers USING (doc_id)),
+g AS (
+  SELECT doc_id, toks,
+         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+          for i in generate_series(1, len(toks) - 2)] AS g3
+  FROM t),
+survivors AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens
+  FROM g
+  WHERE (CASE WHEN len(g3) = 0 THEN 0.0
+              ELSE round((len(g3) - len(list_distinct(g3))) / len(g3)::DOUBLE, 4) END) < 0.1
+    AND round(0.4 * (len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+                     / len(toks)::DOUBLE)
+              + 0.4 * (len(list_distinct(toks)) / len(toks)::DOUBLE)
+              + 0.2 * least(len(toks)::DOUBLE, 100.0) / 100.0, 4) >= 0.33),
+packed AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
+  FROM survivors)
+SELECT (start_offset // 2048)::BIGINT AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       sum(n_tokens)::BIGINT AS pack_tokens,
+       max(((start_offset + n_tokens - 1) // 2048) <> (start_offset // 2048)) AS has_split_doc
+FROM packed
+GROUP BY pack_id
+""",
+)
+def llm_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-shard prep flow, composed from the engine's
+    own operators: exact dedup (keep lowest id per content hash) →
+    boilerplate gate (duplicate 3-gram fraction < 0.1) → quality gate
+    (pinned formula ≥ 0.33) → concat-then-chunk packing into 2048-token
+    windows → per-pack stats. One hash shuffle for dedup, row-local
+    gates, two-phase prefix sum for the pack offsets, one final tiny
+    aggregate keyed by pack."""
+    d = load(spark, sf_dir, "documents")
+    keepers = X.exact_dup_clusters(d).select(F.col("keep_id").alias("doc_id"))
+    kept = d.join(keepers, "doc_id", "left_semi")
+    gated = (
+        kept.select("doc_id", "text", *TX.repetition_columns(), *TX.quality_columns())
+        .filter((F.col("dup3_frac") < 0.1) & (F.col("quality") >= 0.33))
+        .select("doc_id", "text")
+    )
+    packed = C.sequence_pack(gated)
+    pack_id = F.col("pack_id")
+    return (
+        packed.groupBy(pack_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.max("crosses").alias("has_split_doc"),
+        )
+    )
