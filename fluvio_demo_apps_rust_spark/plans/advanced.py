@@ -930,3 +930,52 @@ def q68_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@register(
+    "q55_skew_salted_agg",
+    tags=("skew", "agg", "salted"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(round(sum(CAST(round(l_quantity * 100) AS BIGINT))) AS BIGINT) AS total_qty_c,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q55_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the explicit salting operator:
+    l_returnflag has THREE distinct values across the whole fact table
+    — the single-hot-key shape AQE cannot fix (it splits partitions,
+    not keys). salted_agg spreads each key over 16 reducers in phase 1
+    and re-reduces tiny partials in phase 2; the result is identical to
+    the plain GROUP BY the oracle runs. Quantities aggregate as exact
+    integer centi-units so the two-phase float order cannot perturb the
+    value hash; min/max are order-insensitive."""
+    from ..operators.skew import salted_agg
+
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+        "l_extendedprice",
+    )
+    out = salted_agg(
+        l,
+        keys=["l_returnflag"],
+        aggs={
+            "n_items": ("qty_c", "count"),
+            "total_qty_c": ("qty_c", "sum"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n_items",
+        "total_qty_c",
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
