@@ -943,3 +943,29 @@ def llm_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("crosses").alias("has_split_doc"),
         )
     )
+
+
+@register(
+    "llm_multimodal_resize",
+    tags=("llm", "multimodal"),
+    oracle="""
+WITH f AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents)
+SELECT doc_id,
+       64 AS out_len,
+       sha256(rpad(substr(hx, 1, 128), 128, '0')) AS resized_sha
+FROM f
+""",
+)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-in → binary-out resize plumbing through Arrow batches
+    (truncate-or-pad stands in for an image resample; a real
+    PIL.Image.resize drops into the same mapInPandas loop). The result
+    is verified via the sha of the resized payload's hex form —
+    proving the binary payload survives the Arrow round trip intact."""
+    d = M.attach_blob(load(spark, sf_dir, "documents"))
+    r = M.resize_stub(d, target_bytes=64)
+    return r.select(
+        "doc_id",
+        F.col("out_len").cast("int").alias("out_len"),
+        F.sha2(F.lower(F.hex("resized")), 256).alias("resized_sha"),
+    )
