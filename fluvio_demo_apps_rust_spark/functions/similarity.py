@@ -318,6 +318,11 @@ def semdedup_prune(
     cent = emb.filter(F.col(id_col) < ncells).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
     )
+    # Eager checkpoint: the assignment subtree (centroid scoring +
+    # argmax agg) feeds BOTH sides of the cell self-join and the final
+    # left join — without materialization each consumer recomputes the
+    # ncells cosine scores per vector (measured ~1.5× the whole query).
+    # Storage is one (id, vec, cell) row per vector — corpus-linear.
     corpus = (
         emb.select(F.col(id_col), F.col(vec_col))
         .crossJoin(F.broadcast(cent))
@@ -334,6 +339,7 @@ def semdedup_prune(
                 "c_id", F.struct(F.col("c_sim"), (-F.col("c_id")).alias("neg"))
             ).alias("cell"),
         )
+        .localCheckpoint(eager=True)
     )
     a = corpus.select(
         F.col(id_col).alias("a"), F.col("vec").alias("va"), norm("vec").alias("na"), "cell"
