@@ -446,7 +446,15 @@ def parse_query(query: str | None, strict: bool = False) -> list[TableOp]:
         toks = _tokenize(query)
         ops: list[TableOp] = []
         for stmt in _split_tokens(toks, sep=";"):
-            ops.extend(_parse_statement(stmt, strict))
+            try:
+                ops.extend(_parse_statement(stmt, strict))
+            except ValueError:
+                # Strict mode surfaces the malformed statement; the
+                # default mirrors the reference's ignore-and-continue
+                # posture (query_parser.rs:103,114) with a warning.
+                if strict:
+                    raise
+                log.warning("skipping malformed DDL statement: %r", _render(stmt)[:120])
         return ops
     except ValueError:
         raise

@@ -191,3 +191,16 @@ def test_spark_schema_types():
         "bigint", "double", "date", "timestamp_ntz", "decimal(10,2)",
         "binary", "string", "string", "int", "smallint",
     ]
+
+
+def test_malformed_ddl_non_strict_skips():
+    # truncated CREATE / garbled ALTER: non-strict warns and returns [],
+    # strict raises (the reference silently ignores; SURVEY §7.4.8)
+    for stmt in ["CREATE TABLE t", "ALTER TABLE t ADD", "CREATE TABLE (a INT)"]:
+        assert D.parse_query(stmt) == [], stmt
+        with pytest.raises(ValueError):
+            D.parse_query(stmt, strict=True)
+    # a malformed statement doesn't poison its multi-statement siblings
+    assert D.parse_query("CREATE TABLE t; CREATE TABLE u (a INT)") == [
+        D.CreateTable("u", [("a", "INT")])
+    ]
