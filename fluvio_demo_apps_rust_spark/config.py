@@ -90,6 +90,7 @@ class PipelineProfile:
     filters: Filters = field(default_factory=Filters)
     trigger_ms: int = 500           # reference poll floor: manager.rs:22
     max_files_per_trigger: int | None = None  # backpressure (channel cap analog)
+    jvm_decode: bool = False        # pure-JVM from_json decoder (no Python workers)
     kafka: KafkaConfig = field(default_factory=KafkaConfig)
 
     @classmethod
@@ -118,4 +119,5 @@ class PipelineProfile:
             ),
             trigger_ms=int(raw.get("trigger_ms", fluvio.get("trigger_ms", 500))),
             max_files_per_trigger=raw.get("max_files_per_trigger"),
+            jvm_decode=bool(raw.get("jvm_decode", False)),
         )

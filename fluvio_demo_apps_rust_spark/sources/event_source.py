@@ -15,9 +15,9 @@ from ..codec import parse_events
 from ..config import KafkaConfig
 
 
-def read_events(spark: SparkSession, path: str) -> DataFrame:
+def read_events(spark: SparkSession, path: str, jvm_decode: bool = False) -> DataFrame:
     """Batch read: directory (or file) of JSON-lines events → normalized."""
-    return parse_events(spark.read.text(str(path)))
+    return parse_events(spark.read.text(str(path)), jvm=jvm_decode)
 
 
 def read_events_from_strings(spark: SparkSession, lines: list[str]) -> DataFrame:
@@ -34,20 +34,27 @@ def read_events_from_strings(spark: SparkSession, lines: list[str]) -> DataFrame
 
 
 def stream_events(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    jvm_decode: bool = False,
 ) -> DataFrame:
     """Streaming read of a JSON-lines event directory.
 
     ``maxFilesPerTrigger`` is the admission-control analog of the
-    reference's bounded(100) channels (producer.rs:21).
+    reference's bounded(100) channels (producer.rs:21). ``jvm_decode``
+    selects the pure-JVM from_json decoder for deployments where
+    Python worker slots are the bottleneck (codec.parse_events).
     """
     reader = spark.readStream
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return parse_events(reader.text(str(path)))
+    return parse_events(reader.text(str(path)), jvm=jvm_decode)
 
 
-def stream_events_kafka(spark: SparkSession, kafka: KafkaConfig) -> DataFrame:
+def stream_events_kafka(
+    spark: SparkSession, kafka: KafkaConfig, jvm_decode: bool = False
+) -> DataFrame:
     """Topic source (S5) over a real broker: the reference consumes the
     fluvio topic from a stored offset (consumer.rs:60-75); here the
     Kafka source + checkpointLocation carries the offset/resume state.
@@ -71,4 +78,4 @@ def stream_events_kafka(spark: SparkSession, kafka: KafkaConfig) -> DataFrame:
             "the Spark classpath (--packages org.apache.spark:"
             "spark-sql-kafka-0-10_2.13:<spark-version>)"
         ) from e
-    return parse_events(raw.selectExpr("CAST(value AS STRING) AS value"))
+    return parse_events(raw.selectExpr("CAST(value AS STRING) AS value"), jvm=jvm_decode)

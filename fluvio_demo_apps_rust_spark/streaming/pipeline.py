@@ -101,10 +101,15 @@ class CdcPipeline:
         if self.profile.kafka.enabled:
             from ..sources.event_source import stream_events_kafka
 
-            events = stream_events_kafka(self.spark, self.profile.kafka)
+            events = stream_events_kafka(
+                self.spark, self.profile.kafka, jvm_decode=self.profile.jvm_decode
+            )
         else:
             events = stream_events(
-                self.spark, self.profile.source_path, self.profile.max_files_per_trigger
+                self.spark,
+                self.profile.source_path,
+                self.profile.max_files_per_trigger,
+                jvm_decode=self.profile.jvm_decode,
             )
         writer = (
             events.writeStream.foreachBatch(self.process_batch)

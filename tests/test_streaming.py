@@ -63,3 +63,31 @@ def test_stream_filters_exclude_db(spark, tmp_path):
     pipe.run_available_now()
     # db excluded → no pet table materialized
     assert ("flvdb", "pet") not in pipe.state.tables
+
+
+def test_pipeline_jvm_decode_end_to_end(spark, tmp_path):
+    """The jvm_decode profile flag runs the whole CDC pipeline through
+    the pure-JVM from_json decoder — final tables must equal the
+    default (Arrow) decode run."""
+    from fluvio_demo_apps_rust_spark.config import PipelineProfile
+    from fluvio_demo_apps_rust_spark.fixtures import PET_EVENTS
+    from fluvio_demo_apps_rust_spark.streaming.pipeline import CdcPipeline
+
+    results = {}
+    for label, flag in (("arrow", False), ("jvm", True)):
+        base = tmp_path / label
+        (base / "src").mkdir(parents=True)
+        (base / "src" / "events.jsonl").write_text("\n".join(PET_EVENTS) + "\n")
+        profile = PipelineProfile(
+            source_path=str(base / "src"),
+            checkpoint_path=str(base / "ckpt"),
+            state_path=str(base / "state"),
+            jvm_decode=flag,
+        )
+        CdcPipeline(spark, profile).run_available_now()
+        pet = spark.read.parquet(str(base / "state" / "tables" / "flvdb" / "pet"))
+        results[label] = sorted(
+            tuple(str(v) for v in row) for row in pet.collect()
+        )
+    assert results["arrow"] == results["jvm"]
+    assert len(results["arrow"]) == 2  # golden pet table
