@@ -163,17 +163,30 @@ def minhash_digest(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    buckets: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+) -> DataFrame:
     """(band, bucket) posting lists → candidate pairs (a < b).
     Linear-time candidate generation: ONE shuffle of one copy of the
     bucket stream (groupBy the bucket key, ordered fan-out per posting)
     instead of a self-join that reshuffles both sides, then a distinct
     to merge pairs that collide in several bands. A bucket of size m
-    emits m·(m-1)/2 pairs — same output as the join formulation."""
-    return (
+    emits m·(m-1)/2 pairs — same output as the join formulation.
+
+    ``max_bucket`` drops degenerate buckets above that size BEFORE the
+    fan-out (the skew valve for corpora with huge identical-signature
+    clusters — same trade as ngram_jaccard_pairs' max_posting: such a
+    cluster is better resolved by exact dedup than by m²/2 candidate
+    pairs). The registered queries run uncapped (exact semantics)."""
+    grouped = (
         buckets.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ds"))
         .filter(F.size("ds") >= 2)
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ds") <= max_bucket)
+    return (
+        grouped
         .select(
             F.explode(
                 F.expr(
