@@ -91,6 +91,7 @@ class PipelineProfile:
     trigger_ms: int = 500           # reference poll floor: manager.rs:22
     max_files_per_trigger: int | None = None  # backpressure (channel cap analog)
     jvm_decode: bool = False        # pure-JVM from_json decoder (no Python workers)
+    strict_ddl: bool = False        # raise on unsupported DDL (reference ignores)
     kafka: KafkaConfig = field(default_factory=KafkaConfig)
 
     @classmethod
@@ -120,4 +121,5 @@ class PipelineProfile:
             trigger_ms=int(raw.get("trigger_ms", fluvio.get("trigger_ms", 500))),
             max_files_per_trigger=raw.get("max_files_per_trigger"),
             jvm_decode=bool(raw.get("jvm_decode", False)),
+            strict_ddl=bool(raw.get("strict_ddl", False)),
         )

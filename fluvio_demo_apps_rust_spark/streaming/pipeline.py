@@ -88,7 +88,9 @@ class CdcPipeline:
         # Consumer filter semantics (F2, mysql_manager.rs:375-391):
         # events with no db are dropped, unlike the producer side.
         events = db_filter(events, self.profile.filters, drop_no_db=True)
-        self.state = apply_changes(self.spark, events, self.state)
+        self.state = apply_changes(
+            self.spark, events, self.state, strict_ddl=self.profile.strict_ddl
+        )
         self._save_state()
         self.state.release()  # tables are on disk; drop the event cache
         log.info("batch %d applied; tables=%s", batch_id, sorted(self.state.tables))
