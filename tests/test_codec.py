@@ -112,3 +112,14 @@ def test_render_roundtrip(spark):
     obj = json.loads(rendered[0].value)
     assert set(obj) <= {"uri", "sequence", "bn_file", "columns", "operation"}
     assert "fileName" in obj["bn_file"]
+
+
+def test_variant_decoder_parity(spark):
+    """The retired VariantType decoder must stay output-identical to
+    the Arrow golden (it is kept as a reference implementation)."""
+    from fluvio_demo_apps_rust_spark.codec import _parse_events_variant, parse_events
+
+    raw = spark.createDataFrame([(s,) for s in PET_EVENTS], "value string")
+    a = parse_events(raw, jvm=False).orderBy("sequence").collect()
+    v = _parse_events_variant(raw).orderBy("sequence").collect()
+    assert a == v
