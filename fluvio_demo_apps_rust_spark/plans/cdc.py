@@ -20,7 +20,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..fixtures import PET_EVENTS
 from ..operators.apply import apply_changes
-from ..sources.event_source import read_events_from_strings
 from .base import load, register
 
 
