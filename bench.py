@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "q14_rollup",
     "q30_events_tumbling",
     "q32_events_session",
+    "q50_asof_join",
+    "q51_range_join",
+    "q55_skew_salted_agg",
     "cdc_pet_replay",
     "cdc_orders_roundtrip",
     "cdc_mixed_workload",
@@ -64,6 +67,9 @@ FAMILY = {
     "q14_rollup": "relational",
     "q30_events_tumbling": "events",
     "q32_events_session": "events",
+    "q50_asof_join": "events",
+    "q51_range_join": "events",
+    "q55_skew_salted_agg": "relational",
     "cdc_pet_replay": "cdc",
     "cdc_orders_roundtrip": "cdc",
     "cdc_mixed_workload": "cdc",
