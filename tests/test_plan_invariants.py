@@ -36,3 +36,16 @@ def test_no_rowwise_python_and_no_cartesian(spark, name, spec):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
     assert "CartesianProduct" not in plan, f"{name} has an unbounded cartesian product"
+
+
+def test_bench_queries_are_registered_and_classified():
+    """BENCH_r{N} must never die to a stale name: every bench query
+    exists in the registry, has an oracle (so the ratio denominator is
+    computable), and has a family label."""
+    import bench
+
+    for name in bench.BENCH_QUERIES:
+        assert name in REGISTRY, f"bench references unregistered query {name}"
+        assert REGISTRY[name].oracle, f"bench query {name} has no oracle"
+        assert name in bench.FAMILY, f"bench query {name} missing family label"
+    assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
