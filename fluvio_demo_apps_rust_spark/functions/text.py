@@ -166,3 +166,24 @@ def fingerprint(col: str | Column = "text") -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted
     distinct token set (the classic "fingerprint clustering" key)."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+def chunk_columns(
+    col_name: str = "text", size: int = 64, stride: int = 48
+) -> Column:
+    """Sliding token-window chunking: chunk ``i`` covers tokens
+    ``[i*stride, i*stride + size)``; starts run while ``i*stride < n``
+    (trailing chunks may be partial). ``stride < size`` gives
+    overlapping passages — the standard pretraining/RAG splitting.
+
+    Returns an array of structs (chunk_id, n_chunk_tokens, chunk_hash)
+    for the caller to explode — row-local, computed from one LET-bound
+    token split (no per-element re-tokenization; see word_ngrams)."""
+    toks = f"split(lower(trim({col_name})), '\\\\s+')"
+    return F.expr(
+        f"transform(array({toks}), t -> "
+        f"transform(sequence(0, cast(ceil(size(t) / {stride}.0) AS INT) - 1), "
+        f"i -> struct(i AS chunk_id, "
+        f"size(slice(t, i * {stride} + 1, {size})) AS n_chunk_tokens, "
+        f"md5(array_join(slice(t, i * {stride} + 1, {size}), ' ')) AS chunk_hash)))[0]"
+    )

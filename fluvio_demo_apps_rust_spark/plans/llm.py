@@ -969,3 +969,35 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("out_len").cast("int").alias("out_len"),
         F.sha2(F.lower(F.hex("resized")), 256).alias("resized_sha"),
     )
+
+
+@register(
+    "llm_doc_chunking",
+    tags=("llm", "text", "chunking"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(ceil(len(toks) / 48.0) AS INT) - 1)) AS chunk_id
+  FROM t)
+SELECT doc_id, chunk_id::INT AS chunk_id,
+       len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64])::INT AS n_chunk_tokens,
+       md5(array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS chunk_hash
+FROM idx
+""",
+)
+def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window passage chunking (64-token chunks, stride 48 →
+    16-token overlap): each document explodes into its chunk set with
+    per-chunk token counts and content hashes. Row-multiplying but
+    row-local — no shuffle; the chunk text itself never leaves the
+    expression (hash only), so the scan stays narrow."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(TX.chunk_columns()).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("c.chunk_hash").alias("chunk_hash"),
+    )
