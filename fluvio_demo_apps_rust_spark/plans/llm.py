@@ -1001,3 +1001,50 @@ def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
         F.col("c.chunk_hash").alias("chunk_hash"),
     )
+
+
+@register(
+    "llm_chunk_dedup",
+    tags=("llm", "text", "chunking", "dedup"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(ceil(len(toks) / 48.0) AS INT) - 1)) AS chunk_id
+  FROM t),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS chunk_hash
+  FROM idx)
+SELECT chunk_hash,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_doc,
+       CAST(min(doc_id * 1000000 + chunk_id) % 1000000 AS BIGINT) AS keep_chunk
+FROM chunks
+GROUP BY chunk_hash
+HAVING count(*) > 1
+""",
+)
+def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup: sliding-window chunks hashed and grouped —
+    repeated boilerplate passages ACROSS documents surface as
+    multi-copy chunk hashes with a deterministic keeper (lowest
+    (doc, chunk) pair). One shuffle on the chunk hash; the doc-level
+    analog is llm_dedup_exact."""
+    d = load(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id", F.explode(TX.chunk_columns()).alias("c")
+    ).select("doc_id", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk_hash").alias("chunk_hash"))
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+            (F.min(F.col("doc_id") * 1_000_000 + F.col("chunk_id")) % 1_000_000)
+            .cast("long")
+            .alias("keep_chunk"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
