@@ -979,3 +979,47 @@ def q55_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_price", 2).alias("min_price"),
         F.round("max_price", 2).alias("max_price"),
     )
+
+
+@register(
+    "q69_skew_salted_join",
+    tags=("skew", "join", "salted"),
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT l_returnflag,
+         CASE l_returnflag WHEN 'R' THEN 'returned'
+                           WHEN 'A' THEN 'accepted'
+                           ELSE 'none' END AS flag_label
+  FROM lineitem)
+SELECT flag_label,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN dim USING (l_returnflag)
+GROUP BY flag_label
+""",
+)
+def q69_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join through the explicit salting operator: the probe
+    side's join key (l_returnflag) has THREE values, so an unsalted
+    shuffle join lands the whole fact table on three reducers.
+    salted_join replicates the tiny build side 8 ways and salts the
+    probe deterministically — each hot key spreads over 8 reducers.
+    Result identical to the plain join the oracle runs."""
+    from ..operators.skew import salted_join
+
+    l = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    dim = (
+        l.select("l_returnflag")
+        .distinct()
+        .withColumn(
+            "flag_label",
+            F.when(F.col("l_returnflag") == "R", "returned")
+            .when(F.col("l_returnflag") == "A", "accepted")
+            .otherwise("none"),
+        )
+    )
+    joined = salted_join(l, dim, on=["l_returnflag"], salt=8)
+    return joined.groupBy("flag_label").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
