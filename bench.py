@@ -125,14 +125,18 @@ def main() -> int:
         try:
             while len(runs) < 4:
                 t0 = time.perf_counter()
-                df = spec.fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
+                try:
+                    df = spec.fn(spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                finally:
+                    # Promptly release cached/checkpointed RDDs the query
+                    # may hold (CDC folds localCheckpoint) so later
+                    # queries don't inherit memory pressure — ALSO on the
+                    # error path, else a failed query's leaked caches
+                    # contaminate every later timing.
+                    df = None
+                    gc.collect()
                 runs.append(time.perf_counter() - t0)
-                # Promptly release cached/checkpointed RDDs the query may
-                # hold (CDC folds localCheckpoint) so later queries don't
-                # inherit memory pressure.
-                del df
-                gc.collect()
                 s = sorted(runs)
                 # stable = the two fastest runs agree (or the query is
                 # too small for load to matter)

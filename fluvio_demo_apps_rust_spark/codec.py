@@ -343,8 +343,16 @@ def _canon_cell_json(c: F.Column) -> F.Column:
         )
     )
     json_c = F.to_json(F.parse_json(payload))
+    # Parity with the Arrow golden's error posture: a cell that is
+    # neither null, the "Null" token, nor a single-key tagged object
+    # (e.g. a bare number, a bare string, a multi-key object) must
+    # RAISE, not silently decode to SQL NULL.
     return (
-        F.when(m.isNull() | (c == F.lit("Null")), F.lit(None).cast("string"))
+        F.when(c.isNull() | (c == F.lit("Null")), F.lit(None).cast("string"))
+        .when(
+            m.isNull() | (F.size(F.map_keys(m)) != 1),
+            F.raise_error(F.concat(F.lit("malformed Value: "), c)).cast("string"),
+        )
         .when(kind.isin("String", "Decimal"), payload)
         .when(kind.isin("SignedInteger", "UnsignedInteger", "Enum", "Year"), payload)
         .when(kind.isin("Float", "Double"), payload)

@@ -153,9 +153,12 @@ def _render(toks: list[_Tok]) -> str:
     prev: _Tok | None = None
     for t in toks:
         wordlike = t.kind in ("word", "qident", "string")
+        # operators keep their leading space ("DEFAULT -1", "a = 1");
+        # structural puncts ( ) , . stay tight (DECIMAL(10,2))
+        operator = t.kind == "punct" and t.value in "+-*/%<>=!"
         prev_wordlike = prev is not None and prev.kind in ("word", "qident", "string")
         prev_close = prev is not None and prev.kind == "punct" and prev.value == ")"
-        if out and wordlike and (prev_wordlike or prev_close):
+        if out and (wordlike or operator) and (prev_wordlike or prev_close):
             out.append(" ")
         out.append(t.raw)
         prev = t

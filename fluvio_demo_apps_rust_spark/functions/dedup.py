@@ -20,9 +20,20 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from .text import tokens
+from .text import tokens, word_ngrams
 
 MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def ordered_pair_fanout(ds: str, fields: str = "x AS a, y AS b") -> str:
+    """SQL snippet: ordered (i < j) pair fan-out over a sorted posting
+    array ``ds`` — struct fields come from the caller (``x`` is the
+    earlier element, ``y`` the later). Shared by the LSH-bucket and
+    ngram-posting pair generators so the fan-out shape has one home."""
+    return (
+        f"flatten(transform({ds}, (x, i) -> "
+        f"transform(slice({ds}, i + 2, size({ds})), y -> struct({fields}))))"
+    )
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
@@ -41,23 +52,11 @@ def md5_int60(col: Column) -> Column:
 
 
 def word_shingles(col_name: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the lowercased text (JVM-side:
-    transform over an index sequence; empty array when the document has
-    fewer than n tokens).
-
-    The token split is LET-bound (single-element transform) so the
-    inner lambda indexes a bound array: higher-order lambdas evaluate
-    interpreted without common-subexpression elimination, so an
-    inlined ``split(...)[i + k]`` re-splits the document once per
-    element per reference — O(tokens²) per doc."""
-    toks = f"split(lower(trim({col_name})), '\\\\s+')"
-    parts = ", ".join(f"t[i + {k}]" for k in range(n))
-    return F.expr(
-        f"transform(array({toks}), t -> "
-        f"CASE WHEN size(t) < {n} THEN cast(array() AS array<string>) "
-        f"ELSE array_distinct(transform(sequence(0, size(t) - {n}), "
-        f"i -> concat_ws(' ', {parts}))) END)[0]"
-    )
+    """Distinct word n-gram shingles of the lowercased text: the
+    distinct set over :func:`text.word_ngrams` (which carries the
+    LET-bound tokenization — see its docstring for the O(tokens²)
+    trap the binding avoids)."""
+    return F.array_distinct(word_ngrams(col_name, n))
 
 
 def exact_dup_clusters(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -187,14 +186,7 @@ def lsh_candidate_pairs(
         grouped = grouped.filter(F.size("ds") <= max_bucket)
     return (
         grouped
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (x, i) -> "
-                    "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("p")
-        )
+        .select(F.explode(F.expr(ordered_pair_fanout("ds"))).alias("p"))
         .select("p.a", "p.b")
         .distinct()
     )
@@ -323,7 +315,11 @@ def connected_components(
     driver_threshold = 500_000
     # Single job doubles as size probe and fast-path fetch: collect at
     # most threshold+1 edges and branch on how many came back — if we
-    # got <= threshold we already hold the whole edge set.
+    # got <= threshold we already hold the whole edge set. On the
+    # large-graph path this ships a BOUNDED ~8-16 MB (threshold+1 two-
+    # long rows) that is then discarded — a constant cost independent
+    # of graph size, traded for the separate count job a count-probe
+    # would run on the (dominant) small-graph path.
     head = e.limit(driver_threshold + 1).collect()
     if len(head) <= driver_threshold:
         parent: dict = {}
@@ -458,9 +454,9 @@ def ngram_jaccard_pairs(
     pairs = postings.select(
         F.explode(
             F.expr(
-                "flatten(transform(ds, (x, i) -> "
-                "transform(slice(ds, i + 2, size(ds)), y -> "
-                "struct(x.d AS a, x.n_sh AS na, y.d AS b, y.n_sh AS nb))))"
+                ordered_pair_fanout(
+                    "ds", "x.d AS a, x.n_sh AS na, y.d AS b, y.n_sh AS nb"
+                )
             )
         ).alias("p")
     ).select("p.a", "p.na", "p.b", "p.nb")

@@ -263,6 +263,11 @@ def apply_changes(
     # separate job — measured 9 jobs vs 3 for the same plan — and
     # per-job latency dominates a metadata-sized query. The bulk image
     # joins later keep AQE (it picks their join strategy at real size).
+    # CAVEAT: spark.conf is session-global — a query planned CONCURRENTLY
+    # on this SparkSession during this collect would also plan without
+    # AQE. The engine runs one apply per session (each pipeline owns its
+    # session); callers multiplexing one session across threads should
+    # serialize apply_changes or give each stream its own session.
     aqe_key = "spark.sql.adaptive.enabled"
     aqe_was = spark.conf.get(aqe_key, "true")
     spark.conf.set(aqe_key, "false")

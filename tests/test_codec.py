@@ -63,8 +63,8 @@ def test_parse_pet_events(spark):
     assert ev[0].file_name == "binlog.000003" and ev[0].offset == 233
 
 
-def test_variant_decoder_parity(spark):
-    """The JVM VariantType decoder and the Arrow reference decoder
+def test_json_decoder_parity(spark):
+    """The JVM from_json decoder and the Arrow reference decoder
     produce identical normalized events — goldens plus every Value
     kind (Blob/Json/Decimal/Time/DateTime/Timestamp/Enum/Year/Float)."""
     from fluvio_demo_apps_rust_spark.codec import parse_events
@@ -123,3 +123,21 @@ def test_variant_decoder_parity(spark):
     a = parse_events(raw, jvm=False).orderBy("sequence").collect()
     v = _parse_events_variant(raw).orderBy("sequence").collect()
     assert a == v
+
+
+def test_jvm_decoder_raises_on_malformed_cells(spark):
+    """Parity with the Arrow golden's error posture: corrupt cells must
+    raise, never silently decode to NULL."""
+    import pytest
+
+    from fluvio_demo_apps_rust_spark.codec import parse_events
+
+    for bad_cell in ("5", '"foo"', '{"A":1,"B":2}'):
+        bad = (
+            '{"uri":"flv://m/d/t","sequence":1,"bn_file":{"fileName":"b.1","offset":4},'
+            '"columns":["a"],"operation":{"Add":{"rows":[{"cols":[' + bad_cell + "]}]}}}"
+        )
+        with pytest.raises(Exception, match="malformed Value|unknown Value kind"):
+            parse_events(
+                spark.createDataFrame([(bad,)], "value string"), jvm=True
+            ).collect()

@@ -204,3 +204,10 @@ def test_malformed_ddl_non_strict_skips():
     assert D.parse_query("CREATE TABLE t; CREATE TABLE u (a INT)") == [
         D.CreateTable("u", [("a", "INT")])
     ]
+
+
+def test_type_text_preserves_operator_spacing():
+    ops = D.parse_query("ALTER TABLE t ADD a INT DEFAULT -1")
+    assert ops == [D.AddColumn("t", "a", "INT DEFAULT -1")]
+    ops = D.parse_query("CREATE TABLE t (a INT DEFAULT -1, b DECIMAL(10,2))")
+    assert ops[0].columns == [("a", "INT DEFAULT -1"), ("b", "DECIMAL(10,2)")]

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -22,10 +23,18 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
     for t in TABLES:
+        # DuckDB binds CREATE VIEW eagerly — skip absent tables so one
+        # missing parquet can't abort the whole run before any timing.
+        if not Path(f"{sf_dir}/{t}.parquet").exists():
+            continue
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
@@ -48,6 +57,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             times[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
     ok = {k: v for k, v in times.items() if isinstance(v, float)}
+    m = re.search(r"sf([0-9.]+)", sf_dir)
     print(
         json.dumps(
             {
@@ -55,7 +65,7 @@ def main() -> int:
                 "value": round(sum(ok.values()), 3),
                 "unit": "sec",
                 "queries": times,
-                "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+                "sf": float(m.group(1)) if m else None,
             }
         )
     )
