@@ -112,6 +112,14 @@ def test_render_roundtrip(spark):
     obj = json.loads(rendered[0].value)
     assert set(obj) <= {"uri", "sequence", "bn_file", "columns", "operation"}
     assert "fileName" in obj["bn_file"]
+    # the JVM decoder accepts the rendered wire format identically
+    from fluvio_demo_apps_rust_spark.codec import parse_events
+
+    wire = spark.createDataFrame([(r.value,) for r in rendered], "value string")
+    jvm = parse_events(wire, jvm=True).orderBy("sequence").collect()
+    assert [(x.op_type, x.rows, x.columns) for x in jvm] == [
+        (y.op_type, y.rows, y.columns) for y in b
+    ]
 
 
 def test_variant_decoder_parity(spark):
