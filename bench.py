@@ -123,7 +123,7 @@ def main() -> int:
         # Per-query error isolation: one broken plan must never zero out
         # the whole artifact — record the error and keep benchmarking.
         try:
-            while len(runs) < 4:
+            while len(runs) < 5:
                 t0 = time.perf_counter()
                 try:
                     df = spec.fn(spark, sf_dir)
@@ -155,13 +155,13 @@ def main() -> int:
         fam = FAMILY.get(name, "other")
         families[fam] = round(families.get(fam, 0.0) + t, 3)
     out = {
-        "metric": "declared-query wall time (noop sink, steady-state min of 2-4 adaptive runs), all operator families",
+        "metric": "declared-query wall time (noop sink, steady-state min of 2-5 adaptive runs), all operator families",
         "value": total,
         "unit": "sec",
         "queries": times,
         "families": families,
         "sf": sf,
-        "runs_per_query": "2-4 (adaptive)",
+        "runs_per_query": "2-5 (adaptive)",
     }
     if errors:
         out["errors"] = errors

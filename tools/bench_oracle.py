@@ -46,7 +46,7 @@ def main() -> int:
             continue
         runs: list[float] = []
         try:
-            while len(runs) < 4:
+            while len(runs) < 5:
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 runs.append(time.perf_counter() - t0)
