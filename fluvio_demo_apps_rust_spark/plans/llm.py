@@ -1048,3 +1048,52 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+@register(
+    "llm_minhash_jaccard_est",
+    tags=("llm", "dedup", "minhash", "estimate"),
+    oracle=f"""
+WITH {_MINHASH_CTE},
+buckets AS (
+  SELECT doc_id, j % 4 AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY j)) AS bucket
+  FROM mh GROUP BY doc_id, band),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id)
+SELECT p.a, p.b,
+       round(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 16.0, 4) AS jaccard_est
+FROM pairs p
+JOIN mh x ON x.doc_id = p.a
+JOIN mh y ON y.doc_id = p.b AND y.j = x.j
+GROUP BY p.a, p.b
+""",
+)
+def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash similarity ESTIMATION: for each LSH candidate pair, the
+    fraction of agreeing signature components estimates the Jaccard —
+    the verify step that never re-reads documents (signatures are 1/k
+    the corpus volume). Candidates from the banded fan-out; the
+    signature re-join shuffles the k-row-per-doc long form on the doc
+    key only."""
+    d = load(spark, sf_dir, "documents")
+    wide = X.minhash_wide(d)
+    pairs = X.lsh_candidate_pairs(X.lsh_band_buckets_wide(wide, bands=4))
+    a = wide.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(16)],
+    )
+    b = wide.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(16)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0) for j in range(16)
+    )
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .select("a", "b", F.round(matches / 16.0, 4).alias("jaccard_est"))
+    )
