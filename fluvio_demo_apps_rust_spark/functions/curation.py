@@ -175,6 +175,45 @@ def sequence_pack(
     )
 
 
+def domain_mixture(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain mixture statistics + uniform-target resampling weights:
+    for each stratum (source/domain), its document and token counts, its
+    token share of the corpus, and the importance weight that would
+    rebalance sampling to a uniform target mixture
+    (``weight = (1/k) / share`` — domains over-represented in tokens get
+    weight < 1, under-represented ones > 1). Feeding the weights into
+    :func:`stratified_sample` rates is the standard domain-rebalancing
+    step of a pretraining mixture.
+
+    Scale posture: one map-side-partial aggregate keyed by the stratum
+    (k rows out), then a broadcast of the one-row corpus totals — no
+    second scan, no shuffle beyond the k-key aggregate."""
+    from .text import ws_token_count
+
+    per = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws_token_count(text_col).cast("long")).alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    with_tot = per.crossJoin(F.broadcast(totals))
+    share = F.col("n_tokens") / F.col("tot_tokens")
+    return with_tot.select(
+        strata_col,
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round((F.lit(1.0) / F.col("k")) / share, 6).alias("uniform_weight"),
+    )
+
+
 def incremental_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -293,6 +293,81 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "(cast(x AS double) - cast(y AS double)) * (cast(x AS double) - cast(y AS double))), "
+    "cast(0.0 AS double), (acc, v) -> acc + v)"
+)
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column: ``iters`` rounds of
+    assign-to-nearest-centroid (Euclidean) + per-position mean
+    recompute, returning the final assignment (id, cluster, dist).
+
+    Deterministic + oracle-reproducible: init centroids are the first
+    ``k`` vectors, distances are left-to-right double folds rounded to
+    6 dp BEFORE the argmin (lowest-centroid-id tiebreak), and recomputed
+    centroid components are 6-dp-rounded means — so an engine computing
+    partial sums in any order lands on the identical rounded values.
+
+    Scale posture per round: the assignment is a broadcast of the k
+    centroids against the corpus (argmin = one map-side struct-min
+    aggregate keyed by the vector id — no window sort); the recompute
+    is a posexplode → (cluster, pos) partial-agg shuffle whose output
+    is k·dim rows regardless of corpus size. Driver holds no row data;
+    per-round lineage is truncated with an eager localCheckpoint of the
+    k-row centroid relation. With thousands of centroids, swap the
+    broadcast argmin for a Pandas-UDF matmul (same note as ivf_cells).
+    """
+    base = emb.select(F.col(id_col), F.col(vec_col))
+    cent = base.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("c_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("c_vec"),
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        scored = base.crossJoin(F.broadcast(c)).select(
+            id_col,
+            vec_col,
+            F.struct(
+                F.round(F.sqrt(F.expr(SQDIST.format(a=vec_col, b="c_vec"))), 6).alias("d"),
+                F.col("c_id").alias("c_id"),
+            ).alias("dc"),
+        )
+        return scored.groupBy(id_col).agg(
+            F.any_value(vec_col).alias("vec"),
+            F.min("dc").alias("best"),
+        )
+
+    for _ in range(iters):
+        assigned = assign(cent)
+        cent = (
+            assigned.select(F.col("best")["c_id"].alias("cluster"), F.posexplode("vec"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("col").cast("double")), 6).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("cluster").alias("c_id"),
+                F.expr("transform(pm, s -> s.m)").alias("c_vec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    final = assign(cent)
+    return final.select(
+        id_col,
+        F.col("best")["c_id"].alias("cluster"),
+        F.col("best")["d"].alias("dist"),
+    )
+
+
 def semdedup_prune(
     emb: DataFrame,
     ncells: int = 16,

@@ -162,6 +162,80 @@ def repetition_columns(col_name: str = "text") -> list[Column]:
     ]
 
 
+# Gopher-rule marker stopwords: a document must contain at least two of
+# these to pass (the "contains common English function words" rule).
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_columns(col_name: str = "text") -> list[Column]:
+    """Gopher-style document-quality gate (Rae et al. 2021, §A1.1):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (# and ellipsis), bullet-line and ellipsis-line fractions, and a
+    minimum count of distinct common function words. Every metric is
+    pinned to a portable formula (the DuckDB oracle mirrors each one);
+    ``passes`` is the conjunction used as the pipeline drop rule.
+
+    Row-local projections (no shuffle, whole-stage codegen); the token
+    split and the line split are each LET-bound via a single-element
+    transform so no higher-order lambda re-evaluates them per element.
+    """
+    toks = f"split(lower(trim({col_name})), '\\\\s+')"
+    lines = f"split({col_name}, '\\n')"
+    n_words = F.expr(f"size({toks})")
+    mean_wl = F.round(
+        F.expr(f"aggregate({toks}, 0L, (acc, t) -> acc + length(t))")
+        / n_words.cast("double"),
+        4,
+    )
+    # substring-occurrence counts via the replace trick (identical
+    # leftmost-non-overlapping semantics in Spark and DuckDB)
+    n_hash = F.length(col_name) - F.length(F.regexp_replace(col_name, "#", ""))
+    n_ell = (
+        F.length(col_name) - F.length(F.regexp_replace(col_name, r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = F.round((n_hash + n_ell) / n_words.cast("double"), 4)
+    bullet_frac = F.round(
+        F.expr(
+            f"size(filter({lines}, l -> startswith(ltrim(l), '-') "
+            f"or startswith(ltrim(l), '*')))"
+        )
+        / F.expr(f"size({lines})").cast("double"),
+        4,
+    )
+    ellipsis_frac = F.round(
+        F.expr(f"size(filter({lines}, l -> endswith(rtrim(l), '...')))")
+        / F.expr(f"size({lines})").cast("double"),
+        4,
+    )
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+    # LET-bind the token split: the filter lambda probes it once per
+    # stopword, and lambda bodies get no common-subexpression
+    # elimination — inlining would re-split the document 8 times.
+    stop_hits = F.expr(
+        f"transform(array({toks}), t -> "
+        f"size(filter(array({stop_list}), w -> array_contains(t, w))))[0]"
+    )
+    passes = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_wl >= 3)
+        & (mean_wl <= 10)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (stop_hits >= 2)
+    )
+    return [
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        stop_hits.alias("stop_hits"),
+        passes.alias("passes"),
+    ]
+
+
 def fingerprint(col: str | Column = "text") -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted
     distinct token set (the classic "fingerprint clustering" key)."""

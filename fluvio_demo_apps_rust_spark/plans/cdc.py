@@ -306,3 +306,101 @@ def cdc_replica_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "cdc_scd2",
+    tags=("cdc", "codec", "scd2", "temporal"),
+    oracle="""
+WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'),
+v AS (
+  SELECT o_orderkey, 1 AS ver, 'O' AS status FROM base
+  UNION ALL SELECT o_orderkey, 2, 'P' FROM base
+  UNION ALL SELECT o_orderkey, 3, NULL FROM base WHERE o_orderkey % 2 = 0),
+w AS (
+  SELECT o_orderkey, ver, status,
+         o_orderkey * 4 + ver AS valid_from_seq,
+         lead(o_orderkey * 4 + ver) OVER (PARTITION BY o_orderkey ORDER BY ver)
+           AS valid_to_seq
+  FROM v)
+SELECT o_orderkey, status AS o_orderstatus, valid_from_seq, valid_to_seq,
+       (valid_to_seq IS NULL) AS is_current
+FROM w WHERE ver <> 3
+""",
+)
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 temporal-dimension build from a decoded change stream: every
+    open ('O') order is replayed as wire events — Add('O'), Update→'P',
+    and for even keys a closing Delete — decoded through the codec, and
+    folded into type-2 version rows (valid_from/valid_to sequence
+    interval, is_current flag) by operators/scd2.py. One key-partition
+    window over the change stream; no joins, no driver state. The
+    reference's consumer keeps only current state (mysql_manager.rs:61);
+    this is the history-preserving warehouse face of the same stream."""
+    from ..codec import parse_events
+    from ..operators.scd2 import scd2_intervals
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    par = spark.sparkContext.defaultParallelism
+    k = F.col("o_orderkey")
+
+    def cell_int(c: F.Column) -> F.Column:
+        return F.concat(F.lit('{"SignedInteger":'), c.cast("string"), F.lit("}"))
+
+    def ev(ver: int, body: F.Column) -> F.Column:
+        seq = (k * 4 + ver).cast("string")
+        return F.concat(
+            F.lit('{"uri":"flv://mysql-srv1/cdcdb/orders_h","sequence":'),
+            seq,
+            F.lit(',"bn_file":{"fileName":"binlog.000001","offset":'),
+            seq,
+            F.lit('},"columns":["o_orderkey","o_orderstatus"],"operation":'),
+            body,
+            F.lit("}"),
+        )
+
+    add = ev(
+        1,
+        F.concat(
+            F.lit('{"Add":{"rows":[{"cols":['),
+            cell_int(k),
+            F.lit(',{"String":"O"}]}]}}'),
+        ),
+    )
+    upd = ev(
+        2,
+        F.concat(
+            F.lit('{"Update":{"rows":[{"before_cols":['),
+            cell_int(k),
+            F.lit(',{"String":"O"}],"after_cols":['),
+            cell_int(k),
+            F.lit(',{"String":"P"}]}]}}'),
+        ),
+    )
+    dele = ev(
+        3,
+        F.concat(
+            F.lit('{"Delete":{"rows":[{"cols":['),
+            cell_int(k),
+            F.lit(',{"String":"P"}]}]}}'),
+        ),
+    )
+    rendered = o.repartition(par).select(
+        F.explode(
+            F.array_compact(
+                F.array(add, upd, F.when(k % 2 == 0, dele))
+            )
+        ).alias("value")
+    )
+    events = parse_events(rendered)
+    r0 = F.col("rows")[0]
+    changes = events.select(
+        F.coalesce(r0["after"][0], r0["before"][0]).cast("long").alias("o_orderkey"),
+        "sequence",
+        "op_type",
+        r0["after"][1].alias("o_orderstatus"),
+    )
+    return scd2_intervals(
+        changes, key_col="o_orderkey", seq_col="sequence",
+        attr_cols=("o_orderstatus",),
+    )

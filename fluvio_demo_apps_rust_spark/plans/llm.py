@@ -1097,3 +1097,109 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "b")
         .select("a", "b", F.round(matches / 16.0, 4).alias("jaccard_est"))
     )
+
+
+@register(
+    "llm_gopher_rules",
+    tags=("llm", "text", "quality"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks,
+                  string_split(text, chr(10)) AS lines
+           FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         round(list_sum(list_transform(toks, t -> length(t))) / len(toks)::DOUBLE, 4) AS mean_word_len,
+         round(((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) / 3)
+               / len(toks)::DOUBLE, 4) AS symbol_ratio,
+         round(len(list_filter(lines, l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')))
+               / len(lines)::DOUBLE, 4) AS bullet_frac,
+         round(len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
+               / len(lines)::DOUBLE, 4) AS ellipsis_frac,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         w -> list_contains(toks, w))) AS stop_hits
+  FROM t)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, stop_hits,
+       (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3 AND stop_hits >= 2) AS passes
+FROM m
+""",
+)
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate (word-count / word-length
+    bounds, symbol ratio, bullet- and ellipsis-line fractions, minimum
+    function-word hits) — the standard pretraining drop rules as one
+    row-local codegen projection, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", *TX.gopher_columns())
+
+
+@register(
+    "llm_domain_mixture",
+    tags=("llm", "curation", "sampling"),
+    oracle=f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS tot_tokens, count(*) AS k FROM per)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / tot_tokens, 6) AS token_share,
+       round((1.0 / k) / (n_tokens / tot_tokens), 6) AS uniform_weight
+FROM per CROSS JOIN tot
+""",
+)
+def llm_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token shares + uniform-target importance weights —
+    the mixture-rebalancing step feeding stratified_sample rates. One
+    k-key partial aggregate + a broadcast one-row totals join."""
+    return C.domain_mixture(load(spark, sf_dir, "documents"))
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"sqrt(list_sum([(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"for i in generate_series(1, 64)]))"
+    )
+
+
+@register(
+    "llm_kmeans",
+    tags=("llm", "embedding", "clustering"),
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (SELECT vec_id AS c_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_vec
+       FROM e WHERE vec_id < 8),
+d1 AS (SELECT vec_id, c_id, round({_sqdist_sql('embedding', 'c_vec')}, 6) AS d
+       FROM e CROSS JOIN c0),
+a1 AS (SELECT vec_id, c_id AS cluster
+       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn FROM d1)
+       WHERE rn = 1),
+m1 AS (SELECT cluster, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+       FROM a1 JOIN e USING (vec_id)
+       CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+       GROUP BY cluster, i),
+c1 AS (SELECT cluster AS c_id, list(m ORDER BY i) AS c_vec FROM m1 GROUP BY cluster),
+d2 AS (SELECT vec_id, c_id, round({_sqdist_sql('embedding', 'c_vec')}, 6) AS d
+       FROM e CROSS JOIN c1)
+SELECT vec_id, cluster, dist FROM (
+  SELECT vec_id, c_id AS cluster, d AS dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn
+  FROM d2)
+WHERE rn = 1
+""",
+)
+def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd's k-means round (k=8: broadcast-argmin assignment,
+    per-position centroid-mean recompute) plus the final assignment —
+    the iterative clustering primitive behind IVF/SemDeDup centroids.
+    Assignment is a map-side struct-min aggregate (no window sort on
+    the corpus); the recompute shuffle carries k*dim rows regardless of
+    corpus size. Distances and means are 6-dp-pinned so the oracle's
+    two mirrored rounds land on identical values."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.kmeans(e, k=8, iters=1)

@@ -213,3 +213,76 @@ def test_semdedup_prunes_on_testdata(spark):
     n_pruned = out.filter("pruned").count()
     assert out.count() == 500
     assert n_pruned > 0, "tau=0.3 should prune at least one near-dup"
+
+
+def test_kmeans_groups_separated_clusters(spark):
+    from fluvio_demo_apps_rust_spark.functions import similarity as S
+
+    # two tight 2-d blobs; init centroids = first 2 vectors (one per blob)
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, [0.1, 0.2]),
+        (3, [9.8, 10.1]),
+        (4, [0.2, 0.1]),
+        (5, [10.2, 9.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.cluster for r in S.kmeans(df, k=2, iters=2).collect()}
+    assert out[0] == out[2] == out[4] == 0
+    assert out[1] == out[3] == out[5] == 1
+
+
+def test_kmeans_reassigns_after_centroid_update(spark):
+    from fluvio_demo_apps_rust_spark.functions import similarity as S
+
+    # Initial centroids (ids 0, 1) sit together, so round-0 assignment
+    # puts everything in one cell; after one mean recompute the far
+    # blob's mass pulls a centroid over and the split appears.
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [0.1, 0.1]),
+        (3, [20.0, 20.0]),
+        (4, [20.1, 19.9]),
+        (5, [19.9, 20.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.cluster for r in S.kmeans(df, k=2, iters=2).collect()}
+    assert out[3] == out[4] == out[5]
+    assert out[0] == out[2]
+    assert out[0] != out[3]
+
+
+def test_gopher_rules_flags(spark):
+    from fluvio_demo_apps_rust_spark.functions import text as TX
+
+    good = "the quick brown fox jumps over and over with many of the " * 6
+    bullets = "\n".join("- item the be to of and that have with" for _ in range(10))
+    symbols = "the be of and " + "# " * 60
+    rows = [(1, good), (2, "too short"), (3, bullets), (4, symbols)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in df.select("doc_id", *TX.gopher_columns()).collect()}
+    assert out[1].passes is True
+    assert out[2].passes is False  # n_words < 50
+    assert out[3].bullet_frac == 1.0 and out[3].passes is False
+    assert out[4].symbol_ratio > 0.1 and out[4].passes is False
+
+
+def test_domain_mixture_uniform_weights(spark):
+    from fluvio_demo_apps_rust_spark.functions import curation as C
+
+    rows = [
+        (1, "a b c d", "web"),
+        (2, "a b c d", "web"),
+        (3, "a b c d e f g h", "web"),
+        (4, "a b c d", "books"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in C.domain_mixture(df).collect()}
+    assert out["web"].n_docs == 3 and out["web"].n_tokens == 16
+    assert out["books"].n_docs == 1 and out["books"].n_tokens == 4
+    assert out["web"].token_share == 0.8
+    # uniform target is 0.5 each: web over-represented -> weight < 1
+    assert out["web"].uniform_weight == 0.625
+    assert out["books"].uniform_weight == 2.5
