@@ -236,6 +236,92 @@ def gopher_columns(col_name: str = "text") -> list[Column]:
     ]
 
 
+def unigram_surprise(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Corpus-unigram-LM quality score (the CCNet/perplexity-proxy
+    shape): train a unigram model on the corpus itself (token relative
+    frequencies), then score each document by the mean -log2 p(token)
+    of its tokens. Boilerplate and keyword-stuffed documents score LOW
+    (their tokens are corpus-frequent); lexically rich text scores
+    high; gibberish scores highest — the standard band-pass filter
+    keeps the middle of the distribution.
+
+    Returns (id, n_tokens, surprise) with surprise rounded to 4 dp.
+
+    Scale posture: one explode of the corpus into tokens, ONE
+    aggregate shuffled on the token key (the model — vocabulary-sized,
+    not corpus-sized), a token-keyed equi-join of the token stream
+    against the model (AQE broadcasts small vocabularies), and a final
+    per-doc aggregate. No all-pairs, no driver state; the one-row
+    total-token count rides in via a broadcast cross join.
+    """
+    from .dedup import _spread
+
+    tok = _spread(df, id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("tot"))
+    scored = (
+        tok.join(freq, "t")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, (-F.log2(F.col("c") / F.col("tot"))).alias("s"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("s"), 4).alias("surprise"),
+    )
+
+
+def tfidf_top_terms(
+    df, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Top-k TF-IDF terms per document: tf = in-doc token count,
+    idf = ln((N+1)/(df+1)) + 1 (smoothed), score = tf·idf rounded to
+    6 dp before ranking (term-asc tiebreak) so ranking is
+    engine-reproducible. The per-document keyword extraction primitive
+    (indexing, topic labeling, boilerplate triage).
+
+    Scale posture: per-(doc, term) counts aggregate map-side first;
+    document frequencies are ONE more aggregate over the (doc, term)
+    stream (already distinct by construction — no distinct shuffle);
+    the idf join shuffles on the term key; the final top-k is a window
+    over the doc key. Everything is linear in corpus token volume.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _spread
+
+    tf = (
+        _spread(df, id_col)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "t")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            id_col,
+            "t",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("t"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("t").alias("term"), "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def fingerprint(col: str | Column = "text") -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted
     distinct token set (the classic "fingerprint clustering" key)."""

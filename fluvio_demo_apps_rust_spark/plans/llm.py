@@ -1203,3 +1203,53 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     two mirrored rounds land on identical values."""
     e = load(spark, sf_dir, "embeddings")
     return S.kmeans(e, k=8, iters=1)
+
+
+@register(
+    "llm_unigram_surprise",
+    tags=("llm", "text", "quality", "lm"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+freq AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+tot AS (SELECT sum(c)::DOUBLE AS tot FROM freq)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-log2(c / tot)), 4) AS surprise
+FROM tok JOIN freq USING (t) CROSS JOIN tot
+GROUP BY doc_id
+""",
+)
+def llm_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM surprise score (perplexity-proxy quality
+    filter): one token-keyed model aggregate, one token-keyed join
+    back, one per-doc aggregate — the CCNet-style band-pass signal
+    without any external model."""
+    return TX.unigram_surprise(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_tfidf_topterms",
+    tags=("llm", "text", "tfidf"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, t),
+dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+nd AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, t,
+         round(tf * (ln((n + 1) / (df + 1)::DOUBLE) + 1), 6) AS score
+  FROM tf JOIN dfreq USING (t) CROSS JOIN nd)
+SELECT doc_id, t AS term, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rank
+  FROM scored)
+WHERE rank <= 3
+""",
+)
+def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf, 6-dp-pinned
+    ranking): per-(doc, term) map-side counts, one term-keyed document-
+    frequency aggregate, a term-keyed idf join, and a doc-keyed top-k
+    window — linear in token volume, no all-pairs."""
+    return TX.tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)

@@ -286,3 +286,38 @@ def test_domain_mixture_uniform_weights(spark):
     # uniform target is 0.5 each: web over-represented -> weight < 1
     assert out["web"].uniform_weight == 0.625
     assert out["books"].uniform_weight == 2.5
+
+
+def test_unigram_surprise_ranks_rare_tokens_higher(spark):
+    from fluvio_demo_apps_rust_spark.functions import text as TX
+
+    rows = [
+        (1, "common common common common"),
+        (2, "common common rare1 rare2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.unigram_surprise(df).collect()}
+    # doc 2 holds the two singleton tokens -> higher mean surprise
+    assert out[2].surprise > out[1].surprise
+    assert out[1].n_tokens == 4 and out[2].n_tokens == 4
+
+
+def test_tfidf_top_terms_prefers_rare_repeated_terms(spark):
+    from fluvio_demo_apps_rust_spark.functions import text as TX
+
+    rows = [
+        (1, "shared shared zebra zebra zebra"),
+        (2, "shared shared other"),
+        (3, "shared filler words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.tfidf_top_terms(df, k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # 'zebra': tf=3, df=1 -> 3*(ln(4/2)+1)=5.08 dominates 'shared'
+    # (tf=2, df=3 -> 2*(ln(4/4)+1)=2.0)
+    assert top[1] == "zebra"
+    # doc 2: 'shared' (2.0) still beats singleton 'other' (1*1.693)
+    assert top[2] == "shared"
+    # doc 3: all tf=1 -> the rare (df=1) terms tie at 1.693; term-asc
+    # tiebreak picks 'filler'
+    assert top[3] == "filler"
