@@ -499,3 +499,87 @@ def q39_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT CAST(window_start AS STRING) AS window_start, event_type, cnt, "
         f"total_value FROM {name}"
     )
+
+
+@register(
+    "q70_stream_interval_join",
+    tags=("events", "streaming", "join", "watermark"),
+    # Deterministic two-stream fixture: impression i at minute i (user
+    # i % 5, value i % 7); click i at minute i + (i % 15) for the same
+    # user. A click joins every impression of its user that precedes it
+    # by at most 10 minutes. Single availableNow batch -> all matches
+    # emit; the oracle regenerates both streams and applies the same
+    # interval condition.
+    oracle="""
+WITH i AS (SELECT unnest(generate_series(0, 99)) AS n),
+imp AS (SELECT n AS imp_id,
+               TIMESTAMP '2024-01-01 00:00:00' + n * INTERVAL '1 minute' AS ts,
+               CAST(n % 5 AS BIGINT) AS user_id
+        FROM i),
+clk AS (SELECT 1000 + n AS click_id,
+               TIMESTAMP '2024-01-01 00:00:00'
+               + (n + (n % 15)) * INTERVAL '1 minute' AS ts,
+               CAST(n % 5 AS BIGINT) AS user_id
+        FROM i)
+SELECT imp.imp_id, clk.click_id, imp.user_id,
+       CAST(epoch(clk.ts) - epoch(imp.ts) AS BIGINT) / 60 AS delta_min
+FROM imp JOIN clk
+  ON imp.user_id = clk.user_id
+ AND clk.ts >= imp.ts
+ AND clk.ts <= imp.ts + INTERVAL '10 minutes'
+""",
+)
+def q70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real stream-stream inner join run: two watermarked file streams
+    joined on user within a 10-minute event-time interval (state
+    bounded by watermark + horizon — the attribution-join operator);
+    driven availableNow into a memory sink."""
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from ..streaming.analytics import interval_join
+
+    base = Path(tempfile.mkdtemp(prefix="q70_stream_"))
+    imp_dir, clk_dir = base / "imp", base / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    imps, clks = [], []
+    for n in range(100):
+        h, m = divmod(n, 60)
+        imps.append(
+            f'{{"imp_id": {n}, "ts": "2024-01-01 0{h}:{m:02d}:00", "user_id": {n % 5}}}'
+        )
+        cm = n + (n % 15)
+        ch, cmm = divmod(cm, 60)
+        clks.append(
+            f'{{"click_id": {1000 + n}, "ts": "2024-01-01 0{ch}:{cmm:02d}:00", '
+            f'"user_id": {n % 5}}}'
+        )
+    (imp_dir / "imp.jsonl").write_text("\n".join(imps) + "\n")
+    (clk_dir / "clk.jsonl").write_text("\n".join(clks) + "\n")
+    left = spark.readStream.schema("imp_id long, ts timestamp, user_id long").json(
+        str(imp_dir)
+    )
+    right = spark.readStream.schema(
+        "click_id long, ts timestamp, user_id long"
+    ).json(str(clk_dir))
+    joined = interval_join(left, right, horizon="10 minutes").select(
+        F.col("imp_id"),
+        F.col("click_id"),
+        F.col("l.user_id").alias("user_id"),
+        ((F.col("r.ts").cast("long") - F.col("l.ts").cast("long")) / 60)
+        .cast("long")
+        .alias("delta_min"),
+    )
+    name = "q70_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT imp_id, click_id, user_id, delta_min FROM {name}"
+    )

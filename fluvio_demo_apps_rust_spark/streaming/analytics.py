@@ -87,6 +87,38 @@ def sessionized(events: DataFrame, gap: str = "5 minutes", watermark: str = "30 
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    horizon: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join within a time interval (the
+    ad-attribution shape: a right-stream event joins every left-stream
+    event of the same user it follows within ``horizon``).
+
+    Both sides are watermarked and the join carries a two-sided
+    event-time range constraint — the combination Structured Streaming
+    REQUIRES to bound join state: each side buffers only rows younger
+    than (watermark + horizon); older state is evicted. Without the
+    range condition the state store grows forever.
+
+    Scale posture: state is partitioned by the equi-join key (user),
+    scaling horizontally with executors; per-key buffered state is
+    bounded by the rate × horizon, independent of stream length.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            "l.user_id = r.user_id "
+            "AND r.ts >= l.ts "
+            f"AND r.ts <= l.ts + interval {horizon}"
+        ),
+    )
+
+
 def run_to_parquet(
     df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "append"
 ) -> None:

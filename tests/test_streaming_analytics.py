@@ -228,3 +228,42 @@ def test_late_data_dropped_across_microbatches(spark, tmp_path):
     }
     # hour-0 finalized WITHOUT the straggler; hour-1 WITH its straggler
     assert rows == {"2024-01-01 00:00:00": 40, "2024-01-01 01:00:00": 41}
+
+
+def test_interval_join_matches_within_horizon_only(spark, tmp_path):
+    import uuid
+
+    from fluvio_demo_apps_rust_spark.streaming.analytics import interval_join
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    (imp_dir / "i.jsonl").write_text(
+        '{"imp_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 7}\n'
+        '{"imp_id": 2, "ts": "2024-01-01 00:30:00", "user_id": 7}\n'
+    )
+    (clk_dir / "c.jsonl").write_text(
+        # 5 min after imp 1 -> match; 20 min after -> outside horizon;
+        # wrong user -> no match even in-horizon
+        '{"click_id": 10, "ts": "2024-01-01 00:05:00", "user_id": 7}\n'
+        '{"click_id": 11, "ts": "2024-01-01 00:20:00", "user_id": 7}\n'
+        '{"click_id": 12, "ts": "2024-01-01 00:06:00", "user_id": 8}\n'
+    )
+    left = spark.readStream.schema("imp_id long, ts timestamp, user_id long").json(
+        str(imp_dir)
+    )
+    right = spark.readStream.schema("click_id long, ts timestamp, user_id long").json(
+        str(clk_dir)
+    )
+    name = "t_ij_" + uuid.uuid4().hex[:8]
+    q = (
+        interval_join(left, right, horizon="10 minutes")
+        .select("imp_id", "click_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.imp_id, r.click_id) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == {(1, 10)}
