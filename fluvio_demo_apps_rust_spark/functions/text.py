@@ -274,6 +274,98 @@ def unigram_surprise(
     )
 
 
+def dsir_importance(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "lang",
+    target: str = "en",
+):
+    """DSIR-style importance weight (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each
+    document by the mean log-likelihood ratio of its tokens under a
+    target-domain unigram LM vs the raw-corpus unigram LM (both
+    add-one smoothed over the shared corpus vocabulary). Documents
+    that look like the target domain get positive log_ratio — the
+    importance-resampling signal for domain-targeted data selection.
+
+    The ratio is computed as ONE log2 of an exact-integer product
+    ratio ``((c_tgt+1)*(tot_raw+V)) / ((c_raw+1)*(tot_tgt+V))`` so the
+    DuckDB oracle reproduces it bit-for-bit (products stay < 2^53).
+
+    Returns (id, n_tokens, log_ratio) with log_ratio rounded to 4 dp.
+
+    Scale posture: identical to :func:`unigram_surprise` — one token
+    explode, ONE vocabulary-sized aggregate building BOTH models
+    (conditional count, no second pass over the corpus), a token-keyed
+    join back, a broadcast one-row totals join, and a per-doc
+    aggregate. Linear in token volume, no all-pairs.
+    """
+    from .dedup import _spread
+
+    tok = _spread(df, id_col).select(
+        F.col(id_col),
+        (F.col(domain_col) == target).alias("is_tgt"),
+        F.explode(tokens(text_col)).alias("t"),
+    )
+    model = tok.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.count_if(F.col("is_tgt")).alias("c_tgt"),
+    )
+    totals = model.agg(
+        F.sum("c_raw").alias("tot_raw"),
+        F.sum("c_tgt").alias("tot_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    scored = (
+        tok.join(model, "t")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.log2(
+                ((F.col("c_tgt") + 1) * (F.col("tot_raw") + F.col("v")))
+                / ((F.col("c_raw") + 1) * (F.col("tot_tgt") + F.col("v")))
+            ).alias("s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("s"), 4).alias("log_ratio"),
+    )
+
+
+def surprise_buckets(df, id_col: str = "doc_id", text_col: str = "text"):
+    """CCNet-style head/middle/tail banding: split the corpus into
+    terciles of :func:`unigram_surprise` (head = most-predictable
+    third, the usual keep band; tail = highest-surprise third, the
+    gibberish band). Cutoffs are the exact interpolated 1/3 and 2/3
+    percentiles of the (4-dp-rounded) per-doc surprise, so bucket
+    edges are engine-reproducible; boundary ties fall to the lower
+    bucket on both engines.
+
+    Returns (id, surprise, bucket).
+
+    Scale posture: the per-doc surprise plan (linear, see
+    unigram_surprise) plus ONE two-value percentile aggregate that
+    rides back in via broadcast — bucketing is a row-local comparison,
+    not a global sort/ntile, so the plan has no single-partition
+    window at any size.
+    """
+    per = unigram_surprise(df, id_col, text_col)
+    cuts = per.agg(
+        F.percentile("surprise", F.lit(1.0 / 3)).alias("c1"),
+        F.percentile("surprise", F.lit(2.0 / 3)).alias("c2"),
+    )
+    return per.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "surprise",
+        F.when(F.col("surprise") <= F.col("c1"), F.lit("head"))
+        .when(F.col("surprise") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def tfidf_top_terms(
     df, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ):

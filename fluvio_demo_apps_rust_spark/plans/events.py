@@ -583,3 +583,92 @@ def q70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT imp_id, click_id, user_id, delta_min FROM {name}"
     )
+
+
+@register(
+    "q71_events_funnel",
+    tags=("events", "funnel"),
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS v0 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(ts) AS c1 FROM events e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts >= v0 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(ts) AS p2 FROM events e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts >= c1 GROUP BY e.user_id)
+SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM v
+UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+""",
+)
+def q71_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): each stage
+    is a user-keyed min-timestamp aggregate over the previous stage's
+    survivors — three reusable user_id-keyed shuffles and tiny count
+    aggregates, never a per-user event-sequence sort. The standard
+    product-analytics operator (sequence matching over event streams).
+    """
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p2"))
+    )
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("stage"), F.count(F.lit(1)).alias("users")
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+    )
+
+
+@register(
+    "q72_events_cohort",
+    tags=("events", "cohort", "retention"),
+    oracle="""
+WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+           FROM events GROUP BY user_id)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', cohort, date_trunc('day', e.ts)) AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q72_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity day,
+    distinct actives per (cohort, day-offset) cell. One user-keyed
+    first-touch aggregate, a user-keyed join back (AQE broadcasts the
+    per-user table when small), one (cohort, offset)-keyed distinct
+    aggregate — linear, no windows. Cohort days emit as strings (never
+    raw timestamps)."""
+    e = _events(spark, sf_dir)
+    f = e.groupBy("user_id").agg(F.min(F.date_trunc("day", "ts")).alias("cohort"))
+    return (
+        e.join(f, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("users"))
+    )

@@ -1253,3 +1253,125 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency aggregate, a term-keyed idf join, and a doc-keyed top-k
     window — linear in token volume, no all-pairs."""
     return TX.tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "llm_dsir_importance",
+    tags=("llm", "text", "lm", "sampling"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS is_tgt, unnest({_TOKS}) AS t FROM documents),
+model AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c_raw,
+         CAST(count(*) FILTER (WHERE is_tgt) AS BIGINT) AS c_tgt
+  FROM tok GROUP BY t),
+tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS tot_raw,
+               CAST(sum(c_tgt) AS BIGINT) AS tot_tgt,
+               CAST(count(*) AS BIGINT) AS v
+        FROM model)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(log2(((c_tgt + 1) * (tot_raw + v))::DOUBLE
+                      / ((c_raw + 1) * (tot_tgt + v)))), 4) AS log_ratio
+FROM tok JOIN model USING (t) CROSS JOIN tot
+GROUP BY doc_id
+""",
+)
+def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting for domain-targeted selection:
+    per-doc mean log-likelihood ratio under a target-domain (lang='en')
+    vs raw-corpus unigram LM, add-one smoothed — ONE vocabulary-keyed
+    aggregate builds both models via a conditional count, then a
+    token-keyed join back and a per-doc aggregate. Linear; the ratio
+    is one log2 of an exact-integer product ratio so both engines
+    agree bit-for-bit."""
+    return TX.dsir_importance(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_surprise_buckets",
+    tags=("llm", "text", "quality", "lm"),
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+freq AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+tot AS (SELECT sum(c)::DOUBLE AS tot FROM freq),
+per AS (
+  SELECT doc_id, round(avg(-log2(c / tot)), 4) AS surprise
+  FROM tok JOIN freq USING (t) CROSS JOIN tot GROUP BY doc_id),
+cuts AS (SELECT quantile_cont(surprise, 1.0/3) AS c1,
+                quantile_cont(surprise, 2.0/3) AS c2 FROM per)
+SELECT doc_id, surprise,
+       CASE WHEN surprise <= c1 THEN 'head'
+            WHEN surprise <= c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM per CROSS JOIN cuts
+""",
+)
+def llm_surprise_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity banding: tercile cutoffs
+    of the unigram-LM surprise (exact interpolated percentiles on the
+    4-dp-rounded score) assigned by row-local comparison against a
+    broadcast two-value aggregate — no global sort/ntile anywhere in
+    the plan, so the shape survives 100 TB."""
+    return TX.surprise_buckets(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_dedup_keep_best",
+    tags=("llm", "dedup", "minhash", "lsh", "quality", "iterative"),
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_CTE},
+buckets AS (
+  SELECT doc_id, j % 4 AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY j)) AS bucket
+  FROM mh GROUP BY doc_id, band),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION SELECT b, a FROM pairs
+  UNION SELECT doc_id, doc_id FROM documents),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+q AS (
+  SELECT doc_id,
+         round(0.4 * (len(list_filter({_TOKS}, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+                      / len({_TOKS})::DOUBLE)
+               + 0.4 * (len(list_distinct({_TOKS})) / len({_TOKS})::DOUBLE)
+               + 0.2 * least(len({_TOKS})::DOUBLE, 100.0) / 100.0, 4) AS quality
+  FROM documents)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       max(quality) AS best_quality,
+       kept_doc
+FROM (SELECT c.cluster_id, c.doc_id, q.quality,
+             first_value(c.doc_id) OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY q.quality DESC, c.doc_id ASC) AS kept_doc
+      FROM clusters c JOIN q USING (doc_id))
+GROUP BY cluster_id, kept_doc
+""",
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual dedup OUTPUT decision: resolve LSH candidate pairs
+    into clusters (connected components) and keep the highest-quality
+    member per cluster (quality ties → lowest doc_id). One quality
+    projection (row-local), the cluster fixpoint, a doc-keyed join,
+    and ONE cluster-keyed max_by aggregate — no per-cluster window
+    sort on the corpus."""
+    d = load(spark, sf_dir, "documents")
+    buckets = X.lsh_band_buckets_wide(X.minhash_wide(d), bands=4)
+    clusters = X.connected_components(X.lsh_candidate_pairs(buckets), d)
+    q = d.select("doc_id", TX.quality_columns()[-1])
+    j = clusters.join(q, "doc_id")
+    return j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("quality").alias("best_quality"),
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("quality"), (-F.col("doc_id")).alias("nd"))
+        ).alias("kept_doc"),
+    )
