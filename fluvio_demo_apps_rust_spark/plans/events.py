@@ -586,6 +586,170 @@ def q70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q73_stream_session",
+    tags=("events", "streaming", "window", "session", "watermark"),
+    # Deterministic fixture: per user u (0..2), 40 events in clusters of
+    # 5 consecutive minutes starting every 20 minutes (intra-cluster gap
+    # 1 min < 5-min session gap; inter-cluster gap 16 min > gap), plus a
+    # tail event at minute 200. Single availableNow batch: the final
+    # watermark is max_ts - 30 min = minute 170; append mode emits a
+    # session iff its END (last event + 5 min) <= watermark — all 8
+    # clusters per user qualify (last ends minute 149), the 3 tail
+    # singletons (end 205) stay open. The oracle regenerates the events,
+    # runs the same gaps-and-islands sessionization, and applies the
+    # same cutoff.
+    oracle="""
+WITH raw AS (SELECT unnest(generate_series(0, 119)) AS i),
+e AS (SELECT CAST(i % 3 AS BIGINT) AS user_id,
+             TIMESTAMP '2024-01-01 00:00:00'
+             + (((i // 3) // 5) * 20 + ((i // 3) % 5)) * INTERVAL '1 minute' AS ts,
+             CAST(i % 7 AS DOUBLE) AS value
+      FROM raw
+      UNION ALL
+      SELECT CAST(u AS BIGINT), TIMESTAMP '2024-01-01 03:20:00', 1.0
+      FROM (SELECT unnest(generate_series(0, 2)) AS u)),
+wm AS (SELECT max(ts) - INTERVAL '30 minutes' AS w FROM e),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= 300
+              THEN 1 ELSE 0 END AS new_session
+  FROM e),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged)
+SELECT CAST(min(ts) AS VARCHAR) AS session_start,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM numbered, wm
+GROUP BY user_id, sid, w
+HAVING max(ts) + INTERVAL '5 minutes' <= w
+""",
+)
+def q73_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Structured Streaming session-window run: per-user 5-minute
+    inactivity-gap sessions under a 30-minute watermark, driven
+    availableNow into a memory sink — append mode emits only sessions
+    the watermark has closed (state for merged windows is evicted on
+    emission). The streaming face of the q32 batch operator."""
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from ..streaming.analytics import read_event_stream, sessionized
+
+    src = Path(tempfile.mkdtemp(prefix="q73_stream_"))
+    lines = []
+    eid = 0
+    for u in range(3):
+        for k in range(40):
+            m = (k // 5) * 20 + (k % 5)
+            h, mm = divmod(m, 60)
+            lines.append(
+                f'{{"event_id": {eid}, "ts": "2024-01-01 {h:02d}:{mm:02d}:00", '
+                f'"user_id": {u}, "event_type": "t{k % 2}", "value": {(u + 3 * k) % 7}.0}}'
+            )
+            eid += 1
+    for u in range(3):
+        lines.append(
+            f'{{"event_id": {eid}, "ts": "2024-01-01 03:20:00", '
+            f'"user_id": {u}, "event_type": "t0", "value": 1.0}}'
+        )
+        eid += 1
+    (src / "events.jsonl").write_text("\n".join(lines) + "\n")
+    name = "q73_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        sessionized(read_event_stream(spark, str(src)), gap="5 minutes", watermark="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT CAST(session_start AS STRING) AS session_start, user_id, "
+        f"n_events, session_value FROM {name}"
+    )
+
+
+@register(
+    "q74_stream_stateful",
+    tags=("events", "streaming", "stateful", "cdc"),
+    # Two-microbatch run (maxFilesPerTrigger=1): 60 wire Add events
+    # across 2 tables, 1 + i%3 rows each, split 0-29 / 30-59. The
+    # stateful operator emits one updated row per key per batch; the
+    # final state per key (row with the max n_events) must equal the
+    # batch totals the oracle computes directly.
+    oracle="""
+WITH raw AS (SELECT unnest(generate_series(0, 59)) AS i)
+SELECT 'cdcdb' AS db,
+       't' || CAST(i % 2 AS VARCHAR) AS "table",
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(1 + i % 3) AS BIGINT) AS n_rows,
+       CAST(max(i) AS BIGINT) AS max_sequence
+FROM raw GROUP BY 1, 2
+""",
+)
+def q74_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real arbitrary-stateful streaming run (applyInPandasWithState):
+    per-(db, table) running CDC stats accumulated ACROSS two
+    microbatches in the checkpointed state store — the custom-operator
+    path for semantics windows can't express (reference analog:
+    producer bookkeeping, fluvio_manager.rs:43-52). The final per-key
+    state must equal the direct batch totals."""
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from ..codec import parse_events
+    from ..streaming.stateful import table_stats_stream
+
+    src = Path(tempfile.mkdtemp(prefix="q74_stream_"))
+    batches: list[list[str]] = [[], []]
+    for i in range(60):
+        rows = ",".join(
+            f'{{"cols":[{{"SignedInteger":{i * 10 + r}}}]}}' for r in range(1 + i % 3)
+        )
+        batches[i // 30].append(
+            f'{{"uri":"flv://mysql-srv1/cdcdb/t{i % 2}","sequence":{i},'
+            f'"bn_file":{{"fileName":"binlog.000001","offset":{i}}},'
+            f'"columns":["c0"],"operation":{{"Add":{{"rows":[{rows}]}}}}}}'
+        )
+    import os
+
+    f0, f1 = src / "a_b0.jsonl", src / "b_b1.jsonl"
+    f0.write_text("\n".join(batches[0]) + "\n")
+    f1.write_text("\n".join(batches[1]) + "\n")
+    os.utime(f0, (1_700_000_000, 1_700_000_000))
+    os.utime(f1, (1_700_000_100, 1_700_000_100))
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    stats = table_stats_stream(parse_events(raw))
+    name = "q74_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per key per microbatch; the final state
+    # per key is the row with the largest (monotone) n_events.
+    return spark.sql(
+        f"SELECT db, `table`, n_events, n_rows, max_sequence FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY db, `table` "
+        f"    ORDER BY n_events DESC) AS rn FROM {name}) WHERE rn = 1"
+    )
+
+
+@register(
     "q71_events_funnel",
     tags=("events", "funnel"),
     oracle="""
