@@ -414,6 +414,70 @@ def tfidf_top_terms(
     )
 
 
+def c4_line_columns(col_name: str = "text") -> list[Column]:
+    """C4-style line-level cleaning signals (Raffel et al. 2020): a
+    line is KEPT iff it ends in terminal punctuation (. ! ?) and has
+    at least 3 whitespace words; a document passes with >= 3 kept
+    lines. Returns n_lines, kept_lines, kept_frac (4 dp), passes —
+    row-local, no shuffle, pinned so the oracle mirrors it exactly."""
+    lines = f"split({col_name}, '\\n')"
+    kept = (
+        f"filter({lines}, l -> "
+        f"(endswith(rtrim(l), '.') OR endswith(rtrim(l), '!') OR endswith(rtrim(l), '?')) "
+        f"AND size(split(trim(l), '\\\\s+')) >= 3)"
+    )
+    n_lines = F.expr(f"size({lines})")
+    kept_lines = F.expr(f"size({kept})")
+    return [
+        n_lines.cast("long").alias("n_lines"),
+        kept_lines.cast("long").alias("kept_lines"),
+        F.round(kept_lines / n_lines.cast("double"), 4).alias("kept_frac"),
+        (kept_lines >= 3).alias("passes"),
+    ]
+
+
+def boilerplate_lines(
+    df, min_docs: int = 3, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Cross-document boilerplate-line detection (the CCNet paragraph-
+    dedup shape): a trimmed non-empty line is boilerplate when it
+    appears in >= ``min_docs`` distinct documents (headers, footers,
+    nav text). Returns per-doc (id, n_lines, bp_lines, bp_frac) where
+    n_lines counts the doc's DISTINCT non-empty lines.
+
+    Scale posture: explode lines → per-doc distinct (map-side combine
+    on the (doc, line-hash) key) → ONE line-hash-keyed aggregate for
+    document frequencies (vocabulary-sized) → hash-keyed join back →
+    per-doc aggregate. Linear in line volume, no all-pairs."""
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"filter(transform(split({text_col}, '\\n'), l -> trim(l)), "
+                    f"l -> l != '')"
+                )
+            ).alias("line"),
+        )
+        .select(id_col, F.md5("line").alias("lh"))
+        .distinct()
+    )
+    docfreq = lines.groupBy("lh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        lines.join(docfreq, "lh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_if(F.col("df") >= min_docs).alias("bp_lines"),
+            F.round(
+                F.count_if(F.col("df") >= min_docs)
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("bp_frac"),
+        )
+    )
+
+
 def fingerprint(col: str | Column = "text") -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted
     distinct token set (the classic "fingerprint clustering" key)."""

@@ -586,6 +586,89 @@ def q70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q75_events_anomaly",
+    tags=("events", "anomaly", "timeseries"),
+    # z-scores from explicit integer sums (s1, s2, n are exact BIGINTs;
+    # the float expression is written identically on both engines) so
+    # rounding never hits an engine-specific stddev algorithm.
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS s1,
+         CAST(sum(cnt * cnt) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS n
+  FROM hourly GROUP BY event_type)
+SELECT h.event_type, hour_start, cnt,
+       round((cnt - s1 / n::DOUBLE)
+             / sqrt(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE)), 4) AS z,
+       abs((cnt - s1 / n::DOUBLE)
+           / sqrt(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE))) > 2 AS is_anomaly
+FROM hourly h JOIN stats s ON h.event_type = s.event_type
+""",
+)
+def q75_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-count anomaly detection per event type: population
+    z-score of each hour's count against the type's mean/stddev,
+    computed from exact integer sums (one tiny per-type stats
+    aggregate broadcast back over the hourly table). The monitoring /
+    alerting primitive; both aggregates are map-side partial, no
+    window over the event stream."""
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").cast("long").alias("hour_start"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s1") / F.col("n").cast("double")
+    std = F.sqrt(F.col("s2") / F.col("n").cast("double") - mean * mean)
+    z = (F.col("cnt") - mean) / std
+    return hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "hour_start",
+        "cnt",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 2).alias("is_anomaly"),
+    )
+
+
+@register(
+    "q76_events_transitions",
+    tags=("events", "sequence", "path"),
+    oracle="""
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q76_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User path analysis: counts of consecutive event-type transitions
+    per user (the Markov-chain / sankey primitive). ONE window over the
+    user key (tie-broken on event_id for determinism) then a tiny
+    (type, type)-keyed aggregate — the sort is per-user-partition,
+    never global."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
     "q73_stream_session",
     tags=("events", "streaming", "window", "session", "watermark"),
     # Deterministic fixture: per user u (0..2), 40 events in clusters of

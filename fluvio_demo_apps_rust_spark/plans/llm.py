@@ -1256,6 +1256,62 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_c4_clean",
+    tags=("llm", "text", "quality", "c4"),
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+m AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l ->
+             (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!') OR ends_with(rtrim(l), '?'))
+             AND len(string_split_regex(trim(l), '\\s+')) >= 3)) AS kept_lines
+  FROM t)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(kept_lines AS BIGINT) AS kept_lines,
+       round(kept_lines / n_lines::DOUBLE, 4) AS kept_frac,
+       kept_lines >= 3 AS passes
+FROM m
+""",
+)
+def llm_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning gate (terminal punctuation + >= 3
+    words per line, >= 3 kept lines per doc) — one row-local codegen
+    projection, no shuffle, trivially parallel at any scale."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", *TX.c4_line_columns())
+
+
+@register(
+    "llm_line_boilerplate",
+    tags=("llm", "text", "dedup", "boilerplate"),
+    oracle="""
+WITH lines AS (
+  SELECT DISTINCT doc_id,
+         md5(l) AS lh
+  FROM (SELECT doc_id, unnest(list_filter(
+            list_transform(string_split(text, chr(10)), l -> trim(l)),
+            l -> l != '')) AS l
+        FROM documents)),
+docfreq AS (SELECT lh, CAST(count(*) AS BIGINT) AS df FROM lines GROUP BY lh)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE df >= 3) AS BIGINT) AS bp_lines,
+       round(count(*) FILTER (WHERE df >= 3) / count(*)::DOUBLE, 4) AS bp_frac
+FROM lines JOIN docfreq USING (lh)
+GROUP BY doc_id
+""",
+)
+def llm_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate-line detection (CCNet paragraph-dedup
+    shape): lines appearing in >= 3 distinct docs are boilerplate. One
+    line-hash-keyed document-frequency aggregate + a hash-keyed join
+    back — linear in line volume, never all-pairs."""
+    return TX.boilerplate_lines(load(spark, sf_dir, "documents"), min_docs=3)
+
+
+@register(
     "llm_dsir_importance",
     tags=("llm", "text", "lm", "sampling"),
     oracle=f"""
