@@ -13,7 +13,7 @@ similarities rounded to 6 dp before ranking.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import curation as C
 from ..functions import dedup as X
@@ -1253,6 +1253,142 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency aggregate, a term-keyed idf join, and a doc-keyed top-k
     window — linear in token volume, no all-pairs."""
     return TX.tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "llm_bpe_merge_counts",
+    tags=("llm", "text", "tokenizer", "bpe"),
+    oracle=f"""
+WITH w AS (SELECT unnest({_TOKS}) AS word FROM documents),
+chars AS (SELECT word, string_split(word, '') AS cs FROM w WHERE length(word) >= 2),
+pairs AS (
+  SELECT unnest([cs[i] || cs[i+1] for i in generate_series(1, len(cs) - 1)]) AS pair
+  FROM chars),
+counted AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY pair)
+SELECT pair, cnt, rank FROM (
+  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank
+  FROM counted)
+WHERE rank <= 20
+""",
+)
+def llm_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of one BPE merge round (the tokenizer-training
+    inner loop): adjacent character-pair frequencies over all token
+    occurrences, top-20 merge candidates (count desc, pair asc). One
+    explode into pairs, ONE pair-keyed aggregate (pair-vocabulary
+    sized, not corpus sized), and a top-k over the tiny aggregate —
+    linear in character volume."""
+    d = load(spark, sf_dir, "documents")
+    pairs = d.select(F.explode(TX.tokens()).alias("word")).filter(
+        F.length("word") >= 2
+    ).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(word) - 2), "
+                "i -> concat(substring(word, i + 1, 1), substring(word, i + 2, 1)))"
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+@register(
+    "llm_stream_incremental_dedup",
+    tags=("llm", "curation", "dedup", "streaming"),
+    # Deterministic two-microbatch stream vs a 20-doc static snapshot:
+    # batch 1 = docs 100-114 (103/107/111 duplicate snapshot texts 3/7/11),
+    # batch 2 = docs 200-214 (200-204 duplicate batch-1 texts 110-114,
+    # 205/209 duplicate snapshot 5/9). Duplicates never co-occur within
+    # a batch, so the dropDuplicates survivor is deterministic: the
+    # earliest batch's occurrence. The oracle regenerates both batches,
+    # keeps the first occurrence per hash, and drops snapshot hashes.
+    oracle="""
+WITH snap AS (
+  SELECT 'snapshot text ' || CAST(i AS VARCHAR) AS text
+  FROM (SELECT unnest(generate_series(0, 19)) AS i)),
+b1 AS (
+  SELECT 100 + i AS doc_id, 1 AS batch,
+         CASE WHEN i % 4 = 3 THEN 'snapshot text ' || CAST(i AS VARCHAR)
+              ELSE 'fresh b1 text ' || CAST(i AS VARCHAR) END AS text
+  FROM (SELECT unnest(generate_series(0, 14)) AS i)),
+b2 AS (
+  SELECT 200 + i AS doc_id, 2 AS batch,
+         CASE WHEN i < 5 THEN 'fresh b1 text ' || CAST(10 + i AS VARCHAR)
+              WHEN i % 4 = 1 THEN 'snapshot text ' || CAST(i AS VARCHAR)
+              ELSE 'fresh b2 text ' || CAST(i AS VARCHAR) END AS text
+  FROM (SELECT unnest(generate_series(0, 14)) AS i)),
+stream AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+firsts AS (
+  SELECT doc_id, md5(text) AS content_hash
+  FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY batch, doc_id) AS rn
+        FROM stream)
+  WHERE rn = 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, content_hash
+FROM firsts
+WHERE content_hash NOT IN (SELECT md5(text) FROM snap)
+""",
+)
+def llm_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming incremental dedup: a document stream is deduped
+    against BOTH the already-ingested static snapshot (stream-static
+    anti-join on content hash) and itself across microbatches
+    (streaming dropDuplicates state) — the continuous-ingestion face
+    of llm_incremental_dedup. Driven availableNow, one file per
+    microbatch."""
+    import os
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    src = Path(tempfile.mkdtemp(prefix="q_sid_"))
+    b1 = [
+        (100 + i, f"snapshot text {i}" if i % 4 == 3 else f"fresh b1 text {i}")
+        for i in range(15)
+    ]
+    b2 = [
+        (
+            200 + i,
+            f"fresh b1 text {10 + i}"
+            if i < 5
+            else (f"snapshot text {i}" if i % 4 == 1 else f"fresh b2 text {i}"),
+        )
+        for i in range(15)
+    ]
+    f1, f2 = src / "a_b1.jsonl", src / "b_b2.jsonl"
+    f1.write_text(
+        "\n".join(f'{{"doc_id": {d}, "text": "{t}"}}' for d, t in b1) + "\n"
+    )
+    f2.write_text(
+        "\n".join(f'{{"doc_id": {d}, "text": "{t}"}}' for d, t in b2) + "\n"
+    )
+    os.utime(f1, (1_700_000_000, 1_700_000_000))
+    os.utime(f2, (1_700_000_100, 1_700_000_100))
+    snapshot = spark.createDataFrame(
+        [(f"snapshot text {i}",) for i in range(20)], "text string"
+    ).select(F.md5("text").alias("content_hash"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select("doc_id", F.md5("text").alias("content_hash"))
+        .dropDuplicates(["content_hash"])
+        .join(snapshot, "content_hash", "left_anti")
+    )
+    name = "q_sid_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT doc_id, content_hash FROM {name}")
 
 
 @register(
