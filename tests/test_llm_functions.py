@@ -215,6 +215,20 @@ def test_semdedup_prunes_on_testdata(spark):
     assert n_pruned > 0, "tau=0.3 should prune at least one near-dup"
 
 
+def test_semdedup_arrow_kernel_matches_sql_kernel(spark):
+    """The Arrow/numpy matmul kernel must reproduce the pure-SQL plan
+    (fold dots + joins) row-for-row on real data — pins assignment
+    tie-breaks, 6-dp rounding, and keeper-min semantics."""
+    from fluvio_demo_apps_rust_spark.functions import similarity as S
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    fast = {r.vec_id: (r.cell, r.keeper, r.pruned)
+            for r in S.semdedup_prune(e, ncells=16, tau=0.3).collect()}
+    gold = {r.vec_id: (r.cell, r.keeper, r.pruned)
+            for r in S._semdedup_prune_sql(e, ncells=16, tau=0.3).collect()}
+    assert fast == gold
+
+
 def test_kmeans_groups_separated_clusters(spark):
     from fluvio_demo_apps_rust_spark.functions import similarity as S
 
