@@ -527,3 +527,136 @@ def _semdedup_prune_sql(
             F.col("keeper").isNotNull().alias("pruned"),
         )
     )
+
+
+def gram_matrix(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Distributed Gram matrix XᵀX over an embedding column — the
+    reduce step of large-scale PCA / whitening / spectral quality
+    stats. Output: one row per upper-triangle entry (i ≤ j):
+    (i, j, gram), 0-based indices, rounded to ``round_dp``.
+
+    Scale shape: each partition computes its own d×d partial with ONE
+    BLAS product (Arrow-batched mapInPandas, accumulated across
+    batches so each task emits exactly d(d+1)/2 rows), and the only
+    shuffle moves per-partition partials — d² doubles per task, never
+    per-row data. At 1000 executors over 100 TB the reduce input is
+    1000·d² values regardless of corpus size. Eigen-decomposition of
+    the tiny result is a driver-side afterthought (not done here —
+    the query surface ends at the matrix, which IS the distributed
+    part).
+
+    Float parity: per-partition numpy sums differ from a left-to-right
+    fold by ~1e-13 relative — invisible at 4-dp rounding.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            G = V.T @ V
+            acc = G if acc is None else acc + G
+        if acc is not None:
+            iu = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int64"),
+                    "j": iu[1].astype("int64"),
+                    "partial": acc[iu],
+                }
+            )
+
+    partials = emb.select(vec_col).mapInPandas(partial, schema="i long, j long, partial double")
+    return partials.groupBy("i", "j").agg(
+        F.round(F.sum("partial"), round_dp).alias("gram")
+    )
+
+
+def knn_classify(
+    emb: DataFrame,
+    n_probes: int = 100,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label-vote classification over the embedding corpus — the
+    embedding-eval / quality-classifier shape: for each probe vector
+    (``id < n_probes``), find its k nearest cosine neighbors among the
+    OTHER vectors, majority-vote their labels (count desc, label asc
+    tiebreak), and compare to the probe's own label. Output:
+    (id, true_label, pred_label, correct).
+
+    Scale shape: the probe matrix is a bounded, gated driver collect
+    that rides to executors in the closure (the broadcast-probe-set
+    contract shared with ``brute_force_topk``); each partition scores
+    its corpus slice against ALL probes with one BLAS product and
+    emits only its LOCAL top-k per probe — merging per-partition
+    top-k preserves the global top-k, so the shuffle carries
+    k·partitions rows per probe, never the corpus. One window on the
+    probe key ranks the merged candidates; the vote is a tiny
+    aggregate over n_probes·k rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    probes = emb.filter(F.col(id_col) < n_probes).select(id_col, vec_col, label_col)
+    # Gated driver collect: at most n_probes rows.
+    rows = sorted(probes.collect(), key=lambda r: r[0])
+    Q = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            labels = pdf[label_col].to_numpy()
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.sqrt((V * V).sum(axis=1))
+            S = np.round((Q @ V.T) / np.outer(qn, vn), 6)  # n_probes × m
+            out_q, out_nb, out_lb, out_s = [], [], [], []
+            for qi in range(len(q_ids)):
+                # ascending (-sim, nb): best-first with id tiebreak
+                order = np.lexsort((ids, -S[qi]))
+                order = order[ids[order] != q_ids[qi]][:k]  # exclude self
+                out_q.extend([q_ids[qi]] * len(order))
+                out_nb.extend(ids[order])
+                out_lb.extend(labels[order])
+                out_s.extend(S[qi][order])
+            yield pd.DataFrame(
+                {"q": out_q, "nb": out_nb, "nb_label": out_lb, "sim": out_s}
+            )
+
+    cand = emb.select(id_col, vec_col, label_col).mapInPandas(
+        local_topk, schema="q long, nb long, nb_label int, sim double"
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("sim"), F.asc("nb"))
+    top = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    votes = top.groupBy("q", "nb_label").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.partitionBy("q").orderBy(F.desc("c"), F.asc("nb_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("q", F.col("nb_label").alias("pred_label"))
+    )
+    return (
+        probes.select(F.col(id_col), F.col(label_col).alias("true_label"))
+        .join(F.broadcast(pred), F.col(id_col) == F.col("q"))
+        .select(
+            id_col,
+            "true_label",
+            "pred_label",
+            (F.col("true_label") == F.col("pred_label")).alias("correct"),
+        )
+    )

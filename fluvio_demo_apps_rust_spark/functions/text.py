@@ -503,3 +503,53 @@ def chunk_columns(
         f"size(slice(t, i * {stride} + 1, {size})) AS n_chunk_tokens, "
         f"md5(array_join(slice(t, i * {stride} + 1, {size}), ' ')) AS chunk_hash)))[0]"
     )
+
+
+def bm25_scores(
+    df,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25 relevance of every document against a fixed query-term set
+    — the retrieval face of the text stack (Robertson/Spärck Jones).
+    Output: (id, score) with score rounded to 6 dp.
+
+    Plan shape: the query is bounded and known, so there is NO explode
+    and NO term-keyed shuffle — per-document term frequencies are
+    row-local ``size(filter(toks, ...))`` projections over a
+    LET-bound token array (aliased into its own projection so the
+    split runs once, not once per term); corpus stats (N, avgdl, per-
+    term document frequencies) are ONE global aggregate broadcast back
+    as a single row. Scoring is then row-local arithmetic in codegen.
+    Two linear scans, zero wide shuffles — at 100 TB the only
+    all-reduce is a handful of doubles.
+    """
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("toks"))
+    # Occurrence count WITHOUT a lambda: size(toks) - size(array_remove)
+    # stays in whole-stage codegen, where filter(toks, ...) would drop
+    # the whole projection to the interpreted HOF path.
+    tf_cols = [
+        (F.size("toks") - F.size(F.array_remove("toks", t))).alias(f"tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    m = toks_df.select(F.col(id_col), F.size("toks").alias("dl"), *tf_cols)
+    stats = m.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("double").alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = F.log((F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1)
+        term = F.when(tf > 0, idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return m.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), F.round(score, 6).alias("score")
+    )

@@ -1567,3 +1567,102 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id"), F.struct(F.col("quality"), (-F.col("doc_id")).alias("nd"))
         ).alias("kept_doc"),
     )
+
+
+_BM25_TERMS = ("spark", "table", "hash", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_term_sql(i: int) -> str:
+    tf = f"CAST(tf{i} AS DOUBLE)"
+    idf = f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1)"
+    dnorm = f"(tf{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    return f"(CASE WHEN tf{i} > 0 THEN {idf} * {tf} * ({_BM25_K1} + 1) / {dnorm} ELSE 0.0 END)"
+
+
+@register(
+    "llm_bm25_topk",
+    tags=("llm", "text", "retrieval", "bm25"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id, len(toks) AS dl,
+        {", ".join(f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM t),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        {", ".join(f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}" for i in range(len(_BM25_TERMS)))}
+      FROM m),
+scored AS (
+  SELECT doc_id,
+         round({" + ".join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))}, 6) AS score
+  FROM m CROSS JOIN s)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored)
+WHERE rank <= 20
+""",
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-20 documents for a fixed 4-term query
+    (score desc, doc_id asc). Zero wide shuffles — row-local term
+    frequencies, one broadcast stats row, TakeOrdered top-k."""
+    d = load(spark, sf_dir, "documents")
+    scored = TX.bm25_scores(d, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+@register(
+    "llm_gram_matrix",
+    tags=("llm", "embedding", "linalg", "pca"),
+    oracle="""
+SELECT i.i AS i, j.j AS j,
+       round(sum(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[j.j + 1] AS DOUBLE)), 4) AS gram
+FROM embeddings,
+     (SELECT unnest(generate_series(0, 63)) AS i) i,
+     (SELECT unnest(generate_series(0, 63)) AS j) j
+WHERE i.i <= j.j
+GROUP BY i.i, j.j
+""",
+)
+def llm_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix XᵀX of the embedding corpus (upper
+    triangle, 0-based (i, j, gram)) — the reduce step of corpus-scale
+    PCA/whitening. Per-partition BLAS partials, d² doubles shuffled
+    per task regardless of corpus size."""
+    return S.gram_matrix(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "llm_knn_classify",
+    tags=("llm", "embedding", "knn", "classify"),
+    oracle=f"""
+WITH n AS (SELECT vec_id, embedding, label, {_norm_sql('embedding')} AS nrm FROM embeddings),
+p AS (SELECT * FROM n WHERE vec_id < 100),
+scored AS (
+  SELECT p.vec_id AS q, p.label AS true_label, c.vec_id AS nb, c.label AS nb_label,
+         round({_dot_sql('p.embedding', 'c.embedding')} / (p.nrm * c.nrm), 6) AS sim
+  FROM p JOIN n c ON c.vec_id <> p.vec_id),
+top AS (
+  SELECT q, true_label, nb_label FROM (
+    SELECT q, true_label, nb_label,
+           row_number() OVER (PARTITION BY q ORDER BY sim DESC, nb) AS rn
+    FROM scored)
+  WHERE rn <= 5),
+votes AS (SELECT q, true_label, nb_label, count(*) AS c FROM top GROUP BY q, true_label, nb_label),
+pred AS (
+  SELECT q, true_label, nb_label AS pred_label FROM (
+    SELECT q, true_label, nb_label,
+           row_number() OVER (PARTITION BY q ORDER BY c DESC, nb_label) AS rn
+    FROM votes)
+  WHERE rn = 1)
+SELECT q AS vec_id, true_label, pred_label, true_label = pred_label AS correct
+FROM pred
+""",
+)
+def llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-vote classification (k=5, cosine) of the first 100
+    vectors against the rest of the corpus — the embedding-eval /
+    quality-classifier shape. Per-partition BLAS scoring emits local
+    top-k only; the merge window sees k·partitions rows per probe."""
+    return S.knn_classify(load(spark, sf_dir, "embeddings"), n_probes=100, k=5)

@@ -335,3 +335,46 @@ def test_tfidf_top_terms_prefers_rare_repeated_terms(spark):
     # doc 3: all tf=1 -> the rare (df=1) terms tie at 1.693; term-asc
     # tiebreak picks 'filler'
     assert top[3] == "filler"
+
+
+def test_gram_matrix_exact_small(spark):
+    from fluvio_demo_apps_rust_spark.functions import similarity as S
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    out = {(r.i, r.j): r.gram for r in S.gram_matrix(df).collect()}
+    # X^T X for rows (1,2),(3,4): [[10,14],[14,20]] — upper triangle only
+    assert out == {(0, 0): 10.0, (0, 1): 14.0, (1, 1): 20.0}
+
+
+def test_knn_classify_votes_majority(spark):
+    from fluvio_demo_apps_rust_spark.functions import similarity as S
+
+    # probes 0,1 sit in two well-separated direction clusters; each
+    # cluster's neighbors carry one label, so the vote is unanimous.
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [0.0, 1.0], 9),
+        (2, [0.9, 0.1], 7),
+        (3, [0.95, 0.05], 7),
+        (4, [0.1, 0.9], 9),
+        (5, [0.05, 0.95], 9),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r.vec_id: r for r in S.knn_classify(df, n_probes=2, k=2).collect()}
+    assert out[0].pred_label == 7 and out[0].correct is True
+    assert out[1].pred_label == 9 and out[1].correct is True
+
+
+def test_bm25_orders_by_term_density(spark):
+    from fluvio_demo_apps_rust_spark.functions import text as TX
+
+    rows = [
+        (0, "spark spark spark filler filler"),
+        (1, "spark filler filler filler filler"),
+        (2, "filler filler filler filler filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.score for r in TX.bm25_scores(df, ("spark",)).collect()}
+    assert out[0] > out[1] > out[2] == 0.0
