@@ -660,3 +660,93 @@ def knn_classify(
             (F.col("true_label") == F.col("pred_label")).alias("correct"),
         )
     )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    n_probes: int = 10,
+    k: int = 10,
+    m: int = 8,
+    ncode: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (the PQ half of IVF-PQ): vectors are
+    encoded as ``m`` sub-space codebook ids; queries score candidates
+    with asymmetric distance (ADC) — a sum of ``m`` precomputed
+    lookup-table entries instead of a d-dim distance. Output:
+    (q_id, n_id, adc_dist, rank) — top-k per probe by approximate L2²
+    (asc, id tiebreak), self excluded.
+
+    This is the memory-compression scale path: at 100 TB the corpus
+    is stored as m bytes per vector (here m=8 codes vs 256 bytes of
+    floats) and scoring never touches the original vectors — encode
+    once, then every query is table lookups. Codebooks are the first
+    ``ncode`` vectors' sub-vectors (deterministic, so the oracle
+    reproduces the exact quantization; production would train them
+    with k-means — same plan shape).
+
+    Plan shape: codebooks and the probe LUTs ride in the closure
+    (gated ``ncode + n_probes`` row collects); each partition encodes
+    its slice with numpy argmins, scores ALL probes via fancy-indexed
+    LUT sums, and emits only its local top-k per probe; one window on
+    the probe key merges. Distances are rounded to 6 dp BEFORE the
+    argmin / before the ADC sum so quantization and ranking are
+    engine-reproducible.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    d_probe = emb.filter(F.col(id_col) < n_probes).select(id_col, vec_col)
+    cb_rows = sorted(
+        emb.filter(F.col(id_col) < ncode).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    q_rows = sorted(d_probe.collect(), key=lambda r: r[0])
+    C = np.array([list(r[1]) for r in cb_rows], dtype=np.float64)  # ncode × d
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)  # nq × d
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    dim = C.shape[1]
+    dsub = dim // m
+    C3 = C.reshape(ncode, m, dsub)
+    Q3 = Q.reshape(len(q_rows), m, dsub)
+    # LUT[q, s, c] = round(||Q[q,s] - C[c,s]||², 6)
+    LUT = np.round(
+        ((Q3[:, None, :, :] - C3[None, :, :, :]) ** 2).sum(-1), 6
+    ).transpose(0, 2, 1)  # nq × m × ncode
+
+    def local_topk(batches):
+        srange = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            V3 = np.array(pdf[vec_col].tolist(), dtype=np.float64).reshape(
+                len(pdf), m, dsub
+            )
+            # encode: per subspace, nearest codeword (rounded, id tiebreak
+            # via argmin-first-occurrence over ascending code ids)
+            dists = np.round(
+                ((V3[:, None, :, :] - C3[None, :, :, :]) ** 2).sum(-1), 6
+            )  # n × ncode × m
+            codes = np.argmin(dists, axis=1)  # n × m
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(q_ids)):
+                adc = np.round(LUT[qi][srange[None, :], codes].sum(1), 6)
+                order = np.lexsort((ids, adc))
+                order = order[ids[order] != q_ids[qi]][:k]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_n.extend(ids[order])
+                out_d.extend(adc[order])
+            yield pd.DataFrame({"q_id": out_q, "n_id": out_n, "adc_dist": out_d})
+
+    cand = emb.select(id_col, vec_col).mapInPandas(
+        local_topk, schema="q_id long, n_id long, adc_dist double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1666,3 +1666,59 @@ def llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-classifier shape. Per-partition BLAS scoring emits local
     top-k only; the merge window sees k·partitions rows per probe."""
     return S.knn_classify(load(spark, sf_dir, "embeddings"), n_probes=100, k=5)
+
+
+def _pq_d2_sql(a: str, b: str) -> str:
+    """L2² of sub-space s (0-based SQL column ``s``) between two
+    64-dim float arrays, in doubles."""
+    return (
+        f"list_sum([(CAST({a}[s * 8 + i] AS DOUBLE) - CAST({b}[s * 8 + i] AS DOUBLE)) "
+        f"* (CAST({a}[s * 8 + i] AS DOUBLE) - CAST({b}[s * 8 + i] AS DOUBLE)) "
+        f"for i in generate_series(1, 8)])"
+    )
+
+
+@register(
+    "llm_ann_pq",
+    tags=("llm", "embedding", "ann", "pq"),
+    oracle=f"""
+WITH sub AS (SELECT unnest(generate_series(0, 7)) AS s),
+cb AS (
+  SELECT e.vec_id AS c_id, s.s AS s, e.embedding AS cvec
+  FROM embeddings e CROSS JOIN sub s
+  WHERE e.vec_id < 16),
+enc AS (
+  SELECT vec_id, s, c_id AS code FROM (
+    SELECT v.vec_id, cb.s, cb.c_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id, cb.s
+             ORDER BY round({_pq_d2_sql('v.embedding', 'cb.cvec')}, 6), cb.c_id
+           ) AS rn
+    FROM embeddings v CROSS JOIN cb)
+  WHERE rn = 1),
+lut AS (
+  SELECT q.vec_id AS q_id, cb.s, cb.c_id,
+         round({_pq_d2_sql('q.embedding', 'cb.cvec')}, 6) AS dist
+  FROM embeddings q CROSS JOIN cb
+  WHERE q.vec_id < 10),
+adc AS (
+  SELECT l.q_id, e.vec_id AS n_id, round(sum(l.dist), 6) AS adc_dist
+  FROM enc e JOIN lut l ON l.s = e.s AND l.c_id = e.code
+  WHERE e.vec_id <> l.q_id
+  GROUP BY l.q_id, e.vec_id)
+SELECT q_id, n_id, adc_dist, rank FROM (
+  SELECT q_id, n_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank
+  FROM adc)
+WHERE rank <= 10
+""",
+)
+def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 8×8-dim codebooks (first 16 vectors),
+    corpus encoded to 8 codes, probes (vec_id < 10) score by ADC
+    lookup-table sums — top-10 per probe. The memory-compression scale
+    path: stored codes are m bytes per vector and scoring never
+    re-touches the original floats."""
+    return S.pq_adc_topk(
+        load(spark, sf_dir, "embeddings"), n_probes=10, k=10, m=8, ncode=16
+    )

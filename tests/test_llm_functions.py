@@ -378,3 +378,18 @@ def test_bm25_orders_by_term_density(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.score for r in TX.bm25_scores(df, ("spark",)).collect()}
     assert out[0] > out[1] > out[2] == 0.0
+
+
+def test_pq_adc_exact_clone_ranks_first(spark):
+    from fluvio_demo_apps_rust_spark.functions import similarity as S
+
+    # deterministic 16-dim corpus; vec 25 clones codebook vector 3, so
+    # probe 3's ADC distance to 25 is exactly 0 and it ranks first.
+    # modulus > corpus size so no two vectors collide by periodicity
+    rows = [(i, [float((i * 31 + j * 7) % 97) / 3.0 - 5.0 for j in range(16)]) for i in range(25)]
+    rows.append((25, rows[3][1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.pq_adc_topk(emb, n_probes=4, k=3, m=4, ncode=8)
+    top = {r.q_id: r for r in out.filter("rank = 1").collect()}
+    assert top[3].n_id == 25 and top[3].adc_dist == 0.0
+    assert out.filter("n_id = q_id").count() == 0  # self excluded
