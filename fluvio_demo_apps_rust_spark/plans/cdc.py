@@ -337,6 +337,14 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the change stream; no joins, no driver state. The
     reference's consumer keeps only current state (mysql_manager.rs:61);
     this is the history-preserving warehouse face of the same stream."""
+    return _scd2_history(spark, sf_dir)
+
+
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SCD2 fixture: open orders replayed as Add/Update(/Delete
+    for even keys) wire events at sequences k*4+{1,2,3}, decoded and
+    folded into version intervals. Used by cdc_scd2 and the
+    point-in-time probe query."""
     from ..codec import parse_events
     from ..operators.scd2 import scd2_intervals
 
@@ -403,4 +411,141 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(
         changes, key_col="o_orderkey", seq_col="sequence",
         attr_cols=("o_orderstatus",),
+    )
+
+
+@register(
+    "cdc_scd2_asof",
+    tags=("cdc", "scd2", "asof", "temporal"),
+    oracle="""
+WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'),
+v AS (
+  SELECT o_orderkey, 1 AS ver, 'O' AS status FROM base
+  UNION ALL SELECT o_orderkey, 2, 'P' FROM base
+  UNION ALL SELECT o_orderkey, 3, NULL FROM base WHERE o_orderkey % 2 = 0),
+w AS (
+  SELECT o_orderkey, ver, status,
+         o_orderkey * 4 + ver AS vfrom,
+         lead(o_orderkey * 4 + ver) OVER (PARTITION BY o_orderkey ORDER BY ver)
+           AS vto
+  FROM v),
+hist AS (SELECT * FROM w WHERE ver <> 3),
+probes AS (
+  SELECT o_orderkey, o_orderkey * 4 + 1 + (o_orderkey % 3) AS probe_seq
+  FROM base)
+SELECT p.o_orderkey, p.probe_seq, h.status AS o_orderstatus_at,
+       h.status IS NOT NULL AS found
+FROM probes p LEFT JOIN hist h
+  ON h.o_orderkey = p.o_orderkey AND h.vfrom <= p.probe_seq
+ AND (h.vto IS NULL OR h.vto > p.probe_seq)
+""",
+)
+def cdc_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal as-of) join against the SCD2 history:
+    each key is probed at sequence k*4+1+(k%3) — before the update,
+    after it, or after the closing delete — and gets the version row
+    valid AT that sequence (none, for deleted keys: found=false). The
+    lakehouse time-travel-dimension pattern, built on the union-tag
+    asof operator (operators/asof.py — one key shuffle, zero pair
+    blow-up) with the version's valid_to as a post-mask, which is
+    exactly how a PIT join should run at 100 TB."""
+    from ..operators.asof import asof_join
+
+    hist = _scd2_history(spark, sf_dir)
+    probes = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") * 4 + 1 + F.col("o_orderkey") % 3).alias("probe_seq"),
+        )
+    )
+    pit = asof_join(
+        probes,
+        hist,
+        on="o_orderkey",
+        left_ts="probe_seq",
+        right_ts="valid_from_seq",
+        right_payload=["o_orderstatus", "valid_to_seq"],
+        how="left",
+    )
+    live = F.col("asof_ts").isNotNull() & (
+        F.col("asof_valid_to_seq").isNull()
+        | (F.col("asof_valid_to_seq") > F.col("probe_seq"))
+    )
+    return pit.select(
+        "o_orderkey",
+        "probe_seq",
+        F.when(live, F.col("asof_o_orderstatus")).alias("o_orderstatus_at"),
+        F.when(live, F.col("asof_o_orderstatus")).isNotNull().alias("found"),
+    )
+
+
+@register(
+    "cdc_incremental_agg",
+    tags=("cdc", "apply", "ivm", "scale"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 2 = 0)
+GROUP BY o_orderstatus
+""",
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance from the change stream: a
+    per-status (count, revenue) materialized aggregate is advanced by
+    SIGNED DELTAS decoded from Delete wire events (every even-keyed
+    'F' order), never by rescanning the base fact rows — the deltas'
+    status/price come from the event ROW IMAGES. Result must equal a
+    full recompute over the surviving rows (the oracle). Revenue is
+    exact integer cents (sum of BIGINT) so base-minus-delta and
+    survivor-sum arithmetic agree bit-for-bit — summing doubles over
+    two DIFFERENT row sets would not. Scale shape: the base aggregate
+    stands in for the stored MV; the delta path is render → decode →
+    one map-side-combined aggregate over the (tiny) change batch —
+    at 100 TB you re-aggregate the deltas, not the fact table."""
+    from ..codec import parse_events
+
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("d_cnt"), F.sum(cents).alias("d_cents")
+    )
+    doomed = o.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0))
+    par = spark.sparkContext.defaultParallelism
+    event = F.concat(
+        F.lit('{"uri":"flv://mysql-srv1/cdcdb/orders_i","sequence":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"bn_file":{"fileName":"binlog.000001","offset":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('},"columns":["o_orderkey","o_orderstatus","o_totalprice"],'
+              '"operation":{"Delete":{"rows":[{"cols":['),
+        F.to_json(F.struct(F.col("o_orderkey").alias("SignedInteger"))),
+        F.lit(","),
+        F.to_json(F.struct(F.col("o_orderstatus").alias("String"))),
+        F.lit(","),
+        F.to_json(F.struct(F.col("o_totalprice").alias("Double"))),
+        F.lit("]}]}}}"),
+    )
+    deletes = parse_events(doomed.repartition(par).select(event.alias("value")))
+    img = F.col("rows")[0]["before"]
+    deltas = deletes.select(
+        img[1].alias("o_orderstatus"),
+        F.lit(-1).cast("long").alias("d_cnt"),
+        (-F.round(img[2].cast("double") * 100)).cast("long").alias("d_cents"),
+    ).groupBy("o_orderstatus").agg(
+        F.sum("d_cnt").alias("d_cnt"), F.sum("d_cents").alias("d_cents")
+    )
+    return (
+        base.unionByName(deltas)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("d_cnt").alias("n_orders"), F.sum("d_cents").alias("cents"))
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        )
     )
