@@ -53,3 +53,16 @@ def bucketed_join(
     counts the optimizer plans a SortMergeJoin straight over the bucket
     files — zero Exchange nodes (pinned by test)."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    part_col: str,
+) -> None:
+    """Write ``df`` hive-partitioned on ``part_col`` (one directory per
+    value). Readers filtering on the partition column prune whole
+    directories at planning time — at 100 TB a day-filter touches one
+    day's files, verified by the PartitionFilters entry in the scan
+    (tests/test_bucketed.py)."""
+    df.write.format("parquet").partitionBy(part_col).mode("overwrite").save(path)

@@ -1,0 +1,82 @@
+"""Streaming SCD2 maintenance: the temporal dimension kept current
+across microbatches.
+
+The batch operator (operators/scd2.py) folds a complete change log into
+version intervals; a live follower instead receives changes in
+microbatches and must keep the version table current without refolding
+history. ``Scd2Maintainer`` does the incremental merge inside
+``foreachBatch``:
+
+1. split the current version table into untouched keys and keys present
+   in the batch;
+2. reconstruct the AFFECTED keys' change log from their own versions
+   (each version was opened by an Add/Update at ``valid_from_seq``; a
+   closing sequence with no successor version was a Delete — both are
+   recoverable, so no separate change log is stored);
+3. refold reconstructed + new changes through the batch operator;
+4. union untouched + refolded, localCheckpoint to cut lineage.
+
+Work per microbatch is proportional to the CHANGED keys' history, never
+the dimension size — the incremental scale shape. Equality with the
+batch fold over the full log is pinned by tests/test_scd2_stream.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..operators.scd2 import scd2_intervals
+
+
+class Scd2Maintainer:
+    """Holds the evolving version table; ``apply`` is the foreachBatch
+    hook (signature: (batch_df, batch_id))."""
+
+    def __init__(self, key_col: str, seq_col: str, attr_cols: tuple[str, ...]):
+        self.key_col = key_col
+        self.seq_col = seq_col
+        self.attr_cols = attr_cols
+        self.versions: DataFrame | None = None
+
+    def _reconstruct_changes(self, versions: DataFrame) -> DataFrame:
+        """Version rows → the change rows that produced them."""
+        k, s = self.key_col, self.seq_col
+        adds = versions.select(
+            k,
+            F.col("valid_from_seq").alias(s),
+            F.lit("Add").alias("op_type"),
+            *self.attr_cols,
+        )
+        # A closing sequence that no successor version opens at was a
+        # Delete (update-closures reopen at the same sequence).
+        closers = versions.filter(F.col("valid_to_seq").isNotNull()).select(
+            k, F.col("valid_to_seq").alias(s)
+        )
+        openers = versions.select(k, F.col("valid_from_seq").alias(s))
+        deletes = closers.join(openers, [k, s], "left_anti").select(
+            k,
+            s,
+            F.lit("Delete").alias("op_type"),
+            *[F.lit(None).cast("string").alias(c) for c in self.attr_cols],
+        )
+        return adds.unionByName(deletes)
+
+    def apply(self, batch: DataFrame, batch_id: int) -> None:
+        k = self.key_col
+        batch = batch.select(k, self.seq_col, "op_type", *self.attr_cols)
+        if self.versions is None:
+            self.versions = scd2_intervals(
+                batch, key_col=k, seq_col=self.seq_col, attr_cols=self.attr_cols
+            ).localCheckpoint(eager=True)
+            return
+        keys = batch.select(k).distinct()
+        untouched = self.versions.join(keys, k, "left_anti")
+        affected = self.versions.join(F.broadcast(keys), k, "inner")
+        refolded = scd2_intervals(
+            self._reconstruct_changes(affected).unionByName(batch),
+            key_col=k,
+            seq_col=self.seq_col,
+            attr_cols=self.attr_cols,
+        )
+        self.versions = untouched.unionByName(refolded).localCheckpoint(eager=True)

@@ -50,3 +50,24 @@ def test_bucketed_join_has_no_exchange_and_matches_plain_join(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_at_scan(spark):
+    import tempfile
+
+    from fluvio_demo_apps_rust_spark.operators.bucketed import write_date_partitioned
+
+    base = tempfile.mkdtemp(prefix="parted_")
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("day", F.to_date("ts"))
+    )
+    write_date_partitioned(ev, base, "day")
+    days = [r.day for r in spark.read.parquet(base).select("day").distinct().collect()]
+    pick = sorted(days)[0]
+    q = spark.read.parquet(base).filter(F.col("day") == F.lit(pick))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
+    # pruned read returns exactly that day's rows
+    expect = ev.filter(F.to_date("ts") == F.lit(pick)).count()
+    assert q.count() == expect
