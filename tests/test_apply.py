@@ -14,7 +14,7 @@ import json
 import pytest
 
 from fluvio_demo_apps_rust_spark.fixtures import PET_COLUMNS, PET_EVENTS, PET_GOLDEN
-from fluvio_demo_apps_rust_spark.operators.apply import ApplyError, CdcState, apply_changes
+from fluvio_demo_apps_rust_spark.operators.apply import CdcState, apply_changes
 from fluvio_demo_apps_rust_spark.sources.event_source import read_events_from_strings
 
 

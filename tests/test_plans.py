@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import re
 
-import pytest
 
 from fluvio_demo_apps_rust_spark.plans import REGISTRY
 
