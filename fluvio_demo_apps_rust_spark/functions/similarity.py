@@ -750,3 +750,54 @@ def pq_adc_topk(
         cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def l2_brute_topk(
+    emb: DataFrame,
+    n_probes: int = 10,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact L2² top-k per probe (``id < n_probes``), self excluded —
+    the ground truth the PQ recall gate compares against. Same
+    per-partition BLAS + local-top-k-merge shape as ``knn_classify``:
+    ||v-q||² = ||v||² + ||q||² - 2·v·q from one V·Qᵀ product."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    rows = sorted(
+        emb.filter(F.col(id_col) < n_probes).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    Q = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    q_sq = (Q * Q).sum(axis=1)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            v_sq = (V * V).sum(axis=1)
+            D = np.round(q_sq[:, None] + v_sq[None, :] - 2.0 * (Q @ V.T), 6)
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(q_ids)):
+                order = np.lexsort((ids, D[qi]))
+                order = order[ids[order] != q_ids[qi]][:k]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_n.extend(ids[order])
+                out_d.extend(D[qi][order])
+            yield pd.DataFrame({"q_id": out_q, "n_id": out_n, "l2sq": out_d})
+
+    cand = emb.select(id_col, vec_col).mapInPandas(
+        local_topk, schema="q_id long, n_id long, l2sq double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("l2sq"), F.asc("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1678,11 +1678,7 @@ def _pq_d2_sql(a: str, b: str) -> str:
     )
 
 
-@register(
-    "llm_ann_pq",
-    tags=("llm", "embedding", "ann", "pq"),
-    oracle=f"""
-WITH sub AS (SELECT unnest(generate_series(0, 7)) AS s),
+_PQ_ADC_CTES = f"""sub AS (SELECT unnest(generate_series(0, 7)) AS s),
 cb AS (
   SELECT e.vec_id AS c_id, s.s AS s, e.embedding AS cvec
   FROM embeddings e CROSS JOIN sub s
@@ -1705,12 +1701,21 @@ adc AS (
   SELECT l.q_id, e.vec_id AS n_id, round(sum(l.dist), 6) AS adc_dist
   FROM enc e JOIN lut l ON l.s = e.s AND l.c_id = e.code
   WHERE e.vec_id <> l.q_id
-  GROUP BY l.q_id, e.vec_id)
-SELECT q_id, n_id, adc_dist, rank FROM (
-  SELECT q_id, n_id, adc_dist,
-         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank
-  FROM adc)
-WHERE rank <= 10
+  GROUP BY l.q_id, e.vec_id),
+pqtop AS (
+  SELECT q_id, n_id, adc_dist, rank FROM (
+    SELECT q_id, n_id, adc_dist,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank
+    FROM adc)
+  WHERE rank <= 10)"""
+
+
+@register(
+    "llm_ann_pq",
+    tags=("llm", "embedding", "ann", "pq"),
+    oracle=f"""
+WITH {_PQ_ADC_CTES}
+SELECT q_id, n_id, adc_dist, rank FROM pqtop
 """,
 )
 def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1721,4 +1726,104 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-touches the original floats."""
     return S.pq_adc_topk(
         load(spark, sf_dir, "embeddings"), n_probes=10, k=10, m=8, ncode=16
+    )
+
+
+_PQ_L2_SQL = (
+    "list_sum([(CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) "
+    "* (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) "
+    "for i in generate_series(1, 64)])"
+)
+
+
+@register(
+    "llm_ann_pq_recall",
+    tags=("llm", "embedding", "ann", "pq", "eval"),
+    oracle=f"""
+WITH {_PQ_ADC_CTES},
+exact AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({_PQ_L2_SQL}, 6), c.vec_id
+           ) AS rn
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10)
+  WHERE rn <= 10),
+hits AS (
+  SELECT e.q_id, count(p.n_id) AS n_hit
+  FROM exact e LEFT JOIN pqtop p ON p.q_id = e.q_id AND p.n_id = e.n_id
+  GROUP BY e.q_id)
+SELECT q_id, round(n_hit / 10.0, 4) AS recall_at_10 FROM hits
+""",
+)
+def llm_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ-ADC index against exact L2 top-10 per probe
+    — the tune-before-trust gate for the compressed index (the PQ twin
+    of llm_ann_recall). Both sides run the per-partition-BLAS +
+    local-top-k-merge shape; the compare is a tiny (probes·k) join."""
+    e = load(spark, sf_dir, "embeddings")
+    pq = S.pq_adc_topk(e, n_probes=10, k=10, m=8, ncode=16).select("q_id", "n_id")
+    exact = S.l2_brute_topk(e, n_probes=10, k=10).select(
+        F.col("q_id").alias("eq"), F.col("n_id").alias("en")
+    )
+    hits = (
+        exact.join(
+            pq,
+            (F.col("eq") == F.col("q_id")) & (F.col("en") == F.col("n_id")),
+            "left",
+        )
+        .groupBy("eq")
+        .agg(F.count("n_id").alias("n_hit"))
+    )
+    return hits.select(
+        F.col("eq").alias("q_id"), F.round(F.col("n_hit") / 10.0, 4).alias("recall_at_10")
+    )
+
+
+@register(
+    "llm_corpus_report",
+    tags=("llm", "curation", "report"),
+    oracle=f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+       round(1.0 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 4) AS dup_ratio,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(sum(len({_TOKS})) / CAST(count(*) AS DOUBLE), 2) AS avg_doc_tokens
+FROM documents
+GROUP BY source
+""",
+)
+def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the dashboard aggregate every
+    curation pipeline runs first: volume (docs/chars/tokens), exact-dup
+    rate (distinct content hashes), language spread, mean doc length.
+    ONE scan, one source-keyed aggregate with map-side partials; the
+    distinct counts are the only expansion and stay keyed by source."""
+    d = load(spark, sf_dir, "documents")
+    toks = TX.tokens()
+    return (
+        d.select(
+            "source", "n_chars", "lang",
+            F.size(toks).alias("ntok"),
+            F.md5("text").alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("ntok").alias("total_tokens"),
+            F.count_distinct("h").alias("n_distinct_texts"),
+            F.round(
+                F.lit(1.0) - F.count_distinct("h") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("dup_ratio"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.round(F.sum("ntok") / F.count(F.lit(1)).cast("double"), 2).alias(
+                "avg_doc_tokens"
+            ),
+        )
     )

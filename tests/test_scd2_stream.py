@@ -66,3 +66,51 @@ def test_streaming_scd2_equals_batch_fold(spark):
     # spot semantics: key 2 deleted → its only version closed, not current
     got = {r.key: r for r in m.versions.collect() if r.key == 2}
     assert got[2].valid_to_seq == 21 and got[2].is_current is False
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def change_log(draw):
+    """Random change log over ≤4 keys: per key an Add-first sequence of
+    ops where Delete, if present, is last (a deleted key stays dead —
+    matching the generator contract of the batch operator's input)."""
+    n_keys = draw(st.integers(1, 4))
+    rows = []
+    seq = 0
+    for key in range(n_keys):
+        n_ops = draw(st.integers(1, 5))
+        ends_deleted = draw(st.booleans())
+        for i in range(n_ops):
+            seq += draw(st.integers(1, 3))
+            last = i == n_ops - 1
+            if last and ends_deleted:
+                rows.append({"key": key, "sequence": seq, "op_type": "Delete", "status": None})
+            else:
+                rows.append({"key": key, "sequence": seq, "op_type": "Add" if i == 0 else "Update",
+                             "status": draw(st.sampled_from(["O", "P", "F"]))})
+    rows.sort(key=lambda r: r["sequence"])
+    n_cuts = draw(st.integers(0, 2))
+    cuts = sorted(draw(st.sets(st.integers(1, max(1, len(rows) - 1)), min_size=n_cuts, max_size=n_cuts)))
+    batches, prev = [], 0
+    for c in cuts + [len(rows)]:
+        if rows[prev:c]:
+            batches.append(rows[prev:c])
+        prev = c
+    return rows, batches
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(change_log())
+def test_streaming_scd2_property_vs_batch(spark, log):
+    rows, batches = log
+    m = Scd2Maintainer("key", "sequence", ("status",))
+    for i, b in enumerate(batches):
+        m.apply(spark.createDataFrame(b, SCHEMA), i)
+    expect = scd2_intervals(
+        spark.createDataFrame(rows, SCHEMA),
+        key_col="key", seq_col="sequence", attr_cols=("status",),
+    )
+    assert _rows(m.versions) == _rows(expect)
