@@ -801,3 +801,102 @@ def l2_brute_topk(
         cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    n_probes: int = 10,
+    k: int = 10,
+    ncells: int = 16,
+    nprobe: int = 2,
+    m: int = 8,
+    ncode: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN — the canonical billion-scale index: an L2 coarse
+    quantizer routes each query to its ``nprobe`` nearest cells, and
+    only those cells' members are scored, by PQ-ADC lookup sums
+    instead of full-dimension distances. Output: (q_id, n_id,
+    adc_dist, rank ≤ k), self excluded. (Simplified from FAISS's
+    residual encoding: codes quantize the raw vector, not v−centroid —
+    the plan shape is identical and the oracle stays expressible.)
+
+    Scale shape: at 100 TB the corpus is stored as one cell id + m
+    code bytes per vector; a query touches ~N·nprobe/ncells codes and
+    never a raw float. Centroids and codebooks are bounded gated
+    collects riding in the closure; each partition encodes its slice
+    once (two numpy argmins), scores only probe-routed members, and
+    emits local top-k; one window merges. Everything rounds to 6 dp
+    before argmin/ranking for engine reproducibility.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    cent_rows = sorted(
+        emb.filter(F.col(id_col) < ncells).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    cb_rows = sorted(
+        emb.filter(F.col(id_col) < ncode).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    q_rows = sorted(
+        emb.filter(F.col(id_col) < n_probes).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    CENT = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+    CB = np.array([list(r[1]) for r in cb_rows], dtype=np.float64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    dim = CENT.shape[1]
+    dsub = dim // m
+    CB3 = CB.reshape(ncode, m, dsub)
+    Q3 = Q.reshape(len(q_rows), m, dsub)
+
+    def l2_to_cents(X: np.ndarray) -> np.ndarray:
+        return np.round(((X[:, None, :] - CENT[None, :, :]) ** 2).sum(-1), 6)
+
+    # Per-probe probed cell sets: nprobe nearest centroids (dist asc,
+    # centroid id asc — argsort is stable, ids ascend with column).
+    probed = np.argsort(l2_to_cents(Q), axis=1, kind="stable")[:, :nprobe]
+    LUT = np.round(
+        ((Q3[:, None, :, :] - CB3[None, :, :, :]) ** 2).sum(-1), 6
+    ).transpose(0, 2, 1)  # nq × m × ncode
+
+    def local_topk(batches):
+        srange = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cells = np.argmin(l2_to_cents(V), axis=1)
+            V3 = V.reshape(len(pdf), m, dsub)
+            codes = np.argmin(
+                np.round(((V3[:, None, :, :] - CB3[None, :, :, :]) ** 2).sum(-1), 6),
+                axis=1,
+            )
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(q_ids)):
+                mask = np.isin(cells, probed[qi]) & (ids != q_ids[qi])
+                if not mask.any():
+                    continue
+                cids = ids[mask]
+                adc = np.round(LUT[qi][srange[None, :], codes[mask]].sum(1), 6)
+                order = np.lexsort((cids, adc))[:k]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_n.extend(cids[order])
+                out_d.extend(adc[order])
+            yield pd.DataFrame({"q_id": out_q, "n_id": out_n, "adc_dist": out_d})
+
+    cand = emb.select(id_col, vec_col).mapInPandas(
+        local_topk, schema="q_id long, n_id long, adc_dist double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1827,3 +1827,81 @@ def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _l2full_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum([(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"for i in generate_series(1, 64)])"
+    )
+
+
+@register(
+    "llm_ann_ivf_pq",
+    tags=("llm", "embedding", "ann", "ivf", "pq"),
+    oracle=f"""
+WITH sub AS (SELECT unnest(generate_series(0, 7)) AS s),
+cb AS (
+  SELECT e.vec_id AS c_id, s.s AS s, e.embedding AS cvec
+  FROM embeddings e CROSS JOIN sub s
+  WHERE e.vec_id < 16),
+cent AS (SELECT vec_id AS t_id, embedding AS tvec FROM embeddings WHERE vec_id < 16),
+cellassign AS (
+  SELECT vec_id, t_id AS cell FROM (
+    SELECT v.vec_id, cent.t_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round({_l2full_sql('v.embedding', 'cent.tvec')}, 6), cent.t_id
+           ) AS rn
+    FROM embeddings v CROSS JOIN cent)
+  WHERE rn = 1),
+probecells AS (
+  SELECT q_id, t_id AS cell FROM (
+    SELECT q.vec_id AS q_id, cent.t_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({_l2full_sql('q.embedding', 'cent.tvec')}, 6), cent.t_id
+           ) AS rn
+    FROM embeddings q CROSS JOIN cent
+    WHERE q.vec_id < 10)
+  WHERE rn <= 2),
+enc AS (
+  SELECT vec_id, s, c_id AS code FROM (
+    SELECT v.vec_id, cb.s, cb.c_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id, cb.s
+             ORDER BY round({_pq_d2_sql('v.embedding', 'cb.cvec')}, 6), cb.c_id
+           ) AS rn
+    FROM embeddings v CROSS JOIN cb)
+  WHERE rn = 1),
+lut AS (
+  SELECT q.vec_id AS q_id, cb.s, cb.c_id,
+         round({_pq_d2_sql('q.embedding', 'cb.cvec')}, 6) AS dist
+  FROM embeddings q CROSS JOIN cb
+  WHERE q.vec_id < 10),
+adc AS (
+  SELECT l.q_id, e.vec_id AS n_id, round(sum(l.dist), 6) AS adc_dist
+  FROM enc e
+  JOIN cellassign ca ON ca.vec_id = e.vec_id
+  JOIN probecells pc ON pc.cell = ca.cell
+  JOIN lut l ON l.q_id = pc.q_id AND l.s = e.s AND l.c_id = e.code
+  WHERE e.vec_id <> l.q_id
+  GROUP BY l.q_id, e.vec_id)
+SELECT q_id, n_id, adc_dist, rank FROM (
+  SELECT q_id, n_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank
+  FROM adc)
+WHERE rank <= 10
+""",
+)
+def llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: L2 coarse quantizer (16 cells, nprobe=2) routes each
+    probe; only probed cells' members are scored, by PQ-ADC lookup
+    sums. Top-10 per probe. The canonical billion-scale index shape:
+    one cell id + m code bytes per stored vector, candidates ≈
+    N·nprobe/ncells per query."""
+    return S.ivf_pq_topk(
+        load(spark, sf_dir, "embeddings"),
+        n_probes=10, k=10, ncells=16, nprobe=2, m=8, ncode=16,
+    )

@@ -393,3 +393,18 @@ def test_pq_adc_exact_clone_ranks_first(spark):
     top = {r.q_id: r for r in out.filter("rank = 1").collect()}
     assert top[3].n_id == 25 and top[3].adc_dist == 0.0
     assert out.filter("n_id = q_id").count() == 0  # self excluded
+
+
+def test_ivf_pq_clone_found_when_cell_probed(spark):
+    from fluvio_demo_apps_rust_spark.functions import similarity as S
+
+    rows = [(i, [float((i * 31 + j * 7) % 97) / 3.0 - 5.0 for j in range(16)]) for i in range(25)]
+    rows.append((25, rows[3][1]))  # clone of codebook/centroid vector 3
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.ivf_pq_topk(emb, n_probes=4, k=3, ncells=8, nprobe=2, m=4, ncode=8)
+    res = out.collect()
+    # probe 3's nearest cell is its own (L2 0 to centroid 3), so the
+    # clone (same cell, ADC 0) must rank first
+    top = {r.q_id: r for r in res if r.rank == 1}
+    assert top[3].n_id == 25 and top[3].adc_dist == 0.0
+    assert all(r.q_id != r.n_id for r in res)
