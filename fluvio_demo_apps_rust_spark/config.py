@@ -92,6 +92,7 @@ class PipelineProfile:
     max_files_per_trigger: int | None = None  # backpressure (channel cap analog)
     jvm_decode: bool = False        # pure-JVM from_json decoder (no Python workers)
     strict_ddl: bool = False        # raise on unsupported DDL (reference ignores)
+    scd2_history: bool = False      # maintain SCD2 version tables per replica table
     kafka: KafkaConfig = field(default_factory=KafkaConfig)
 
     @classmethod

@@ -30,6 +30,7 @@ import json
 import logging
 from pathlib import Path
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import PipelineProfile
@@ -46,6 +47,8 @@ class CdcPipeline:
         self.spark = spark
         self.profile = profile
         self.state_dir = Path(profile.state_path)
+        # (db, table) → Scd2Maintainer, when profile.scd2_history
+        self.scd2: dict[tuple[str, str], object] = {}
         self.state = self._load_state()
 
     # -- state persistence --------------------------------------------------
@@ -64,6 +67,13 @@ class CdcPipeline:
             p = self.state_dir / "tables" / db / table
             if p.exists():
                 state.tables[(db, table)] = self.spark.read.parquet(str(p))
+            h = self.state_dir / "scd2" / db / table
+            if self.profile.scd2_history and h.exists():
+                from .scd2_stream import Scd2Maintainer
+
+                m = Scd2Maintainer("key", "sequence", ("attrs",))
+                m.versions = self.spark.read.parquet(str(h))
+                self.scd2[(db, table)] = m
         return state
 
     def _save_state(self) -> None:
@@ -80,6 +90,13 @@ class CdcPipeline:
             materialized = df.localCheckpoint(eager=True)
             materialized.write.mode("overwrite").parquet(str(p))
             self.state.tables[(db, table)] = self.spark.read.parquet(str(p))
+        for (db, table), m in self.scd2.items():
+            if m.versions is None:
+                continue
+            h = self.state_dir / "scd2" / db / table
+            hist = m.versions.localCheckpoint(eager=True)
+            hist.write.mode("overwrite").parquet(str(h))
+            m.versions = self.spark.read.parquet(str(h))
 
     # -- batch body ---------------------------------------------------------
 
@@ -91,9 +108,35 @@ class CdcPipeline:
         self.state = apply_changes(
             self.spark, events, self.state, strict_ddl=self.profile.strict_ddl
         )
+        if self.profile.scd2_history:
+            self._maintain_scd2(events)
         self._save_state()
         self.state.release()  # tables are on disk; drop the event cache
         log.info("batch %d applied; tables=%s", batch_id, sorted(self.state.tables))
+
+    def _maintain_scd2(self, events: DataFrame) -> None:
+        """Advance per-table SCD2 histories from this batch's row
+        changes (streaming/scd2_stream.py). The table list collect is
+        O(#tables-in-batch) — same budget as the apply run summaries;
+        row payloads stay in the cluster."""
+        from .scd2_stream import Scd2Maintainer, changes_from_events
+
+        changes = changes_from_events(events).localCheckpoint(eager=False)
+        tables = [
+            (r["db"], r["table"])
+            for r in changes.select("db", "table").distinct().collect()
+        ]
+        for db, table in tables:
+            m = self.scd2.get((db, table))
+            if m is None:
+                m = Scd2Maintainer("key", "sequence", ("attrs",))
+                self.scd2[(db, table)] = m
+            m.apply(
+                changes.filter(
+                    (F.col("db") == db) & (F.col("table") == table)
+                ).drop("db", "table"),
+                -1,
+            )
 
     # -- run ----------------------------------------------------------------
 

@@ -58,7 +58,10 @@ class Scd2Maintainer:
             k,
             s,
             F.lit("Delete").alias("op_type"),
-            *[F.lit(None).cast("string").alias(c) for c in self.attr_cols],
+            *[
+                F.lit(None).cast(versions.schema[c].dataType).alias(c)
+                for c in self.attr_cols
+            ],
         )
         return adds.unionByName(deletes)
 
@@ -80,3 +83,36 @@ class Scd2Maintainer:
             attr_cols=self.attr_cols,
         )
         self.versions = untouched.unionByName(refolded).localCheckpoint(eager=True)
+
+
+def changes_from_events(events: DataFrame) -> DataFrame:
+    """Decoded CHANGE_EVENT rows → SCD2 change rows, one per row image:
+    (db, table, key, sequence, op_type, attrs).
+
+    ``key`` is the FIRST image column (the MySQL-CDC convention — the
+    wire format carries no primary-key metadata, same blind spot as the
+    reference's full-row-match apply). ``attrs`` is a name→value map
+    built from each event's OWN self-describing column header, so
+    versions written before and after an ALTER carry their respective
+    column sets — schema evolution needs no refold. Delete images
+    contribute the closing change only (null attrs)."""
+    r = F.explode("rows").alias("r")
+    img = F.coalesce(F.col("r.after"), F.col("r.before"))
+    return (
+        events.filter(F.col("op_type").isin("Add", "Update", "Delete"))
+        .select("db", "table", "sequence", "op_type", "columns", r)
+        .select(
+            "db",
+            "table",
+            F.element_at(img, 1).alias("key"),
+            "sequence",
+            "op_type",
+            F.when(
+                F.col("op_type") != "Delete",
+                F.map_from_arrays(
+                    F.slice("columns", 1, F.size(F.col("r.after"))),
+                    F.col("r.after"),
+                ),
+            ).alias("attrs"),
+        )
+    )

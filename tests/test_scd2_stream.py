@@ -92,7 +92,7 @@ def change_log(draw):
                 rows.append({"key": key, "sequence": seq, "op_type": "Add" if i == 0 else "Update",
                              "status": draw(st.sampled_from(["O", "P", "F"]))})
     rows.sort(key=lambda r: r["sequence"])
-    n_cuts = draw(st.integers(0, 2))
+    n_cuts = min(draw(st.integers(0, 2)), max(0, len(rows) - 1))
     cuts = sorted(draw(st.sets(st.integers(1, max(1, len(rows) - 1)), min_size=n_cuts, max_size=n_cuts)))
     batches, prev = [], 0
     for c in cuts + [len(rows)]:
@@ -114,3 +114,59 @@ def test_streaming_scd2_property_vs_batch(spark, log):
         key_col="key", seq_col="sequence", attr_cols=("status",),
     )
     assert _rows(m.versions) == _rows(expect)
+
+
+def test_pipeline_scd2_history_across_restart(spark, tmp_path):
+    """Pipeline-integrated SCD2: the version history maintained across
+    two pipeline instances (restart + new events) must equal the batch
+    fold over ALL changes, and its current keys must equal the applied
+    replica table's key set."""
+    from pathlib import Path
+
+    import pyspark.sql.functions as F
+
+    from fluvio_demo_apps_rust_spark.codec import parse_events
+    from fluvio_demo_apps_rust_spark.config import PipelineProfile
+    from fluvio_demo_apps_rust_spark.fixtures import PET_EVENTS
+    from fluvio_demo_apps_rust_spark.streaming.pipeline import CdcPipeline
+    from fluvio_demo_apps_rust_spark.streaming.scd2_stream import changes_from_events
+
+    topic = tmp_path / "topic"
+    topic.mkdir()
+    (topic / "events-0.jsonl").write_text("\n".join(PET_EVENTS[:6]) + "\n")
+    profile = PipelineProfile(
+        source_path=str(topic),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        state_path=str(tmp_path / "state"),
+        scd2_history=True,
+    )
+    CdcPipeline(spark, profile).run_available_now()
+    (topic / "events-1.jsonl").write_text("\n".join(PET_EVENTS[6:]) + "\n")
+    pipe2 = CdcPipeline(spark, profile)
+    assert ("flvdb", "pet") in pipe2.scd2  # history reloaded from disk
+    pipe2.run_available_now()
+
+    got = pipe2.scd2[("flvdb", "pet")].versions
+    all_events = parse_events(
+        spark.createDataFrame([(e,) for e in PET_EVENTS], "value string")
+    )
+    expect = scd2_intervals(
+        changes_from_events(all_events).drop("db", "table"),
+        key_col="key", seq_col="sequence", attr_cols=("attrs",),
+    )
+
+    def rows(df):
+        return {
+            (r.key, frozenset((r.attrs or {}).items()), r.valid_from_seq,
+             r.valid_to_seq, r.is_current)
+            for r in df.collect()
+        }
+
+    assert rows(got) == rows(expect)
+    # current versions == live replica rows (keyed by first column)
+    pet = spark.read.parquet(str(Path(profile.state_path) / "tables/flvdb/pet"))
+    live_keys = sorted(r[0] for r in pet.select(pet.columns[0]).collect())
+    cur_keys = sorted(
+        r.key for r in got.filter(F.col("is_current")).collect()
+    )
+    assert cur_keys == live_keys
