@@ -208,7 +208,9 @@ def q35_events_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS h, event_type,
-         count(*) AS c, avg(value) AS av
+         count(*) AS c,
+         round(sum(CAST(round(value * 10000) AS BIGINT))
+               / (count(*) * 10000.0) * 10000) / 10000.0 AS av
   FROM events GROUP BY 1, 2),
 bounds AS (
   SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
@@ -220,9 +222,9 @@ j AS (SELECT s.h, s.event_type, c, av FROM slots s
       LEFT JOIN hourly USING (h, event_type))
 SELECT CAST(epoch(h) AS BIGINT) AS hour_start, event_type,
        coalesce(c, 0) AS cnt,
-       round(last_value(av IGNORE NULLS) OVER (
+       last_value(av IGNORE NULLS) OVER (
          PARTITION BY event_type ORDER BY h
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled_avg
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
 FROM j
 """,
 )
@@ -231,13 +233,31 @@ def q36_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     slots count 0) with forward-filled hourly averages — the
     hypertable-rollup / downsample-and-interpolate primitive. The grid
     is generated from the bounds (two tiny rows crossed with the
-    distinct keys), never materialized wider than slots × keys."""
+    distinct keys), never materialized wider than slots × keys.
+
+    The hourly average sums exact scaled integers (round(value·10⁴) as
+    BIGINT) so partial-aggregation order can't move the result, and the
+    4-dp presentation rounds at scale 0 (round(x·10⁴)/10⁴) — Spark's
+    fractional-scale round is Double.toString-based and disagrees with
+    DuckDB's binary rounding exactly at shortest-repr half boundaries
+    (found at sf0.1; same fix in q60). Rounding happens per hourly
+    value BEFORE the forward-fill window, which only copies it."""
     from pyspark.sql import Window
 
     e = _events(spark, sf_dir)
     hourly = e.groupBy(
         F.date_trunc("hour", "ts").alias("h"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("c"), F.avg("value").alias("av"))
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        (
+            F.round(
+                F.sum(F.round(F.col("value") * 10000).cast("long"))
+                / (F.count(F.lit(1)) * 10000.0)
+                * 10000
+            )
+            / 10000.0
+        ).alias("av"),
+    )
     bounds = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
@@ -256,7 +276,7 @@ def q36_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").cast("long").alias("hour_start"),
         "event_type",
         F.coalesce("c", F.lit(0)).alias("cnt"),
-        F.round(F.last("av", ignorenulls=True).over(w), 4).alias("filled_avg"),
+        F.last("av", ignorenulls=True).over(w).alias("filled_avg"),
     )
 
 
