@@ -123,4 +123,5 @@ class PipelineProfile:
             max_files_per_trigger=raw.get("max_files_per_trigger"),
             jvm_decode=bool(raw.get("jvm_decode", False)),
             strict_ddl=bool(raw.get("strict_ddl", False)),
+            scd2_history=bool(raw.get("scd2_history", False)),
         )

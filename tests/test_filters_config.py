@@ -63,6 +63,7 @@ def test_profile_load(tmp_path):
         """
 mysql_resource_name = "mysql-srv1"
 trigger_ms = 250
+scd2_history = true
 
 [data]
 base_path = "/tmp/events"
@@ -78,6 +79,7 @@ include_dbs = ["FlvDb"]
     assert prof.filters.include_dbs == ("flvdb",)
     assert prof.trigger_ms == 250
     assert prof.source_path == "/tmp/events"
+    assert prof.scd2_history is True
 
 
 def test_profile_rejects_both_filters(tmp_path):
