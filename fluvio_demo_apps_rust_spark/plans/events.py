@@ -939,3 +939,82 @@ def q72_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("users"))
     )
+
+
+@register(
+    "q77_ts_similarity",
+    tags=("events", "timeseries", "similarity", "topk"),
+    oracle="""
+WITH s AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         sum(CAST(round(value * 100) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2),
+norms AS (SELECT user_id, sum(v * v) AS s2 FROM s GROUP BY user_id),
+probes AS (SELECT user_id AS q FROM norms WHERE user_id < 5),
+cross_t AS (
+  SELECT a.user_id AS q, b.user_id AS u, sum(a.v * b.v) AS cx
+  FROM s a JOIN s b USING (h)
+  WHERE a.user_id < 5 AND b.user_id <> a.user_id
+  GROUP BY 1, 2),
+d AS (
+  SELECT p.q, n.user_id AS u,
+         nq.s2 + n.s2 - 2 * coalesce(c.cx, 0) AS d2_cents
+  FROM probes p
+  JOIN norms nq ON nq.user_id = p.q
+  CROSS JOIN norms n
+  LEFT JOIN cross_t c ON c.q = p.q AND c.u = n.user_id
+  WHERE n.user_id <> p.q)
+SELECT q AS probe_user, u AS user_id, d2_cents, rank FROM (
+  SELECT q, u, d2_cents,
+         row_number() OVER (PARTITION BY q ORDER BY d2_cents, u) AS rank
+  FROM d)
+WHERE rank <= 5
+""",
+)
+def q77_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over per-user hourly activity
+    series: top-5 nearest users (squared Euclidean over the hourly
+    value series, zeros at missing hours) for each probe user
+    (user_id < 5). The EDBT'19 streaming-similarity shape, done the
+    sparse way: series never densify — ||a-b||² = Σa² + Σb² - 2a·b
+    with the cross term from an hour-keyed equi-join against the
+    bounded probe set (linear in probe activity, never users²·hours).
+    Hourly values are exact integer cents, so every distance is exact
+    BIGINT arithmetic — no float rounding anywhere."""
+    e = _events(spark, sf_dir)
+    s = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    norms = s.groupBy("user_id").agg(F.sum(F.col("v") * F.col("v")).alias("s2"))
+    probes_s = s.filter(F.col("user_id") < 5).select(
+        F.col("user_id").alias("q"), "h", F.col("v").alias("qv")
+    )
+    cross_t = (
+        s.join(F.broadcast(probes_s), "h")
+        .filter(F.col("user_id") != F.col("q"))
+        .groupBy("q", "user_id")
+        .agg(F.sum(F.col("v") * F.col("qv")).alias("cx"))
+    )
+    qn = norms.filter(F.col("user_id") < 5).select(
+        F.col("user_id").alias("q"), F.col("s2").alias("q_s2")
+    )
+    d = (
+        norms.crossJoin(F.broadcast(qn))
+        .filter(F.col("user_id") != F.col("q"))
+        .join(cross_t, ["q", "user_id"], "left")
+        .select(
+            "q",
+            "user_id",
+            (
+                F.col("q_s2") + F.col("s2") - 2 * F.coalesce("cx", F.lit(0))
+            ).alias("d2_cents"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.asc("d2_cents"), F.asc("user_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("q").alias("probe_user"), "user_id", "d2_cents", "rank"
+        )
+    )
