@@ -1018,3 +1018,70 @@ def q77_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q").alias("probe_user"), "user_id", "d2_cents", "rank"
         )
     )
+
+
+@register(
+    "q78_trajectory_similarity",
+    tags=("events", "trajectory", "similarity", "topk"),
+    oracle="""
+WITH t AS (
+  SELECT user_id,
+         substr(string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id), 1, 50) AS traj
+  FROM events GROUP BY user_id),
+probes AS (SELECT user_id AS q, traj AS qtraj FROM t WHERE user_id < 5),
+d AS (
+  SELECT p.q, t.user_id AS u, levenshtein(p.qtraj, t.traj) AS edit_dist
+  FROM probes p CROSS JOIN t
+  WHERE t.user_id <> p.q)
+SELECT q AS probe_user, u AS user_id, edit_dist, rank FROM (
+  SELECT q, u, edit_dist,
+         row_number() OVER (PARTITION BY q ORDER BY edit_dist, u) AS rank
+  FROM d)
+WHERE rank <= 5
+""",
+)
+def q78_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity search (the REPOSE/ICDE'21 problem shape
+    on behavioral trajectories): each user's path is the ordered
+    sequence of event-type initials (first 50 steps); top-5 nearest
+    users per probe (user_id < 5) by edit distance. One user-keyed
+    aggregate builds trajectories; the probe set broadcasts, so the
+    distance pass is linear in users, and levenshtein runs JVM-side
+    over ≤50-char strings — per-pair cost is bounded by construction."""
+    e = _events(spark, sf_dir)
+    t = (
+        e.select("user_id", F.struct("ts", "event_id").alias("o"),
+                 F.substring("event_type", 1, 1).alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.substring(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("o", "c"))),
+                        lambda s: s["c"],
+                    ),
+                    "",
+                ),
+                1,
+                50,
+            ).alias("traj")
+        )
+    )
+    probes = t.filter(F.col("user_id") < 5).select(
+        F.col("user_id").alias("q"), F.col("traj").alias("qtraj")
+    )
+    d = (
+        t.crossJoin(F.broadcast(probes))
+        .filter(F.col("user_id") != F.col("q"))
+        .select(
+            "q",
+            "user_id",
+            F.levenshtein("qtraj", "traj").cast("long").alias("edit_dist"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.asc("edit_dist"), F.asc("user_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(F.col("q").alias("probe_user"), "user_id", "edit_dist", "rank")
+    )

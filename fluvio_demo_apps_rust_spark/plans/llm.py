@@ -1905,3 +1905,59 @@ def llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings"),
         n_probes=10, k=10, ncells=16, nprobe=2, m=8, ncode=16,
     )
+
+
+_SENT_POS = ("fast", "merge", "value", "key")
+_SENT_NEG = ("slow", "scan", "batch")
+
+
+@register(
+    "llm_sentiment",
+    tags=("llm", "text", "sentiment"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n,
+         len(list_filter(toks, x -> x IN ({", ".join(f"'{w}'" for w in _SENT_POS)}))) AS pos,
+         len(list_filter(toks, x -> x IN ({", ".join(f"'{w}'" for w in _SENT_NEG)}))) AS neg
+  FROM t)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
+       round((pos - neg) / CAST(n AS DOUBLE), 4) AS polarity,
+       CASE WHEN pos > neg THEN 'pos' WHEN neg > pos THEN 'neg' ELSE 'neutral' END AS label
+FROM m
+""",
+)
+def llm_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (the EDBT'16 Spark-sentiment
+    shape): per-document positive/negative lexicon hits and a
+    length-normalized polarity in [-1, 1]. Row-local codegen — the
+    lexicons inline as literal IN-lists, token counts via
+    size/array_remove (no lambda), zero shuffles."""
+    d = load(spark, sf_dir, "documents")
+    toks_df = d.select("doc_id", TX.tokens().alias("toks"))
+
+    def hits(words: tuple[str, ...]) -> F.Column:
+        c = None
+        for w in words:
+            h = F.size("toks") - F.size(F.array_remove("toks", w))
+            c = h if c is None else c + h
+        return c
+
+    m = toks_df.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        hits(_SENT_POS).cast("long").alias("pos"),
+        hits(_SENT_NEG).cast("long").alias("neg"),
+    )
+    return m.select(
+        "doc_id",
+        "pos",
+        "neg",
+        F.round((F.col("pos") - F.col("neg")) / F.col("n").cast("double"), 4).alias(
+            "polarity"
+        ),
+        F.when(F.col("pos") > F.col("neg"), "pos")
+        .when(F.col("neg") > F.col("pos"), "neg")
+        .otherwise("neutral")
+        .alias("label"),
+    )
