@@ -13,6 +13,7 @@ from . import events  # noqa: F401
 from . import cdc  # noqa: F401
 from . import llm  # noqa: F401
 from . import advanced  # noqa: F401
+from . import mining  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

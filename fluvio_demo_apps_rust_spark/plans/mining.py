@@ -1,0 +1,239 @@
+"""Graph / sampling / corpus-statistics mining queries.
+
+Three operator families the reference's analytics surface gestures at
+but Spark expresses natively:
+
+- iterative graph algorithms (PageRank by power iteration) — the
+  DataFrame-loop pattern with bounded lineage;
+- weighted deterministic sampling — hash-uniform Bernoulli keep with
+  probability proportional to a weight column, reproducible across
+  engines and partition layouts;
+- corpus-level token-distribution statistics (vocabulary size, Shannon
+  entropy) — one explode + one aggregate.
+
+Float determinism: every cross-engine-summed float is converted to an
+exact scaled BIGINT per row (``round(x * 10^k)::BIGINT``) BEFORE the
+sum, so partial-aggregation order can never move the result; entropy
+is even emitted as the exact scaled integer (no final rounding at
+all). PageRank's per-edge contributions use the same trick inside each
+of the 10 iterations.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.curation import SAMPLE_BUCKETS, sample_uniform
+from .base import load, register
+
+_N_ITER = 10
+_DAMP = 0.85
+_SCALE = 1e12  # per-edge contribution quantum inside each iteration
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 10-iteration power-iteration oracle (DuckDB disallows
+    nothing here, but unrolled CTEs avoid recursive-aggregate
+    portability questions). Mirrors the Spark loop exactly: same edge
+    normalization, same scaled-integer contribution rounding, same
+    damping constant expression."""
+    ctes = [
+        """edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+norm AS (
+  SELECT src, dst, cents / CAST(sum(cents) OVER (PARTITION BY src) AS DOUBLE) AS w
+  FROM edges),
+i0 AS (SELECT n_nationkey AS nk, 1.0 / 25 AS r FROM nation)"""
+    ]
+    for k in range(1, _N_ITER + 1):
+        ctes.append(
+            f"""i{k} AS (
+  SELECT n.n_nationkey AS nk,
+         0.15 / 25 + {_DAMP} * (coalesce(s.m, 0) / {_SCALE}) AS r
+  FROM nation n LEFT JOIN (
+    SELECT e.dst AS nk, sum(CAST(round(p.r * e.w * {_SCALE}) AS BIGINT)) AS m
+    FROM norm e JOIN i{k - 1} p ON p.nk = e.src GROUP BY e.dst) s
+  ON n.n_nationkey = s.nk)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n.n_name, CAST(round(i.r * 1000000) AS BIGINT) AS pagerank_micro
+FROM i{_N_ITER} i JOIN nation n ON n.n_nationkey = i.nk"""
+    )
+
+
+@register(
+    "q79_pagerank",
+    tags=("graph", "iterative", "pagerank"),
+    oracle=_pagerank_oracle(),
+)
+def q79_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank by power iteration (10 steps, damping 0.85) over the
+    nation trade graph: edge customer-nation → supplier-nation weighted
+    by exact trade cents from lineitem⨝orders⨝customer⨝supplier.
+
+    The expensive distributed work is the edge derivation (three
+    shuffled joins + one aggregate, exact-integer cents); the iteration
+    then runs on the |V|≤25, |E|≤625 condensed graph — cached once,
+    ranks broadcast each step, so ten iterations are ten tiny
+    broadcast-join jobs with no lineage blow-up. At 100 TB the same
+    loop holds for large graphs by swapping the broadcast for a
+    src-keyed shuffle join and localCheckpoint every few steps (the
+    connected-components kernel in functions/dedup.py already does
+    exactly that). Per-edge contributions are quantized to exact
+    BIGINTs inside every iteration so Spark's partial-agg order and
+    DuckDB's sum order cannot diverge. Dangling mass is dropped
+    identically on both sides (pure 0.15/N base for sink-only nodes).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("src")
+    norm = edges.select(
+        "src",
+        "dst",
+        (F.col("cents") / F.sum("cents").over(tot).cast("double")).alias("w"),
+    ).cache()
+
+    nodes = n.select(F.col("n_nationkey").alias("nk")).cache()
+    ranks = nodes.select("nk", F.lit(1.0 / 25).alias("r"))
+    for _ in range(_N_ITER):
+        contrib = (
+            norm.join(F.broadcast(ranks), norm.src == ranks.nk)
+            .select(
+                F.col("dst").alias("nk"),
+                F.round(F.col("r") * F.col("w") * _SCALE).cast("long").alias("m"),
+            )
+            .groupBy("nk")
+            .agg(F.sum("m").alias("m"))
+        )
+        ranks = nodes.join(contrib, "nk", "left").select(
+            "nk",
+            (
+                F.lit(0.15 / 25)
+                + _DAMP * (F.coalesce("m", F.lit(0)) / F.lit(_SCALE))
+            ).alias("r"),
+        )
+    return ranks.join(
+        n, ranks.nk == n.n_nationkey
+    ).select(
+        "n_name", F.round(F.col("r") * 1000000).cast("long").alias("pagerank_micro")
+    )
+
+
+@register(
+    "q80_weighted_sample",
+    tags=("sampling", "weighted"),
+    oracle=f"""
+WITH mx AS (SELECT max(o_totalprice) AS maxp FROM orders),
+kept AS (
+  SELECT o.*
+  FROM orders o, mx
+  WHERE (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+         % {SAMPLE_BUCKETS}) * maxp
+        < o_totalprice * {SAMPLE_BUCKETS})
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sampled_cents
+FROM kept GROUP BY o_orderpriority
+""",
+)
+def q80_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling: keep each order with probability
+    proportional to its value (P = totalprice / max totalprice),
+    using the deterministic md5-uniform — the importance-sampling
+    primitive for value-weighted corpus subsetting, reproducible
+    across engines, seeds, and partition layouts.
+
+    The keep test cross-multiplies (u·maxp < w·BUCKETS) so both
+    engines evaluate the identical pair of double products — no
+    division, no transcendental, no rounding ambiguity. max(price) is
+    a one-row aggregate broadcast into a row-local filter; the whole
+    plan is one scan + one tiny final aggregate."""
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_totalprice").alias("maxp"))
+    kept = o.crossJoin(F.broadcast(mx)).filter(
+        sample_uniform(F.col("o_orderkey")).cast("double") * F.col("maxp")
+        < F.col("o_totalprice") * F.lit(float(SAMPLE_BUCKETS))
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sampled_cents"
+        ),
+    )
+
+
+@register(
+    "llm_vocab_entropy",
+    tags=("llm", "text", "entropy", "vocab"),
+    oracle="""
+WITH tok AS (
+  SELECT unnest(str_split(text, ' ')) AS token FROM documents),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok
+  WHERE token <> '' GROUP BY token),
+tot AS (SELECT sum(c) AS t FROM counts)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(max(t) AS BIGINT) AS total_tokens,
+       CAST(max(c) AS BIGINT) AS top_count,
+       CAST(sum(CAST(round(-(c / CAST(t AS DOUBLE))
+                           * log2(c / CAST(t AS DOUBLE)) * 1000000000) AS BIGINT))
+            AS BIGINT) AS entropy_nanobits
+FROM counts, tot
+""",
+)
+def llm_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-distribution statistics: vocabulary size, total
+    token count, modal token frequency, and Shannon entropy of the
+    unigram distribution — the tokenizer-health / diversity metric a
+    curation pipeline reports per corpus snapshot.
+
+    One explode (map-side) + one token-keyed aggregate + one scalar
+    reduce. Entropy is emitted as the EXACT scaled integer
+    (``Σ round(-p·log₂p · 1e9)`` as BIGINT): each per-token term is
+    quantized before the sum, so neither engine's aggregation order
+    nor final-digit float rendering can diverge — no rounding step at
+    all in the output."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t").cast("double")
+    term = F.round(-p * F.log2(p) * 1000000000).cast("long")
+    return counts.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.max("t").alias("total_tokens"),
+        F.max("c").alias("top_count"),
+        F.sum(term).alias("entropy_nanobits"),
+    )
