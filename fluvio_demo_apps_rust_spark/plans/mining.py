@@ -190,6 +190,82 @@ def q80_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _interleave(cx: str, dy: str, bits: int = 8) -> str:
+    """Bit-interleave expression text (Morton / Z-order key) shared by
+    both engines: only ``%``, integer division and ``*`` by power-of-two
+    constants, so the identical arithmetic runs JVM-side in Spark
+    (``div``) and in DuckDB (``//``) — the caller substitutes the
+    division operator."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({cx} DIV {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({dy} DIV {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+_Z_ORACLE = f"""
+WITH b AS (SELECT min(o_orderdate) AS d0,
+                  date_diff('day', min(o_orderdate), max(o_orderdate)) AS span,
+                  max(o_custkey) AS mx
+           FROM orders),
+dims AS (
+  SELECT (o_custkey * 256) // (mx + 1) AS cx,
+         (date_diff('day', d0, o_orderdate) * 256) // (span + 1) AS dy
+  FROM orders, b),
+z AS (SELECT cx, dy, ({_interleave('cx', 'dy').replace(' DIV ', ' // ')}) AS zval FROM dims)
+SELECT zval // 1024 AS zbucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(cx) AS BIGINT) AS cx_min, CAST(max(cx) AS BIGINT) AS cx_max,
+       CAST(min(dy) AS BIGINT) AS dy_min, CAST(max(dy) AS BIGINT) AS dy_max
+FROM z GROUP BY zbucket
+"""
+
+
+@register(
+    "q81_zorder_layout",
+    tags=("layout", "zorder", "pruning"),
+    oracle=_Z_ORACLE,
+)
+def q81_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-date):
+    both dimensions range-bucketed to 8 bits from their actual min/max
+    (one scalar aggregate broadcast in), bit-interleaved into a 16-bit
+    key, and summarized per 64-key file bucket with the min/max extent
+    of EACH dimension — the multi-dimensional data-layout operator.
+
+    At 100 TB this is how you make parquet min/max file skipping work
+    for BOTH filter dimensions at once: `repartitionByRange(zval)`
+    before the write gives every file a tight bounding box in
+    (custkey, orderdate) space, so a predicate on either column prunes
+    ~√F of F files instead of scanning everything (linear clustering
+    on one column prunes only that column). The emitted per-bucket
+    extents ARE the bounding boxes a scan planner would prune with.
+    The interleave is pure integer codegen arithmetic — identical
+    text on both engines, no UDF, no shuffle beyond the final tiny
+    aggregate."""
+    o = load(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_orderdate").alias("d0"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("span"),
+        F.max("o_custkey").alias("mx"),
+    )
+    dims = o.crossJoin(F.broadcast(b)).select(
+        F.expr("(o_custkey * 256) DIV (mx + 1)").alias("cx"),
+        F.expr("(datediff(o_orderdate, d0) * 256) DIV (span + 1)").alias("dy"),
+    )
+    z = dims.select("cx", "dy", F.expr(_interleave("cx", "dy")).alias("zval"))
+    return (
+        z.groupBy(F.expr("zval DIV 1024").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cx").alias("cx_min"),
+            F.max("cx").alias("cx_max"),
+            F.min("dy").alias("dy_min"),
+            F.max("dy").alias("dy_max"),
+        )
+    )
+
+
 @register(
     "llm_vocab_entropy",
     tags=("llm", "text", "entropy", "vocab"),
