@@ -190,6 +190,110 @@ def q80_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CM_DEPTH = 4
+_CM_WIDTH = 1024
+
+
+@register(
+    "llm_countmin_heavyhitters",
+    tags=("llm", "sketch", "countmin", "heavy-hitters"),
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(str_split(text, ' ')) AS token
+  FROM documents),
+tok2 AS (SELECT token FROM tok WHERE token <> ''),
+hashed AS (
+  SELECT token, s.seed,
+         ('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || token), 1, 15))::BIGINT
+         % {_CM_WIDTH} AS bucket
+  FROM tok2, (SELECT unnest(generate_series(0, {_CM_DEPTH - 1})) AS seed) s),
+sketch AS (
+  SELECT seed, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM hashed GROUP BY seed, bucket),
+exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+  FROM tok2 GROUP BY token),
+probes AS (
+  SELECT e.token, e.exact_count, s.seed,
+         ('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || e.token), 1, 15))::BIGINT
+         % {_CM_WIDTH} AS bucket
+  FROM exact e, (SELECT unnest(generate_series(0, {_CM_DEPTH - 1})) AS seed) s)
+SELECT p.token, p.exact_count,
+       CAST(min(k.c) AS BIGINT) AS cm_estimate,
+       CAST(min(k.c) - p.exact_count AS BIGINT) AS overcount
+FROM probes p JOIN sketch k ON k.seed = p.seed AND k.bucket = p.bucket
+GROUP BY p.token, p.exact_count
+""",
+)
+def llm_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: a 4×1024 hashed-bucket count
+    sketch over the token stream, then each candidate token's estimate
+    (min over the 4 rows) against its exact count — the bounded-memory
+    frequency-estimation operator (the complement of the HLL distinct
+    sketch in q52, but fully oracle-able because the md5 bucket hash is
+    deterministic on both engines).
+
+    Scale posture: the sketch is a (depth·width)-row aggregate — FIXED
+    size regardless of corpus size, the whole point at 100 TB — built
+    with map-side partial aggregation from a ×4 seed explode; probes
+    equi-join the tiny sketch (broadcast). The estimate ≥ exact
+    invariant (count-min never undercounts) is pinned in
+    tests/test_mining.py."""
+    d = load(spark, sf_dir, "documents")
+    seeds = F.array(*[F.lit(s) for s in range(_CM_DEPTH)])
+    tok = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    hashed = tok.select(
+        "token", F.explode(seeds).alias("seed")
+    ).select(
+        "token",
+        "seed",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("token"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CM_WIDTH
+        ).alias("bucket"),
+    )
+    sketch = hashed.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.select(
+        "token", "exact_count", F.explode(seeds).alias("seed")
+    ).select(
+        "token",
+        "exact_count",
+        "seed",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("token"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CM_WIDTH
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(
+            F.min("c").alias("cm_estimate"),
+            (F.min("c") - F.col("exact_count")).alias("overcount"),
+        )
+    )
+
+
 def _interleave(cx: str, dy: str, bits: int = 8) -> str:
     """Bit-interleave expression text (Morton / Z-order key) shared by
     both engines: only ``%``, integer division and ``*`` by power-of-two

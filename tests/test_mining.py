@@ -50,6 +50,18 @@ def test_pagerank_mass_and_uniformity(spark):
     assert 0.15 <= total <= 1.0 + 1e-6
 
 
+def test_countmin_never_undercounts(spark):
+    """The defining count-min guarantee: estimate ≥ exact for every
+    probed key (equality when no bucket collision)."""
+    from fluvio_demo_apps_rust_spark.plans import REGISTRY
+
+    rows = REGISTRY["llm_countmin_heavyhitters"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.cm_estimate >= r.exact_count
+        assert r.overcount == r.cm_estimate - r.exact_count
+
+
 def test_weighted_sample_tracks_weights(spark):
     """Orders with larger totalprice must be kept at a higher rate:
     compare the sampled fraction of the top price quartile vs the
