@@ -190,6 +190,77 @@ def q80_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 64
+_HASH_SPACE = 1152921504606846976.0  # 2^60, the md5_int60 range
+
+
+@register(
+    "q82_kmv_distinct",
+    tags=("sketch", "kmv", "distinct"),
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events),
+rn AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+  FROM h),
+sk AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS k, max(hv) AS hk
+  FROM rn WHERE r <= {_KMV_K} GROUP BY event_type),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type)
+SELECT s.event_type, e.exact_distinct,
+       CAST(round((s.k - 1) * ({_HASH_SPACE} / s.hk)) AS BIGINT) AS kmv_estimate
+FROM sk s JOIN exact e ON e.event_type = s.event_type
+""",
+)
+def q82_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per event type: keep the
+    64 smallest md5 hashes of the distinct user set, estimate
+    |D| ≈ (k−1)·2⁶⁰/h₍ₖ₎, and report it beside the exact distinct — the
+    mergeable cardinality sketch done with a DETERMINISTIC hash, so
+    (unlike the engine-specific HLL in q52_approx_distinct) both
+    engines compute the identical estimate and the driver hash-gate
+    applies.
+
+    Scale posture: the sketch state is k rows per group regardless of
+    input size; the bottom-k is a per-group window over the deduped
+    hash set (at 100 TB, swap the window for the partial-aggregating
+    bottom-k the ANN top-k kernels use — `min_by`-style per-partition
+    heaps then merge — same semantics, no full sort). Estimate
+    arithmetic is one double division and a scale-0 round, identical
+    text on both engines."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        h.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("k"), F.max("hv").alias("hk"))
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        F.round((F.col("k") - 1) * (F.lit(_HASH_SPACE) / F.col("hk")))
+        .cast("long")
+        .alias("kmv_estimate"),
+    )
+
+
 _CM_DEPTH = 4
 _CM_WIDTH = 1024
 

@@ -62,6 +62,26 @@ def test_countmin_never_undercounts(spark):
         assert r.overcount == r.cm_estimate - r.exact_count
 
 
+def test_kmv_estimate_tracks_exact(spark):
+    """KMV is deterministic (fixed hash): the estimate must equal the
+    exact count when a group has < k distinct users, and stay within
+    the k=64 sketch's error envelope otherwise."""
+    from fluvio_demo_apps_rust_spark.plans import REGISTRY
+    from fluvio_demo_apps_rust_spark.plans.mining import _KMV_K
+
+    rows = REGISTRY["q82_kmv_distinct"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r.exact_distinct >= _KMV_K:
+            assert abs(r.kmv_estimate - r.exact_distinct) <= 0.6 * r.exact_distinct
+        else:
+            # sketch holds the whole set; (k-1)*space/h_k is still an
+            # estimator, just a very tight one
+            assert abs(r.kmv_estimate - r.exact_distinct) <= max(
+                5, 0.6 * r.exact_distinct
+            )
+
+
 def test_weighted_sample_tracks_weights(spark):
     """Orders with larger totalprice must be kept at a higher rate:
     compare the sampled fraction of the top price quartile vs the
