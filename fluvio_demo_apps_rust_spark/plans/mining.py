@@ -190,6 +190,109 @@ def q80_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LR_ITERS = 5
+_LR_RATE = 0.1
+_GRAD_SCALE = 1e9
+
+
+def _lr_oracle() -> str:
+    """Unrolled 5-iteration batch-GD oracle. Each iteration CTE is one
+    row of weights computed from the previous row crossed with the
+    featurized docs; per-row gradient components are quantized to
+    BIGINTs before summing (same as the Spark side), so aggregation
+    order cannot move the trained weights."""
+    ctes = [
+        """f AS (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         n_chars / 128.0 AS x1,
+         len(str_split(text, ' ')) / 32.0 AS x2
+  FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)"""
+    ]
+    for k in range(1, _LR_ITERS + 1):
+        p = f"w{k - 1}"
+        sig = f"1.0 / (1.0 + exp(-({p}.b + {p}.w1 * f.x1 + {p}.w2 * f.x2)))"
+        ctes.append(
+            f"""w{k} AS (
+  SELECT {p}.b + {_LR_RATE} * (sum(CAST(round((f.y - {sig}) * {_GRAD_SCALE}) AS BIGINT))
+         / (n.n * {_GRAD_SCALE})) AS b,
+         {p}.w1 + {_LR_RATE} * (sum(CAST(round((f.y - {sig}) * f.x1 * {_GRAD_SCALE}) AS BIGINT))
+         / (n.n * {_GRAD_SCALE})) AS w1,
+         {p}.w2 + {_LR_RATE} * (sum(CAST(round((f.y - {sig}) * f.x2 * {_GRAD_SCALE}) AS BIGINT))
+         / (n.n * {_GRAD_SCALE})) AS w2
+  FROM f, {p}, n GROUP BY {p}.b, {p}.w1, {p}.w2, n.n)"""
+        )
+    w = f"w{_LR_ITERS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(round({w}.b * 1000000) AS BIGINT) AS b_micro,
+       CAST(round({w}.w1 * 1000000) AS BIGINT) AS w1_micro,
+       CAST(round({w}.w2 * 1000000) AS BIGINT) AS w2_micro,
+       CAST(sum(CASE WHEN (CASE WHEN 1.0 / (1.0 + exp(-({w}.b + {w}.w1 * f.x1 + {w}.w2 * f.x2))) > 0.5
+                          THEN 1.0 ELSE 0.0 END) = f.y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM f, {w} GROUP BY {w}.b, {w}.w1, {w}.w2"""
+    )
+
+
+@register(
+    "llm_quality_lr",
+    tags=("llm", "ml", "iterative", "classifier"),
+    oracle=_lr_oracle(),
+)
+def llm_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training (batch gradient
+    descent, 5 epochs, lr=0.1) of an is-English classifier over simple
+    document features — the iterative-ML-training operator (the
+    quality-classifier step of a curation pipeline, e.g. the
+    fastText-style filters used for pretraining corpora, reduced to
+    its distributed-training shape).
+
+    Each epoch is ONE map-side-partial aggregate over the corpus
+    producing the 3 gradient sums; the weight vector is O(features)
+    driver state (the same gated-scalar-state pattern as the CDC
+    producer HWM) and is folded back in as literals — no per-row
+    Python, no weight broadcast join, lineage reset every epoch
+    because each plan starts fresh from the scan. Per-row gradient
+    components are quantized to exact BIGINTs before summing, so the
+    trained weights are bit-identical across engines and partition
+    orders. Final row: micro-scaled weights + training accuracy."""
+    d = load(spark, sf_dir, "documents")
+    f = d.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars") / 128.0).alias("x1"),
+        (F.size(F.split("text", " ")) / 32.0).alias("x2"),
+    )
+    n_row = f.count()
+    b = w1 = w2 = 0.0
+    for _ in range(_LR_ITERS):
+        z = F.lit(b) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+        sig = 1.0 / (1.0 + F.exp(-z))
+        err = F.col("y") - sig
+        sums = f.agg(
+            F.sum(F.round(err * _GRAD_SCALE).cast("long")).alias("g0"),
+            F.sum(F.round(err * F.col("x1") * _GRAD_SCALE).cast("long")).alias("g1"),
+            F.sum(F.round(err * F.col("x2") * _GRAD_SCALE).cast("long")).alias("g2"),
+        ).first()
+        b += _LR_RATE * (sums.g0 / (n_row * _GRAD_SCALE))
+        w1 += _LR_RATE * (sums.g1 / (n_row * _GRAD_SCALE))
+        w2 += _LR_RATE * (sums.g2 / (n_row * _GRAD_SCALE))
+    z = F.lit(b) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+    pred = F.when(1.0 / (1.0 + F.exp(-z)) > 0.5, 1.0).otherwise(0.0)
+    return f.agg(
+        # SQL round (half away from zero) on both sides — Python's
+        # round() is half-to-even and would diverge at exact halves
+        F.round(F.lit(b) * 1000000).cast("long").alias("b_micro"),
+        F.round(F.lit(w1) * 1000000).cast("long").alias("w1_micro"),
+        F.round(F.lit(w2) * 1000000).cast("long").alias("w2_micro"),
+        F.sum(F.when(pred == F.col("y"), 1).otherwise(0)).cast("long").alias("n_correct"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
 _KMV_K = 64
 _HASH_SPACE = 1152921504606846976.0  # 2^60, the md5_int60 range
 

@@ -82,6 +82,19 @@ def test_kmv_estimate_tracks_exact(spark):
             )
 
 
+def test_quality_lr_trains(spark):
+    """GD must actually move the weights off the zero init, and the
+    reported accuracy must be a coherent fraction."""
+    from fluvio_demo_apps_rust_spark.plans import REGISTRY
+
+    r = REGISTRY["llm_quality_lr"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.b_micro, row.w1_micro, row.w2_micro) != (0, 0, 0)
+    assert 0 <= row.n_correct <= row.n_total
+    assert row.n_total > 0
+
+
 def test_weighted_sample_tracks_weights(spark):
     """Orders with larger totalprice must be kept at a higher rate:
     compare the sampled fraction of the top price quartile vs the
