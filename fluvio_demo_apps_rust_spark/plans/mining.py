@@ -190,6 +190,79 @@ def q80_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q83_graph_triangles",
+    tags=("graph", "triangles"),
+    oracle="""
+WITH e0 AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey),
+und AS (
+  SELECT src AS a, dst AS b FROM e0 WHERE src < dst
+  UNION
+  SELECT dst AS a, src AS b FROM e0 WHERE dst < src),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT x AS nk FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) t
+JOIN nation n ON n.n_nationkey = t.nk
+GROUP BY n.n_name
+""",
+)
+def q83_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation counts in the undirected nation
+    trade graph — the clustering-coefficient / community-structure
+    primitive, computed the scalable way: orient every undirected edge
+    low→high so each triangle is enumerated exactly once as
+    (x<y<z) = e(x,y) ⨝ e(y,z) ⨝ e(x,z), two equi-joins instead of an
+    all-pairs wedge blow-up. The heavy distributed work is condensing
+    100 TB of lineitem into the distinct edge set; the oriented-join
+    triangle count is then linear in wedges — the standard MapReduce
+    triangle algorithm, expressed as two Catalyst equi-joins."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    und = (
+        e0.filter(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        )
+        .union(
+            e0.filter(F.col("dst") < F.col("src")).select(
+                F.col("dst").alias("a"), F.col("src").alias("b")
+            )
+        )
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    members = (
+        tri.select(F.col("x").alias("nk"))
+        .unionAll(tri.select(F.col("y").alias("nk")))
+        .unionAll(tri.select(F.col("z").alias("nk")))
+    )
+    return members.join(n, members.nk == n.n_nationkey).groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
 _LR_ITERS = 5
 _LR_RATE = 0.1
 _GRAD_SCALE = 1e9
