@@ -191,6 +191,77 @@ def q80_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q84_market_basket",
+    tags=("mining", "association", "basket"),
+    oracle="""
+WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS n_orders FROM b),
+item AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY p),
+pair AS (
+  SELECT a.p AS p1, b2.p AS p2, CAST(count(*) AS BIGINT) AS support
+  FROM b a JOIN b b2 ON a.k = b2.k AND a.p < b2.p
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT p1, p2, support,
+       CAST(round(support * n.n_orders * 1000000.0 / (i1.c * i2.c)) AS BIGINT)
+         AS lift_micro
+FROM pair
+JOIN item i1 ON i1.p = pair.p1
+JOIN item i2 ON i2.p = pair.p2
+CROSS JOIN n
+ORDER BY support DESC, p1, p2
+LIMIT 50
+""",
+)
+def q84_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: co-purchased part pairs with
+    support ≥ 2 across orders, ranked by support with the lift
+    statistic (P(A∩B)/(P(A)P(B)), emitted as an exact-rounded micro
+    int) — the frequent-itemset / recommendation primitive.
+
+    The pair generation self-joins the distinct (order, part) basket
+    table on the order key: candidate count is Σ basket_size², linear
+    in orders for bounded baskets (TPC-H ~4 items) — never an
+    all-parts cross product. Item supports broadcast back onto the
+    surviving pairs (AQE picks broadcast: the support≥2 filter
+    collapses the pair table). Top-50 is TakeOrderedAndProject
+    (per-partition heaps + driver merge), not a global sort, with a
+    full (support, p1, p2) tie-break so both engines cut the same 50
+    rows."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")).distinct()
+    n_orders = b.agg(F.countDistinct("k").alias("n_orders"))
+    item = b.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    b2 = b.select(F.col("k"), F.col("p").alias("p2"))
+    pair = (
+        b.join(b2, "k")
+        .filter(F.col("p") < F.col("p2"))
+        .groupBy(F.col("p").alias("p1"), "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    i1 = item.select(F.col("p").alias("p1"), F.col("c").alias("c1"))
+    i2 = item.select(F.col("p").alias("p2"), F.col("c").alias("c2"))
+    return (
+        pair.join(i1, "p1")
+        .join(i2, "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.round(
+                F.col("support") * F.col("n_orders") * 1000000.0
+                / (F.col("c1") * F.col("c2"))
+            )
+            .cast("long")
+            .alias("lift_micro"),
+        )
+        .orderBy(F.desc("support"), "p1", "p2")
+        .limit(50)
+    )
+
+
+@register(
     "q83_graph_triangles",
     tags=("graph", "triangles"),
     oracle="""
