@@ -191,6 +191,97 @@ def q80_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q85_rfm_segmentation",
+    tags=("mining", "rfm", "segmentation"),
+    oracle="""
+WITH mx AS (SELECT max(o_orderdate) AS d1 FROM orders),
+m AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), mx.d1) AS rec,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mny
+  FROM orders, mx GROUP BY o_custkey, mx.d1),
+q AS (
+  SELECT quantile_cont(rec, 0.25) AS r1, quantile_cont(rec, 0.5) AS r2, quantile_cont(rec, 0.75) AS r3,
+         quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2, quantile_cont(f, 0.75) AS f3,
+         quantile_cont(mny, 0.25) AS m1, quantile_cont(mny, 0.5) AS m2, quantile_cont(mny, 0.75) AS m3
+  FROM m),
+s AS (
+  SELECT 5 - (1 + CAST(rec > r1 AS INT) + CAST(rec > r2 AS INT) + CAST(rec > r3 AS INT)) AS r_score,
+         1 + CAST(f > f1 AS INT) + CAST(f > f2 AS INT) + CAST(f > f3 AS INT) AS f_score,
+         1 + CAST(mny > m1 AS INT) + CAST(mny > m2 AS INT) + CAST(mny > m3 AS INT) AS m_score,
+         mny
+  FROM m, q)
+SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(mny) AS BIGINT) AS total_cents
+FROM s GROUP BY segment
+""",
+)
+def q85_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quartile scores per customer, rolled up per 3-digit segment — the
+    classic lifecycle-marketing operator, done the scale-right way:
+    ONE customer-keyed aggregate builds the metrics, ONE one-row
+    quartile aggregate (`percentile` = exact linear interpolation,
+    identical to DuckDB's quantile_cont) broadcasts the 9 cutoffs back
+    as a row-local score expression — no global ntile sort, no second
+    wide shuffle. Monetary is exact integer cents throughout."""
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("d1"))
+    m = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("d1"), F.max("o_orderdate")).alias("rec"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("mny"),
+        )
+    )
+    q = m.agg(
+        *[
+            F.expr(f"percentile({c}, {p})").alias(f"{c[0]}{i + 1}")
+            for c in ("rec", "f", "mny")
+            for i, p in enumerate((0.25, 0.5, 0.75))
+        ]
+    )
+    s = m.crossJoin(F.broadcast(q)).select(
+        (
+            5
+            - (
+                1
+                + (F.col("rec") > F.col("r1")).cast("int")
+                + (F.col("rec") > F.col("r2")).cast("int")
+                + (F.col("rec") > F.col("r3")).cast("int")
+            )
+        ).alias("r_score"),
+        (
+            1
+            + (F.col("f") > F.col("f1")).cast("int")
+            + (F.col("f") > F.col("f2")).cast("int")
+            + (F.col("f") > F.col("f3")).cast("int")
+        ).alias("f_score"),
+        (
+            1
+            + (F.col("mny") > F.col("m1")).cast("int")
+            + (F.col("mny") > F.col("m2")).cast("int")
+            + (F.col("mny") > F.col("m3")).cast("int")
+        ).alias("m_score"),
+        "mny",
+    )
+    return s.groupBy(
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("mny").alias("total_cents"),
+    )
+
+
+@register(
     "q84_market_basket",
     tags=("mining", "association", "basket"),
     oracle="""
