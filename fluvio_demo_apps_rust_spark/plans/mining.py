@@ -190,6 +190,89 @@ def q80_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_ALPHA = 0.25  # dyadic on purpose — see _ewma_terms
+_EWMA_TERMS = 10
+
+
+def _ewma_terms(lag_fmt: str) -> str:
+    """Finite-window EWMA as an explicit weighted lag sum — a FIXED
+    left-associated chain of double products, so there is no
+    aggregation-order ambiguity for either engine. ``lag_fmt`` is a
+    format string producing the j-th lag expression.
+
+    α is DYADIC (0.25): every coefficient α(1−α)ʲ = 3ʲ/4ʲ⁺¹, every
+    coefficient·count product, and every partial sum is then an EXACT
+    double (small dyadic rationals), so ×10⁴ lands exactly on or
+    exactly off the .5 rounding boundary and both engines round it the
+    same way. With α=0.3 the sums are inexact and Spark's
+    Double.toString-based round diverged from DuckDB's binary round at
+    a shortest-repr half boundary (hit at sf0.01: 43973.5) — the q36
+    trap, reachable even at scale 0 when the value's shortest repr is
+    \"…x.5\"."""
+    terms = []
+    for j in range(_EWMA_TERMS):
+        c = _EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j
+        terms.append(f"{c!r} * {lag_fmt.format(j=j)}")
+    return " + ".join(terms)
+
+
+@register(
+    "q86_ewma_smoothing",
+    tags=("events", "timeseries", "smoothing"),
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, hour_start, cnt,
+         {', '.join(f'lag(cnt, {j}) OVER (PARTITION BY event_type ORDER BY hour_start) AS l{j}' for j in range(1, _EWMA_TERMS))}
+  FROM hourly)
+SELECT event_type, hour_start, cnt,
+       CAST(round(({_ewma_terms('l{j}')}) * 10000) AS BIGINT) AS ewma_e4
+FROM (SELECT event_type, hour_start, cnt, cnt AS l0,
+             {', '.join(f'l{j}' for j in range(1, _EWMA_TERMS))} FROM w)
+WHERE l{_EWMA_TERMS - 1} IS NOT NULL
+""",
+)
+def q86_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over per-type hourly event
+    counts — the time-series smoothing / trend operator, expressed as a
+    finite 10-term weighted lag sum (coefficients α(1−α)ʲ are plan-time
+    constants) instead of a recursive state fold: one window over the
+    (type, hour) aggregate, fully codegen, each output row a fixed
+    left-associated double chain — bit-identical across engines and
+    partitionings, emitted ×10⁴-rounded. Rows without a full 10-hour
+    history are excluded (both engines apply the same cut), so no
+    renormalization branch."""
+    from ..session import ensure_utc
+
+    ensure_utc(spark)
+    from .events import _events
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").cast("long").alias("hour_start"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("hour_start")
+    lagged = hourly.select(
+        "event_type",
+        "hour_start",
+        "cnt",
+        F.col("cnt").alias("l0"),
+        *[F.lag("cnt", j).over(w).alias(f"l{j}") for j in range(1, _EWMA_TERMS)],
+    )
+    return lagged.filter(F.col(f"l{_EWMA_TERMS - 1}").isNotNull()).select(
+        "event_type",
+        "hour_start",
+        "cnt",
+        F.round(F.expr(_ewma_terms("l{j}")) * 10000).cast("long").alias("ewma_e4"),
+    )
+
+
 @register(
     "q85_rfm_segmentation",
     tags=("mining", "rfm", "segmentation"),
