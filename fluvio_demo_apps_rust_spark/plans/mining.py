@@ -863,6 +863,60 @@ def q81_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_vocab_coverage",
+    tags=("llm", "text", "vocab", "coverage"),
+    oracle="""
+WITH tok AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
+counts AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok
+           WHERE token <> '' GROUP BY token),
+tot AS (SELECT sum(c) AS t FROM counts),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r,
+         sum(c) OVER (ORDER BY c DESC, token
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(max(t) AS BIGINT) AS total_tokens,
+       CAST(min(CASE WHEN cum * 10 >= 9 * t THEN r END) AS BIGINT) AS k90,
+       CAST(max(CASE WHEN r <= 10 THEN cum END) AS BIGINT) AS top10_tokens
+FROM ranked, tot
+""",
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage: the smallest top-k vocabulary
+    covering ≥90 % of all token occurrences, plus the mass of the top
+    10 — the vocab-sizing diagnostic for tokenizer training. The
+    window runs over the AGGREGATED vocabulary (thousands of rows, not
+    the corpus), so the single-partition rank sort is bounded by vocab
+    size by construction; the 90 % test is exact integer cross-multiply
+    (cum·10 ≥ 9·T) — no floats anywhere."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.agg(F.sum("c").alias("t"))
+    w = Window.orderBy(F.desc("c"), "token")
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("r"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.max("t").alias("total_tokens"),
+        F.min(
+            F.when(F.col("cum") * 10 >= 9 * F.col("t"), F.col("r"))
+        ).alias("k90"),
+        F.max(F.when(F.col("r") <= 10, F.col("cum"))).alias("top10_tokens"),
+    )
+
+
+@register(
     "llm_vocab_entropy",
     tags=("llm", "text", "entropy", "vocab"),
     oracle="""
