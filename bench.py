@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "llm_sequence_pack",
     "llm_semdedup",
     "llm_doc_repetition",
+    "llm_countmin_heavyhitters",
+    "q85_rfm_segmentation",
 ]
 
 # Per-family subtotals so cross-round regressions (CDC vs dedup vs ANN)
@@ -85,6 +87,8 @@ FAMILY = {
     "llm_sequence_pack": "curation",
     "llm_semdedup": "dedup",
     "llm_doc_repetition": "text",
+    "llm_countmin_heavyhitters": "mining",
+    "q85_rfm_segmentation": "mining",
 }
 
 
