@@ -508,6 +508,132 @@ def q83_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_naive_bayes",
+    tags=("llm", "ml", "classifier", "nb"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS token FROM documents),
+tok2 AS (SELECT doc_id, lang, token FROM tok WHERE token <> ''),
+vocab AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM tok2),
+cls AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM tok2 GROUP BY lang),
+n AS (SELECT sum(n_docs) AS n_total FROM cls),
+tl AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+  FROM tok2 GROUP BY lang, token),
+-- per-(token, class) quantized log-likelihood with Laplace smoothing
+ll AS (
+  SELECT t.token, c.lang,
+         CAST(round(ln((coalesce(tl.c, 0) + 1.0) / (c.n_tok + v.v)) * 1000000000) AS BIGINT)
+           AS lp
+  FROM (SELECT DISTINCT token FROM tok2) t
+  CROSS JOIN cls c
+  CROSS JOIN vocab v
+  LEFT JOIN tl ON tl.token = t.token AND tl.lang = c.lang),
+prior AS (
+  SELECT lang, CAST(round(ln(n_docs / CAST(n.n_total AS DOUBLE)) * 1000000000) AS BIGINT)
+           AS lp0
+  FROM cls, n),
+score AS (
+  SELECT d.doc_id, d.lang AS actual, p.lang AS cand,
+         p.lp0 + sum(ll.lp) AS s
+  FROM tok2 d
+  JOIN ll ON ll.token = d.token
+  JOIN prior p ON p.lang = ll.lang
+  GROUP BY d.doc_id, d.lang, p.lang, p.lp0),
+pred AS (
+  SELECT doc_id, actual,
+         first(cand ORDER BY s DESC, cand) AS predicted
+  FROM score GROUP BY doc_id, actual)
+SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY actual, predicted
+""",
+)
+def llm_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classification trained and
+    evaluated on the corpus (Laplace-smoothed token likelihoods +
+    document priors), reported as the actual×predicted confusion
+    matrix — the counts-based text classifier of a curation pipeline.
+
+    All training state is integer counts (two token-keyed aggregates);
+    the per-(token, class) log-likelihood table is vocab×classes rows
+    — broadcast-sized by construction — and every log is quantized to
+    an exact nano-scaled BIGINT BEFORE the per-document sum, so
+    argmax scores are exact integers: aggregation order and libm ulps
+    cannot flip a prediction (ties break lexicographically on class).
+    The scoring pass is one equi-join of the token stream against the
+    broadcast likelihood table + one (doc, class) aggregate."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = tok.agg(F.countDistinct("token").alias("v"))
+    cls = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    n = cls.agg(F.sum("n_docs").alias("n_total"))
+    tl = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    tokens = tok.select("token").distinct()
+    ll = (
+        tokens.crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            tl.withColumnRenamed("c", "tc"),
+            ["token", "lang"],
+            "left",
+        )
+        .select(
+            "token",
+            "lang",
+            F.round(
+                F.log(
+                    (F.coalesce("tc", F.lit(0)) + 1.0)
+                    / (F.col("n_tok") + F.col("v"))
+                )
+                * 1000000000
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    prior = cls.crossJoin(F.broadcast(n)).select(
+        "lang",
+        F.round(
+            F.log(F.col("n_docs") / F.col("n_total").cast("double")) * 1000000000
+        )
+        .cast("long")
+        .alias("lp0"),
+    )
+    score = (
+        tok.withColumnRenamed("lang", "actual")
+        .join(F.broadcast(ll), "token")
+        .join(F.broadcast(prior), "lang")
+        .groupBy("doc_id", "actual", F.col("lang").alias("cand"), "lp0")
+        .agg(F.sum("lp").alias("sl"))
+        .select(
+            "doc_id", "actual", "cand", (F.col("lp0") + F.col("sl")).alias("s")
+        )
+    )
+    # argmax with deterministic tie-break: max on (s, reversed-class)
+    # isn't expressible portably, so rank with a window over the tiny
+    # (docs × classes) score table
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("cand"))
+    pred = (
+        score.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("actual", F.col("cand").alias("predicted"))
+    )
+    return pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 _LR_ITERS = 5
 _LR_RATE = 0.1
 _GRAD_SCALE = 1e9
