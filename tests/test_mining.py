@@ -95,6 +95,22 @@ def test_quality_lr_trains(spark):
     assert row.n_total > 0
 
 
+def test_naive_bayes_confusion_is_a_partition(spark):
+    """The confusion matrix must partition the corpus: cell counts sum
+    to the total document count and every language appears as an
+    actual row."""
+    from fluvio_demo_apps_rust_spark.plans import REGISTRY
+    from fluvio_demo_apps_rust_spark.plans.base import load
+
+    rows = REGISTRY["llm_naive_bayes"].fn(spark, SF_SMOKE).collect()
+    d = load(spark, SF_SMOKE, "documents")
+    n_docs = d.count()
+    langs = {r.lang for r in d.select("lang").distinct().collect()}
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert {r.actual for r in rows} == langs
+    assert all(r.predicted in langs for r in rows)
+
+
 def test_weighted_sample_tracks_weights(spark):
     """Orders with larger totalprice must be kept at a higher rate:
     compare the sampled fraction of the top price quartile vs the
