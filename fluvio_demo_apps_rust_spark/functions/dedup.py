@@ -402,6 +402,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_posting: int | None = None,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing ≥1 shingle, via
     posting lists: explode → groupBy(shingle) collecting the (sorted)
@@ -460,18 +461,17 @@ def ngram_jaccard_pairs(
             )
         ).alias("p")
     ).select("p.a", "p.na", "p.b", "p.nb")
-    return (
-        pairs.groupBy("a", "b")
-        .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
-        )
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
-            ).alias("jaccard"),
-        )
+    agged = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
     )
+    jac = F.round(
+        F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+    ).alias("jaccard")
+    if with_counts:
+        # keep the raw counts so asymmetric measures (containment =
+        # common / min-set) can be derived without re-running the
+        # posting fan-out
+        return agged.select("a", "b", "common", "na", "nb", jac)
+    return agged.select("a", "b", jac)

@@ -167,6 +167,57 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")).limit(20)
 
 
+@register(
+    "llm_containment_dedup",
+    tags=("llm", "dedup", "containment", "join"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM t WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+kept AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 100),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM sh x JOIN sh y USING (sh)
+  WHERE x.doc_id < y.doc_id AND sh IN (SELECT sh FROM kept)
+  GROUP BY 1, 2)
+SELECT a, b,
+       CAST(round(common * 1000000.0 / least(sa.n_sh, sb.n_sh)) AS BIGINT)
+         AS containment_micro,
+       CAST(least(sa.n_sh, sb.n_sh) AS BIGINT) AS min_sh
+FROM common
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+ORDER BY containment_micro DESC, a, b
+LIMIT 20
+""",
+)
+def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 pairs by shingle CONTAINMENT (|A∩B| / min(|A|,|B|)) —
+    the asymmetric near-dup measure that catches a short document
+    embedded inside a long one, which Jaccard's union denominator
+    dilutes to invisibility (the quote / sub-document duplication case
+    a curation pipeline must catch separately). Same posting-list
+    kernel and stop-shingle cap as the Jaccard query (one corpus scan,
+    two shuffles, linear fan-out); the containment ratio is an exact
+    integer cross-multiply rounded at micro scale."""
+    d = load(spark, sf_dir, "documents")
+    pairs = X.ngram_jaccard_pairs(d, max_posting=100, with_counts=True)
+    return (
+        pairs.select(
+            "a",
+            "b",
+            F.round(
+                F.col("common") * 1000000.0 / F.least("na", "nb")
+            )
+            .cast("long")
+            .alias("containment_micro"),
+            F.least("na", "nb").alias("min_sh"),
+        )
+        .orderBy(F.desc("containment_micro"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
 _MINHASH_CTE = f"""
 t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM t WHERE len(t) >= 3),
