@@ -808,6 +808,84 @@ def q82_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AMS_K = 16
+
+
+@register(
+    "q87_ams_join_size",
+    tags=("sketch", "ams", "cardinality"),
+    oracle=f"""
+WITH c AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY l_partkey),
+signs AS (
+  SELECT l_partkey, c, j,
+         1 - 2 * (('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 2)
+           AS s
+  FROM c, (SELECT unnest(generate_series(0, {_AMS_K - 1})) AS j)),
+sk AS (SELECT j, CAST(sum(s * c) AS BIGINT) AS z FROM signs GROUP BY j),
+est AS (SELECT CAST(sum(z * z) AS BIGINT) AS sum_sq FROM sk),
+exact AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM c)
+SELECT exact_f2,
+       sum_sq,
+       CAST(sum_sq // {_AMS_K} AS BIGINT) AS ams_estimate
+FROM est, exact
+""",
+)
+def q87_ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) F₂ sketch estimating the self-join
+    size of lineitem on partkey — the streaming cardinality estimator
+    a cost-based optimizer uses to size equi-join outputs without
+    counting: 16 ±1-hash counters, estimate = mean of their squares,
+    reported against the exact Σc². EVERYTHING is integer arithmetic
+    (deterministic md5 parity signs, exact BIGINT counter sums, floor
+    mean), so the driver hash-gate applies to a sketch whose whole
+    point is approximation.
+
+    Scale posture: sketch state is k counters regardless of input;
+    built map-side-combine from the per-key partial counts (the sign
+    contribution is distributive, same argument as the count-min
+    rebuild); one key-keyed aggregate + one k-row reduce."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    seeds = F.array(*[F.lit(j) for j in range(_AMS_K)])
+    signs = c.select(
+        "c", "l_partkey", F.explode(seeds).alias("j")
+    ).select(
+        "c",
+        "j",
+        (
+            1
+            - 2
+            * (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("j").cast("string"),
+                                F.col("l_partkey").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            )
+        ).alias("s"),
+    )
+    sk = signs.groupBy("j").agg(F.sum(F.col("s") * F.col("c")).alias("z"))
+    est = sk.agg(F.sum(F.col("z") * F.col("z")).alias("sum_sq"))
+    exact = c.agg(F.sum(F.col("c") * F.col("c")).alias("exact_f2"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_f2",
+        "sum_sq",
+        F.expr(f"sum_sq DIV {_AMS_K}").alias("ams_estimate"),
+    )
+
+
 _CM_DEPTH = 4
 _CM_WIDTH = 1024
 

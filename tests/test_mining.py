@@ -95,6 +95,19 @@ def test_quality_lr_trains(spark):
     assert row.n_total > 0
 
 
+def test_ams_estimate_brackets_exact(spark):
+    """AMS is an unbiased F₂ estimator with variance ≤ 2F₂²/k: with
+    k=16 and a fixed hash the (deterministic) estimate must land
+    within a wide constant factor of the exact self-join size."""
+    from fluvio_demo_apps_rust_spark.plans import REGISTRY
+
+    r = REGISTRY["q87_ams_join_size"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.exact_f2 > 0
+    assert 0.2 * row.exact_f2 <= row.ams_estimate <= 5 * row.exact_f2
+
+
 def test_naive_bayes_confusion_is_a_partition(spark):
     """The confusion matrix must partition the corpus: cell counts sum
     to the total document count and every language appears as an
