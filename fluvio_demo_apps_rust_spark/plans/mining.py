@@ -808,6 +808,122 @@ def q82_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q88_kmv_setops",
+    tags=("sketch", "kmv", "setops"),
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events WHERE event_type IN ('view', 'purchase')),
+rn AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+  FROM h),
+sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k, max(hv) AS hk
+       FROM rn WHERE r <= {_KMV_K} GROUP BY event_type),
+uh AS (SELECT DISTINCT hv FROM h),
+urn AS (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM uh),
+usk AS (SELECT CAST(count(*) AS BIGINT) AS k, max(hv) AS hk FROM urn WHERE r <= {_KMV_K}),
+est AS (
+  SELECT
+    (SELECT CAST(round((k - 1) * ({_HASH_SPACE} / hk)) AS BIGINT) FROM sk WHERE event_type = 'view') AS est_a,
+    (SELECT CAST(round((k - 1) * ({_HASH_SPACE} / hk)) AS BIGINT) FROM sk WHERE event_type = 'purchase') AS est_b,
+    (SELECT CAST(round((k - 1) * ({_HASH_SPACE} / hk)) AS BIGINT) FROM usk) AS est_union),
+exact AS (
+  SELECT
+    (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events WHERE event_type = 'view') AS exact_a,
+    (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events WHERE event_type = 'purchase') AS exact_b,
+    (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+     WHERE event_type IN ('view', 'purchase')) AS exact_union)
+SELECT est_a, est_b, est_union,
+       CAST(est_a + est_b - est_union AS BIGINT) AS est_intersection,
+       exact_a, exact_b, exact_union,
+       CAST(exact_a + exact_b - exact_union AS BIGINT) AS exact_intersection
+FROM est, exact
+""",
+)
+def q88_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET OPERATIONS — the mergeability that makes
+    cardinality sketches matter at 100 TB: the union sketch of two
+    user sets is just the bottom-k of their combined hashes (computed
+    here from the deduped hash union — associative, shard-combinable
+    without touching raw data again), union cardinality from the
+    merged sketch, intersection by inclusion-exclusion. Estimates and
+    exacts reported side by side, all deterministic (fixed md5 hash +
+    exact BIGINT emission), so the driver hash-gate applies to the
+    whole set-algebra pipeline."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    h = e.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+
+    def kmv_est(df, part_cols):
+        w = (
+            Window.partitionBy(*part_cols).orderBy("hv")
+            if part_cols
+            else Window.partitionBy(F.lit(1)).orderBy("hv")
+        )
+        sk = (
+            df.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _KMV_K)
+            .groupBy(*part_cols or [F.lit(1).alias("g")])
+            .agg(F.count(F.lit(1)).alias("k"), F.max("hv").alias("hk"))
+        )
+        return sk.select(
+            *part_cols,
+            F.round((F.col("k") - 1) * (F.lit(_HASH_SPACE) / F.col("hk")))
+            .cast("long")
+            .alias("est"),
+        )
+
+    per_type = kmv_est(h, ["event_type"])
+    est_a = per_type.filter(F.col("event_type") == "view").select(
+        F.col("est").alias("est_a")
+    )
+    est_b = per_type.filter(F.col("event_type") == "purchase").select(
+        F.col("est").alias("est_b")
+    )
+    est_u = kmv_est(h.select("hv").distinct(), []).select(
+        F.col("est").alias("est_union")
+    )
+    exact = e.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_b"),
+        F.countDistinct("user_id").alias("exact_union"),
+    )
+    return (
+        est_a.crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_union")).alias(
+                "exact_intersection"
+            ),
+        )
+    )
+
+
 _AMS_K = 16
 
 
