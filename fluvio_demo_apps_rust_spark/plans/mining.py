@@ -885,14 +885,18 @@ def q88_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     per_type = kmv_est(h, ["event_type"])
-    est_a = per_type.filter(F.col("event_type") == "view").select(
-        F.col("est").alias("est_a")
+    # One-row aggregates (not filtered frames): an absent event type must
+    # yield one row with NULL — the oracle's scalar-subquery semantics —
+    # never zero rows that would annihilate the crossJoin.
+    est_ab = per_type.agg(
+        F.max(F.when(F.col("event_type") == "view", F.col("est"))).alias("est_a"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("est"))).alias(
+            "est_b"
+        ),
     )
-    est_b = per_type.filter(F.col("event_type") == "purchase").select(
-        F.col("est").alias("est_b")
-    )
-    est_u = kmv_est(h.select("hv").distinct(), []).select(
-        F.col("est").alias("est_union")
+    est_u = (
+        kmv_est(h.select("hv").distinct(), [])
+        .agg(F.max("est").alias("est_union"))
     )
     exact = e.agg(
         F.countDistinct(
@@ -904,8 +908,7 @@ def q88_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_union"),
     )
     return (
-        est_a.crossJoin(F.broadcast(est_b))
-        .crossJoin(F.broadcast(est_u))
+        est_ab.crossJoin(F.broadcast(est_u))
         .crossJoin(F.broadcast(exact))
         .select(
             "est_a",

@@ -25,18 +25,29 @@ TABLES = (
 
 
 def canon_cell(v) -> str:
+    """Type-faithful canonicalization, mirroring the driver's hash.
+
+    The r3 driver distinguished float ``3.0`` from int ``3`` (q70) and a
+    DuckDB HUGEINT/Decimal from a BIGINT (q77) while this mirror's old
+    int-collapsing / 9dp-rounding canon did not — both failures were
+    invisible locally. So: floats render as full ``repr`` (never
+    collapsed to int, never rounded), Decimals render distinctly from
+    both int and float, ints stay bare. Any cross-type agreement must
+    now come from the query aligning its types, not from the canon.
+    """
     import datetime
+    import decimal
 
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
-    if isinstance(v, bool):
-        return str(int(v))
+        return repr(v)  # '3.0' stays '3.0'; full shortest-repr precision
+    if isinstance(v, decimal.Decimal):
+        return f"decimal:{v}"
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
@@ -83,7 +94,13 @@ def main() -> int:
         try:
             res = con.execute(spec.oracle)
             o_cols = [d[0] for d in res.description]
-            o_rows = res.fetchall()
+            # Arrow fetch is the type-faithful path: HUGEINT arrives as
+            # decimal128 (q77's driver-only failure class), not a silently
+            # int-collapsed fetchall() value.
+            o_tbl = res.arrow()
+            o_rows = [
+                tuple(row[c] for c in o_cols) for row in o_tbl.to_pylist()
+            ]
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"FAIL {name}: oracle error: {e}")
@@ -106,7 +123,9 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(s_rows)} rows match oracle")
 
-    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} queries pass")
+    checked = len([n for n in REGISTRY if not only or n in only])
+    print(f"\n{checked - len(failures)}/{checked} queries pass"
+          + ("" if not only else f" (filtered from {len(REGISTRY)} registered)"))
     return 1 if failures else 0
 
 
