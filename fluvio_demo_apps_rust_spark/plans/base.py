@@ -47,6 +47,22 @@ def register(
     return deco
 
 
+def fround(col, scale: int):
+    """Binary-deterministic fractional round to ``scale`` decimals.
+
+    ``floor(x * 10^scale + 0.5) / 10^scale`` — unlike ``F.round``
+    (Double.toString-based HALF_UP, diverges from DuckDB's binary
+    rounding at shortest-repr half boundaries: q36/q60/q86), ``floor``
+    operates on the binary double value on BOTH engines, so identical
+    input doubles always produce identical output. SQL twin:
+    ``floor(x * 10^scale + 0.5) / 10^scale.0``.
+    """
+    from pyspark.sql import functions as F
+
+    m = float(10**scale)
+    return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(m)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Parquet scan. Filters/projections applied by callers reach the
     scan via Catalyst pushdown — verify with .explain('formatted')."""

@@ -20,7 +20,7 @@ from ..functions import dedup as X
 from ..functions import multimodal as M
 from ..functions import similarity as S
 from ..functions import text as TX
-from .base import load, register
+from .base import fround, load, register
 
 # Shared DuckDB SQL fragments (mirror functions/text.py + dedup.py)
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -181,7 +181,7 @@ common AS (
   WHERE x.doc_id < y.doc_id AND sh IN (SELECT sh FROM kept)
   GROUP BY 1, 2)
 SELECT a, b,
-       CAST(round(common * 1000000.0 / least(sa.n_sh, sb.n_sh)) AS BIGINT)
+       CAST(floor(common * 1000000.0 / least(sa.n_sh, sb.n_sh) + 0.5) AS BIGINT)
          AS containment_micro,
        CAST(least(sa.n_sh, sb.n_sh) AS BIGINT) AS min_sh
 FROM common
@@ -206,8 +206,8 @@ def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             "a",
             "b",
-            F.round(
-                F.col("common") * 1000000.0 / F.least("na", "nb")
+            F.floor(
+                F.col("common") * 1000000.0 / F.least("na", "nb") + F.lit(0.5)
             )
             .cast("long")
             .alias("containment_micro"),
@@ -605,7 +605,7 @@ SELECT CASE WHEN en_hits >= greatest(de_hits, fr_hits, es_hits, zh_hits) THEN 'e
             WHEN es_hits >= zh_hits THEN 'es'
             ELSE 'zh' END AS pred_lang,
        count(*) AS n_docs,
-       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_bpe_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
        round(avg(quality), 4) AS avg_quality
 FROM scored
 WHERE quality >= 0.33
@@ -650,9 +650,9 @@ pairs AS (
   WHERE x.doc_id < y.doc_id)
 SELECT a, b,
        levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) AS edit_dist,
-       round(1.0 - levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80))
-             / greatest(length(substr(da.text, 1, 80)), length(substr(db.text, 1, 80)), 1),
-             6) AS lev_sim
+       floor((1.0 - levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80))
+              / greatest(length(substr(da.text, 1, 80)), length(substr(db.text, 1, 80)), 1))
+             * 1000000 + 0.5) / 1000000.0 AS lev_sim
 FROM pairs
 JOIN documents da ON da.doc_id = a
 JOIN documents db ON db.doc_id = b
@@ -680,7 +680,7 @@ def llm_dedup_fuzzy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a",
             "b",
             lev.cast("long").alias("edit_dist"),
-            F.round(F.lit(1.0) - lev / denom, 6).alias("lev_sim"),
+            fround(F.lit(1.0) - lev / denom, 6).alias("lev_sim"),
         )
     )
 

@@ -41,7 +41,7 @@ def _pagerank_oracle() -> str:
     ctes = [
         """edges AS (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS cents
+         sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS cents
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -58,7 +58,7 @@ i0 AS (SELECT n_nationkey AS nk, 1.0 / 25 AS r FROM nation)"""
   SELECT n.n_nationkey AS nk,
          0.15 / 25 + {_DAMP} * (coalesce(s.m, 0) / {_SCALE}) AS r
   FROM nation n LEFT JOIN (
-    SELECT e.dst AS nk, sum(CAST(round(p.r * e.w * {_SCALE}) AS BIGINT)) AS m
+    SELECT e.dst AS nk, sum(CAST(floor(p.r * e.w * {_SCALE} + 0.5) AS BIGINT)) AS m
     FROM norm e JOIN i{k - 1} p ON p.nk = e.src GROUP BY e.dst) s
   ON n.n_nationkey = s.nk)"""
         )
@@ -66,7 +66,7 @@ i0 AS (SELECT n_nationkey AS nk, 1.0 / 25 AS r FROM nation)"""
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT n.n_name, CAST(round(i.r * 1000000) AS BIGINT) AS pagerank_micro
+SELECT n.n_name, CAST(floor(i.r * 1000000 + 0.5) AS BIGINT) AS pagerank_micro
 FROM i{_N_ITER} i JOIN nation n ON n.n_nationkey = i.nk"""
     )
 
@@ -100,8 +100,11 @@ def q79_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
 
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    # floor(x+0.5), not round(x): Spark's round is Double.toString-based
+    # and can disagree with DuckDB's binary rounding at half boundaries;
+    # floor is binary on both engines, so identical doubles floor alike.
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
     ).cast("long")
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -128,7 +131,9 @@ def q79_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             norm.join(F.broadcast(ranks), norm.src == ranks.nk)
             .select(
                 F.col("dst").alias("nk"),
-                F.round(F.col("r") * F.col("w") * _SCALE).cast("long").alias("m"),
+                F.floor(F.col("r") * F.col("w") * _SCALE + F.lit(0.5))
+                .cast("long")
+                .alias("m"),
             )
             .groupBy("nk")
             .agg(F.sum("m").alias("m"))
@@ -143,7 +148,8 @@ def q79_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(
         n, ranks.nk == n.n_nationkey
     ).select(
-        "n_name", F.round(F.col("r") * 1000000).cast("long").alias("pagerank_micro")
+        "n_name",
+        F.floor(F.col("r") * 1000000 + F.lit(0.5)).cast("long").alias("pagerank_micro"),
     )
 
 
@@ -229,7 +235,7 @@ w AS (
          {', '.join(f'lag(cnt, {j}) OVER (PARTITION BY event_type ORDER BY hour_start) AS l{j}' for j in range(1, _EWMA_TERMS))}
   FROM hourly)
 SELECT event_type, hour_start, cnt,
-       CAST(round(({_ewma_terms('l{j}')}) * 10000) AS BIGINT) AS ewma_e4
+       CAST(floor(({_ewma_terms('l{j}')}) * 10000 + 0.5) AS BIGINT) AS ewma_e4
 FROM (SELECT event_type, hour_start, cnt, cnt AS l0,
              {', '.join(f'l{j}' for j in range(1, _EWMA_TERMS))} FROM w)
 WHERE l{_EWMA_TERMS - 1} IS NOT NULL
@@ -269,7 +275,9 @@ def q86_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hour_start",
         "cnt",
-        F.round(F.expr(_ewma_terms("l{j}")) * 10000).cast("long").alias("ewma_e4"),
+        F.floor(F.expr(_ewma_terms("l{j}")) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("ewma_e4"),
     )
 
 
@@ -376,7 +384,7 @@ pair AS (
   FROM b a JOIN b b2 ON a.k = b2.k AND a.p < b2.p
   GROUP BY 1, 2 HAVING count(*) >= 2)
 SELECT p1, p2, support,
-       CAST(round(support * n.n_orders * 1000000.0 / (i1.c * i2.c)) AS BIGINT)
+       CAST(floor(support * n.n_orders * 1000000.0 / (i1.c * i2.c) + 0.5) AS BIGINT)
          AS lift_micro
 FROM pair
 JOIN item i1 ON i1.p = pair.p1
@@ -423,9 +431,10 @@ def q84_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p1",
             "p2",
             "support",
-            F.round(
+            F.floor(
                 F.col("support") * F.col("n_orders") * 1000000.0
                 / (F.col("c1") * F.col("c2"))
+                + F.lit(0.5)
             )
             .cast("long")
             .alias("lift_micro"),
@@ -527,14 +536,14 @@ tl AS (
 -- per-(token, class) quantized log-likelihood with Laplace smoothing
 ll AS (
   SELECT t.token, c.lang,
-         CAST(round(ln((coalesce(tl.c, 0) + 1.0) / (c.n_tok + v.v)) * 1000000000) AS BIGINT)
+         CAST(floor(ln((coalesce(tl.c, 0) + 1.0) / (c.n_tok + v.v)) * 1000000000 + 0.5) AS BIGINT)
            AS lp
   FROM (SELECT DISTINCT token FROM tok2) t
   CROSS JOIN cls c
   CROSS JOIN vocab v
   LEFT JOIN tl ON tl.token = t.token AND tl.lang = c.lang),
 prior AS (
-  SELECT lang, CAST(round(ln(n_docs / CAST(n.n_total AS DOUBLE)) * 1000000000) AS BIGINT)
+  SELECT lang, CAST(floor(ln(n_docs / CAST(n.n_total AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
            AS lp0
   FROM cls, n),
 score AS (
@@ -589,12 +598,13 @@ def llm_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "token",
             "lang",
-            F.round(
+            F.floor(
                 F.log(
                     (F.coalesce("tc", F.lit(0)) + 1.0)
                     / (F.col("n_tok") + F.col("v"))
                 )
                 * 1000000000
+                + F.lit(0.5)
             )
             .cast("long")
             .alias("lp"),
@@ -602,8 +612,9 @@ def llm_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prior = cls.crossJoin(F.broadcast(n)).select(
         "lang",
-        F.round(
+        F.floor(
             F.log(F.col("n_docs") / F.col("n_total").cast("double")) * 1000000000
+            + F.lit(0.5)
         )
         .cast("long")
         .alias("lp0"),
@@ -659,11 +670,11 @@ w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)"""
         sig = f"1.0 / (1.0 + exp(-({p}.b + {p}.w1 * f.x1 + {p}.w2 * f.x2)))"
         ctes.append(
             f"""w{k} AS (
-  SELECT {p}.b + {_LR_RATE} * (sum(CAST(round((f.y - {sig}) * {_GRAD_SCALE}) AS BIGINT))
+  SELECT {p}.b + {_LR_RATE} * (sum(CAST(floor((f.y - {sig}) * {_GRAD_SCALE} + 0.5) AS BIGINT))
          / (n.n * {_GRAD_SCALE})) AS b,
-         {p}.w1 + {_LR_RATE} * (sum(CAST(round((f.y - {sig}) * f.x1 * {_GRAD_SCALE}) AS BIGINT))
+         {p}.w1 + {_LR_RATE} * (sum(CAST(floor((f.y - {sig}) * f.x1 * {_GRAD_SCALE} + 0.5) AS BIGINT))
          / (n.n * {_GRAD_SCALE})) AS w1,
-         {p}.w2 + {_LR_RATE} * (sum(CAST(round((f.y - {sig}) * f.x2 * {_GRAD_SCALE}) AS BIGINT))
+         {p}.w2 + {_LR_RATE} * (sum(CAST(floor((f.y - {sig}) * f.x2 * {_GRAD_SCALE} + 0.5) AS BIGINT))
          / (n.n * {_GRAD_SCALE})) AS w2
   FROM f, {p}, n GROUP BY {p}.b, {p}.w1, {p}.w2, n.n)"""
         )
@@ -672,9 +683,9 @@ w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)"""
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT CAST(round({w}.b * 1000000) AS BIGINT) AS b_micro,
-       CAST(round({w}.w1 * 1000000) AS BIGINT) AS w1_micro,
-       CAST(round({w}.w2 * 1000000) AS BIGINT) AS w2_micro,
+SELECT CAST(floor({w}.b * 1000000 + 0.5) AS BIGINT) AS b_micro,
+       CAST(floor({w}.w1 * 1000000 + 0.5) AS BIGINT) AS w1_micro,
+       CAST(floor({w}.w2 * 1000000 + 0.5) AS BIGINT) AS w2_micro,
        CAST(sum(CASE WHEN (CASE WHEN 1.0 / (1.0 + exp(-({w}.b + {w}.w1 * f.x1 + {w}.w2 * f.x2))) > 0.5
                           THEN 1.0 ELSE 0.0 END) = f.y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        CAST(count(*) AS BIGINT) AS n_total
@@ -717,9 +728,13 @@ def llm_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig = 1.0 / (1.0 + F.exp(-z))
         err = F.col("y") - sig
         sums = f.agg(
-            F.sum(F.round(err * _GRAD_SCALE).cast("long")).alias("g0"),
-            F.sum(F.round(err * F.col("x1") * _GRAD_SCALE).cast("long")).alias("g1"),
-            F.sum(F.round(err * F.col("x2") * _GRAD_SCALE).cast("long")).alias("g2"),
+            F.sum(F.floor(err * _GRAD_SCALE + F.lit(0.5)).cast("long")).alias("g0"),
+            F.sum(
+                F.floor(err * F.col("x1") * _GRAD_SCALE + F.lit(0.5)).cast("long")
+            ).alias("g1"),
+            F.sum(
+                F.floor(err * F.col("x2") * _GRAD_SCALE + F.lit(0.5)).cast("long")
+            ).alias("g2"),
         ).first()
         b += _LR_RATE * (sums.g0 / (n_row * _GRAD_SCALE))
         w1 += _LR_RATE * (sums.g1 / (n_row * _GRAD_SCALE))
@@ -727,11 +742,12 @@ def llm_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.lit(b) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
     pred = F.when(1.0 / (1.0 + F.exp(-z)) > 0.5, 1.0).otherwise(0.0)
     return f.agg(
-        # SQL round (half away from zero) on both sides — Python's
-        # round() is half-to-even and would diverge at exact halves
-        F.round(F.lit(b) * 1000000).cast("long").alias("b_micro"),
-        F.round(F.lit(w1) * 1000000).cast("long").alias("w1_micro"),
-        F.round(F.lit(w2) * 1000000).cast("long").alias("w2_micro"),
+        # floor(x+0.5) on both sides: binary-value semantics on both
+        # engines, unlike round() (Spark stringy half-up vs DuckDB
+        # binary) or Python round() (half-to-even)
+        F.floor(F.lit(b) * 1000000 + F.lit(0.5)).cast("long").alias("b_micro"),
+        F.floor(F.lit(w1) * 1000000 + F.lit(0.5)).cast("long").alias("w1_micro"),
+        F.floor(F.lit(w2) * 1000000 + F.lit(0.5)).cast("long").alias("w2_micro"),
         F.sum(F.when(pred == F.col("y"), 1).otherwise(0)).cast("long").alias("n_correct"),
         F.count(F.lit(1)).alias("n_total"),
     )
@@ -760,7 +776,7 @@ exact AS (
   SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
   FROM events GROUP BY event_type)
 SELECT s.event_type, e.exact_distinct,
-       CAST(round((s.k - 1) * ({_HASH_SPACE} / s.hk)) AS BIGINT) AS kmv_estimate
+       CAST(floor((s.k - 1) * ({_HASH_SPACE} / s.hk) + 0.5) AS BIGINT) AS kmv_estimate
 FROM sk s JOIN exact e ON e.event_type = s.event_type
 """,
 )
@@ -802,7 +818,7 @@ def q82_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.join(exact, "event_type").select(
         "event_type",
         "exact_distinct",
-        F.round((F.col("k") - 1) * (F.lit(_HASH_SPACE) / F.col("hk")))
+        F.floor((F.col("k") - 1) * (F.lit(_HASH_SPACE) / F.col("hk")) + F.lit(0.5))
         .cast("long")
         .alias("kmv_estimate"),
     )
@@ -827,9 +843,9 @@ urn AS (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM uh),
 usk AS (SELECT CAST(count(*) AS BIGINT) AS k, max(hv) AS hk FROM urn WHERE r <= {_KMV_K}),
 est AS (
   SELECT
-    (SELECT CAST(round((k - 1) * ({_HASH_SPACE} / hk)) AS BIGINT) FROM sk WHERE event_type = 'view') AS est_a,
-    (SELECT CAST(round((k - 1) * ({_HASH_SPACE} / hk)) AS BIGINT) FROM sk WHERE event_type = 'purchase') AS est_b,
-    (SELECT CAST(round((k - 1) * ({_HASH_SPACE} / hk)) AS BIGINT) FROM usk) AS est_union),
+    (SELECT CAST(floor((k - 1) * ({_HASH_SPACE} / hk) + 0.5) AS BIGINT) FROM sk WHERE event_type = 'view') AS est_a,
+    (SELECT CAST(floor((k - 1) * ({_HASH_SPACE} / hk) + 0.5) AS BIGINT) FROM sk WHERE event_type = 'purchase') AS est_b,
+    (SELECT CAST(floor((k - 1) * ({_HASH_SPACE} / hk) + 0.5) AS BIGINT) FROM usk) AS est_union),
 exact AS (
   SELECT
     (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events WHERE event_type = 'view') AS exact_a,
@@ -879,7 +895,9 @@ def q88_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return sk.select(
             *part_cols,
-            F.round((F.col("k") - 1) * (F.lit(_HASH_SPACE) / F.col("hk")))
+            F.floor(
+                (F.col("k") - 1) * (F.lit(_HASH_SPACE) / F.col("hk")) + F.lit(0.5)
+            )
             .cast("long")
             .alias("est"),
         )
@@ -1256,8 +1274,8 @@ tot AS (SELECT sum(c) AS t FROM counts)
 SELECT CAST(count(*) AS BIGINT) AS vocab_size,
        CAST(max(t) AS BIGINT) AS total_tokens,
        CAST(max(c) AS BIGINT) AS top_count,
-       CAST(sum(CAST(round(-(c / CAST(t AS DOUBLE))
-                           * log2(c / CAST(t AS DOUBLE)) * 1000000000) AS BIGINT))
+       CAST(sum(CAST(floor(-(c / CAST(t AS DOUBLE))
+                           * log2(c / CAST(t AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT))
             AS BIGINT) AS entropy_nanobits
 FROM counts, tot
 """,
@@ -1283,7 +1301,7 @@ def llm_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = counts.agg(F.sum("c").alias("t"))
     p = F.col("c") / F.col("t").cast("double")
-    term = F.round(-p * F.log2(p) * 1000000000).cast("long")
+    term = F.floor(-p * F.log2(p) * 1000000000 + F.lit(0.5)).cast("long")
     return counts.crossJoin(F.broadcast(tot)).agg(
         F.count(F.lit(1)).alias("vocab_size"),
         F.max("t").alias("total_tokens"),
