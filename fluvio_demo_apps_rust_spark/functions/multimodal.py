@@ -72,12 +72,50 @@ def decode_stub(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 
 
 def decode_real(df: DataFrame, blob_col: str = "blob") -> DataFrame:
-    """Where the real decoder goes (PIL / torchaudio / pyav — not
-    available in this environment)."""
-    raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "environment; use decode_stub for the plumbing-equivalent path"
-    )
+    """Real image decode via PIL, importable on demand: same harness
+    (Arrow mapInPandas), same MEDIA_META_SCHEMA contract as
+    decode_stub, but width/height/n_frames come from an actual decode.
+    Raises NotImplementedError when PIL is absent (this sandbox);
+    tests/test_llm_functions.py carries a skipif-marked test that
+    exercises this path the day the environment has media libs."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "media decoding requires Pillow (PIL); not present in this "
+            "environment — use decode_stub for the plumbing-equivalent path"
+        ) from e
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):
+                b = bytes(b)
+                with Image.open(io.BytesIO(b)) as im:
+                    n_frames = int(getattr(im, "n_frames", 1))
+                    rows.append(
+                        (
+                            doc_id,
+                            len(b),
+                            hashlib.sha256(b).hexdigest(),
+                            im.width,
+                            im.height,
+                            n_frames,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "byte_len", "sha256", "width", "height", "n_frames",
+                ],
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(extract, schema=MEDIA_META_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_sha string"

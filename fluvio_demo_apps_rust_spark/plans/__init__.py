@@ -24,6 +24,9 @@ _PRIORITY: tuple[str, ...] = (
     # r3 driver-hash fixes — must re-sample this round
     "q70_stream_interval_join",
     "q77_ts_similarity",
+    # new this round: binary binlog ingestion e2e (the reference's real
+    # input format — closes VERDICT r3 "missing" #3)
+    "cdc_binlog_replay",
     # north-star dedup / ANN surface named in VERDICT r3
     "llm_minhash_signature",
     "llm_minhash_lsh_pairs",

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.asof import asof_join, range_join_count
 from ..session import ensure_utc
-from .base import load, register
+from .base import load, qsum, register
 from .events import _events
 
 
@@ -359,9 +359,9 @@ def q52_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, measure, val
 FROM (
   SELECT l_returnflag,
-         round(sum(l_quantity), 2)      AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_price,
-         round(sum(l_discount), 4)      AS sum_disc
+         sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0      AS sum_qty,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_price,
+         sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) / 10000.0  AS sum_disc
   FROM lineitem GROUP BY l_returnflag
 ) UNPIVOT (val FOR measure IN (sum_qty, sum_price, sum_disc))
 """,
@@ -370,9 +370,9 @@ def q53_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshape (unpivot/melt) over an aggregate."""
     li = load(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+        qsum(F.col("l_quantity"), 2).alias("sum_qty"),
+        qsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+        qsum(F.col("l_discount"), 4).alias("sum_disc"),
     )
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "val"
@@ -406,7 +406,7 @@ def q54_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q56_sample_hash",
     tags=("sampling",),
     oracle="""
-SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sample_revenue
+SELECT count(*) AS n, sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sample_revenue
 FROM lineitem
 WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR), 1, 15))::BIGINT % 10 = 0
 """,
@@ -425,7 +425,7 @@ def q56_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return li.filter(h % 10 == 0).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sample_revenue"),
+        qsum(F.col("l_extendedprice"), 2).alias("sample_revenue"),
     )
 
 
@@ -477,7 +477,7 @@ def q57_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q58_disjunctive_join",
     tags=("join", "pushdown", "disjunction"),
     oracle="""
-SELECT count(*) AS n, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT count(*) AS n, sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
@@ -499,7 +499,7 @@ def q58_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.filter(cond).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
     )
 
 
@@ -508,7 +508,7 @@ def q58_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "star"),
     oracle="""
 SELECT n_name AS nation_name, CAST(year(l_shipdate) AS INT) AS yr,
-       round(sum(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1), 2) AS profit
+       sum(CAST(floor((l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS profit
 FROM lineitem
 JOIN part     ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -536,7 +536,7 @@ def q59_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("l_quantity") * 0.1
     return (
         j.groupBy(F.col("n_name").alias("nation_name"), F.year("l_shipdate").cast("int").alias("yr"))
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(qsum(profit, 4).alias("profit"))
     )
 
 
@@ -672,7 +672,7 @@ def q61_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
 SELECT CAST(c_custkey % 10 AS BIGINT) AS code, count(*) AS numcust,
-       round(sum(c_acctbal), 2) AS totbal
+       sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0 AS totbal
 FROM customer, avg_bal
 WHERE c_acctbal > ab
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -702,7 +702,7 @@ def q62_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("c_custkey") % 10).cast("long").alias("code"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totbal"),
+            qsum(F.col("c_acctbal"), 2).alias("totbal"),
         )
     )
 
@@ -713,7 +713,7 @@ def q62_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS yr,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS volume
 FROM lineitem
 JOIN orders   ON o_orderkey = l_orderkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -755,7 +755,7 @@ def q63_binational_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("yr")
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
             "volume"
         )
     )
@@ -766,9 +766,10 @@ def q63_binational_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "case"),
     oracle="""
 SELECT CAST(year(o_orderdate) AS INT) AS yr,
-       round(sum(CASE WHEN n_name = 'NATION_9'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+       floor(sum(CAST(floor((CASE WHEN n_name = 'NATION_9'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 10000 + 0.5) AS BIGINT))
+             / (sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) * 1.0)
+             * 1000000 + 0.5) / 1000000.0 AS mkt_share
 FROM lineitem
 JOIN orders   ON o_orderkey = l_orderkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -790,10 +791,16 @@ def q64_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
     )
+    rev_q = F.floor(rev * 10000 + F.lit(0.5)).cast("long")
+    nat_q = F.floor(
+        F.when(F.col("n_name") == "NATION_9", rev).otherwise(0) * 10000 + F.lit(0.5)
+    ).cast("long")
     return j.groupBy(F.year("o_orderdate").cast("int").alias("yr")).agg(
-        F.round(
-            F.sum(F.when(F.col("n_name") == "NATION_9", rev).otherwise(0)) / F.sum(rev),
-            6,
+        (
+            F.floor(
+                F.sum(nat_q) / (F.sum(rev_q) * F.lit(1.0)) * 1000000 + F.lit(0.5)
+            )
+            / 1000000.0
         ).alias("mkt_share")
     )
 
@@ -1001,7 +1008,7 @@ WITH dim AS (
   FROM lineitem)
 SELECT flag_label,
        CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(l_extendedprice), 2) AS revenue
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
 FROM lineitem JOIN dim USING (l_returnflag)
 GROUP BY flag_label
 """,
@@ -1029,5 +1036,5 @@ def q69_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(l, dim, on=["l_returnflag"], salt=8)
     return joined.groupBy("flag_label").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        qsum(F.col("l_extendedprice"), 2).alias("revenue"),
     )

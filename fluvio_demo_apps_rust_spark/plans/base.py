@@ -63,6 +63,39 @@ def fround(col, scale: int):
     return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(m)
 
 
+def quant(col, scale: int = 2):
+    """Per-row exact quantization: ``floor(x * 10^scale + 0.5)`` as LONG.
+
+    The fully-safe money pattern from the repo findings: quantize each
+    row to an exact BIGINT BEFORE aggregating, so neither engine's
+    float-summation order nor round() implementation can diverge. SQL
+    twin: ``CAST(floor(x * 10^scale + 0.5) AS BIGINT)``.
+    """
+    from pyspark.sql import functions as F
+
+    m = float(10**scale)
+    return F.floor(col * F.lit(m) + F.lit(0.5)).cast("long")
+
+
+def qsum(col, scale: int = 2):
+    """Deterministic sum of doubles at ``scale`` decimals: exact integer
+    sum of per-row quantized values, emitted as the (deterministic,
+    correctly-rounded-once) double quotient. SQL twin:
+    ``sum(CAST(floor(x * 10^s + 0.5) AS BIGINT)) / 10^s.0``."""
+    from pyspark.sql import functions as F
+
+    return F.sum(quant(col, scale)) / F.lit(float(10**scale))
+
+
+def qavg(col, scale: int = 2):
+    """Deterministic average at ``scale`` decimals (NULLs excluded, like
+    avg). SQL twin:
+    ``sum(CAST(floor(x*10^s+0.5) AS BIGINT)) / (count(x) * 10^s.0)``."""
+    from pyspark.sql import functions as F
+
+    return F.sum(quant(col, scale)) / (F.count(col) * F.lit(float(10**scale)))
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Parquet scan. Filters/projections applied by callers reach the
     scan via Catalyst pushdown — verify with .explain('formatted')."""

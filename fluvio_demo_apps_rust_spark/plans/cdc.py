@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..fixtures import PET_EVENTS
 from ..operators.apply import apply_changes
-from .base import load, register
+from .base import load, qsum, register
 
 
 @register(
@@ -43,6 +43,44 @@ def cdc_pet_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.apply import apply_events_local
 
     state = apply_events_local(spark, PET_EVENTS)
+    pet = state.table("flvdb", "pet")
+    return pet.select(
+        "name",
+        "owner",
+        "species",
+        "sex",
+        F.date_format("birth", "yyyy-MM-dd").alias("birth"),
+        F.date_format("last_vaccine", "yyyy-MM-dd").alias("last_vaccine"),
+    )
+
+
+@register(
+    "cdc_binlog_replay",
+    tags=("cdc", "binlog", "binary", "e2e"),
+    oracle="""
+SELECT * FROM (VALUES
+  ('Jack', 'Peter', 'dog', 'm', '1989-08-31', CAST(NULL AS VARCHAR)),
+  ('Spot', 'Jane',  'dog', 'm', '2010-11-02', '2020-06-10')
+) t(name, owner, species, sex, birth, last_vaccine)
+""",
+)
+def cdc_binlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY binlog ingestion e2e: the pet scenario as real binlog-v4
+    BYTES (19-byte headers, CRC32 trailers, TABLE_MAP + ROWS_v2 row
+    images — fixtures_binlog.pet_binlog_bytes) parsed by
+    sources/binlog_binary.py into wire JSON, then codec → registry →
+    apply; final table must equal the reference golden. This is the
+    reference's actual input format (binlog_parser.rs:16-36 via the
+    mysql_binlog crate), which rounds 1-3 started downstream of."""
+    from ..codec import parse_events
+    from ..fixtures_binlog import PET_BINLOG_COLUMNS, pet_binlog_bytes
+    from ..operators.apply import apply_events_local
+    from ..sources.binlog_binary import parse_binlog_bytes
+
+    events = parse_binlog_bytes(
+        pet_binlog_bytes(), columns_by_table=PET_BINLOG_COLUMNS
+    )
+    state = apply_events_local(spark, events)
     pet = state.table("flvdb", "pet")
     return pet.select(
         "name",
@@ -246,7 +284,8 @@ def cdc_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_replica_join",
     tags=("cdc", "apply", "join", "integration"),
     oracle="""
-SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+SELECT c_mktsegment, count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
 FROM orders JOIN customer ON c_custkey = o_custkey
 WHERE o_orderstatus = 'O'
 GROUP BY c_mktsegment
@@ -303,7 +342,7 @@ def cdc_replica_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            qsum(F.col("o_totalprice"), 2).alias("revenue"),
         )
     )
 

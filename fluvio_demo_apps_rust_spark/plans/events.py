@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..session import ensure_utc
-from .base import load, register
+from .base import load, qavg, qsum, register
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,7 +47,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
        event_type,
        count(*)                 AS cnt,
-       round(sum(value), 2)     AS total_value
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
 FROM events
 GROUP BY window_start, event_type
 """,
@@ -57,7 +57,7 @@ def q30_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("cnt"), qsum(F.col("value"), 2).alias("total_value"))
         .select(
             F.col("w.start").cast("long").alias("window_start"),
             "event_type",
@@ -73,7 +73,7 @@ def q30_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 -- 1h windows sliding by 30min: each event lands in exactly two windows,
 -- starting at the two 30-min boundaries in (ts-1h, ts].
-SELECT b - s AS window_start, count(*) AS cnt, round(sum(value), 2) AS total_value
+SELECT b - s AS window_start, count(*) AS cnt, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
 FROM (SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS b, value FROM events)
 CROSS JOIN (SELECT unnest([0, 1800]) AS s)
 GROUP BY window_start
@@ -84,7 +84,7 @@ def q31_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("cnt"), qsum(F.col("value"), 2).alias("total_value"))
         .select(F.col("w.start").cast("long").alias("window_start"), "cnt", "total_value")
     )
 
@@ -110,7 +110,7 @@ WITH flagged AS (
 SELECT user_id,
        epoch_us(min(ts)) // 1000000 AS session_start,
        count(*)                     AS n_events,
-       round(sum(value), 2)         AS session_value
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS session_value
 FROM numbered
 GROUP BY user_id, session_id
 """,
@@ -121,7 +121,7 @@ def q32_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     return (
         e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), qsum(F.col("value"), 2).alias("session_value"))
         .select(
             "user_id",
             F.col("w.start").cast("long").alias("session_start"),
@@ -159,7 +159,7 @@ def q33_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(props->>'$.k' AS INT) // 10 AS k_bucket,
        count(*)             AS cnt,
-       round(avg(value), 4) AS avg_value
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / (count(value) * 100.0) AS avg_value
 FROM events
 GROUP BY k_bucket
 """,
@@ -170,7 +170,7 @@ def q34_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         e.groupBy(F.floor(k / 10).cast("long").alias("k_bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("cnt"), qavg(F.col("value"), 2).alias("avg_value"))
     )
 
 
@@ -300,7 +300,7 @@ wm AS (SELECT max(ts) - INTERVAL '30 minutes' AS w FROM e)
 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
        event_type,
        CAST(count(*) AS BIGINT) AS cnt,
-       round(sum(value), 2) AS total_value
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
 FROM e, wm
 WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= w
 GROUP BY 1, 2
@@ -447,7 +447,7 @@ wmf AS (SELECT max(ts) - INTERVAL '30 minutes' AS w
 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
        event_type,
        CAST(count(*) AS BIGINT) AS cnt,
-       round(sum(value), 2) AS total_value
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
 FROM surviving, wmf
 WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= wmf.w
 GROUP BY 1, 2
@@ -725,7 +725,7 @@ numbered AS (
 SELECT CAST(min(ts) AS VARCHAR) AS session_start,
        user_id,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS session_value
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS session_value
 FROM numbered, wm
 GROUP BY user_id, sid, w
 HAVING max(ts) + INTERVAL '5 minutes' <= w

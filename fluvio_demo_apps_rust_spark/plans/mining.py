@@ -571,8 +571,13 @@ def llm_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-(token, class) log-likelihood table is vocab×classes rows
     — broadcast-sized by construction — and every log is quantized to
     an exact nano-scaled BIGINT BEFORE the per-document sum, so
-    argmax scores are exact integers: aggregation order and libm ulps
-    cannot flip a prediction (ties break lexicographically on class).
+    argmax scores are exact integers and aggregation order cannot
+    flip a prediction (ties break lexicographically on class).
+    Residual cross-engine risk: ln() itself is only 1-ulp-accurate in
+    both JVM Math and libm, so a likelihood landing within ~1 ulp of a
+    quantize boundary could differ by one nano unit; the argmax is
+    robust to that, the emitted table would differ only if it flipped
+    an argmax tie — not observed at any tested scale.
     The scoring pass is one equi-join of the token stream against the
     broadcast likelihood table + one (doc, class) aggregate."""
     d = load(spark, sf_dir, "documents")
@@ -712,9 +717,15 @@ def llm_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     producer HWM) and is folded back in as literals — no per-row
     Python, no weight broadcast join, lineage reset every epoch
     because each plan starts fresh from the scan. Per-row gradient
-    components are quantized to exact BIGINTs before summing, so the
-    trained weights are bit-identical across engines and partition
-    orders. Final row: micro-scaled weights + training accuracy."""
+    components are quantized to exact BIGINTs before summing
+    (floor(x+0.5), binary on both engines), making the weights
+    independent of partition/summation order. Residual cross-engine
+    risk: the sigmoid's exp() is only 1-ulp-accurate in both JVM Math
+    and libm, so a per-row term landing within ~1 ulp of a quantize
+    boundary could still flip one grad unit (and compound across the 5
+    epochs); if that ever flakes, replace the sigmoid with a rational
+    (dyadic-coefficient) approximation computed in plain arithmetic.
+    Final row: micro-scaled weights + training accuracy."""
     d = load(spark, sf_dir, "documents")
     f = d.select(
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
@@ -1291,7 +1302,9 @@ def llm_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``Σ round(-p·log₂p · 1e9)`` as BIGINT): each per-token term is
     quantized before the sum, so neither engine's aggregation order
     nor final-digit float rendering can diverge — no rounding step at
-    all in the output."""
+    all in the output. (Residual: log2 is 1-ulp-accurate on both
+    engines, so a term within ~1 ulp of a quantize boundary could
+    differ by one nano-bit; unobserved at tested scales.)"""
     d = load(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("token"))

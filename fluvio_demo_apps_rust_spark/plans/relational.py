@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..session import ensure_utc
-from .base import load, register
+from .base import load, qavg, qsum, quant, register
 
 # ---------------------------------------------------------------------------
 # Aggregation / scan queries
@@ -32,13 +32,18 @@ from .base import load, register
     tags=("agg", "scan"),
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                          AS sum_qty,
-       round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
-       round(avg(l_quantity), 2)                                          AS avg_qty,
-       round(avg(l_extendedprice), 2)                                     AS avg_price,
-       round(avg(l_discount), 4)                                          AS avg_disc,
+       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0         AS sum_qty,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0    AS sum_base_price,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0
+                                                                          AS sum_disc_price,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+                                                                          AS sum_charge,
+       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / (count(l_quantity) * 100.0)
+                                                                          AS avg_qty,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / (count(l_extendedprice) * 100.0)
+                                                                          AS avg_price,
+       sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) / (count(l_discount) * 10000.0)
+                                                                          AS avg_disc,
        count(*)                                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -57,13 +62,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            qsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            qsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            qsum(disc_price, 4).alias("sum_disc_price"),
+            qsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            qavg(F.col("l_quantity"), 2).alias("avg_qty"),
+            qavg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            qavg(F.col("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -73,7 +78,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q06_revenue_delta",
     tags=("agg", "scan", "pushdown"),
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -92,7 +97,7 @@ def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.02, 0.06)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(qsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
     )
 
 
@@ -103,7 +108,7 @@ def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_mktsegment,
        count(DISTINCT c_nationkey) AS n_nations,
        count(*)                    AS n_customers,
-       round(avg(c_acctbal), 2)    AS avg_bal
+       sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / (count(c_acctbal) * 100.0) AS avg_bal
 FROM customer
 GROUP BY c_mktsegment
 """,
@@ -113,7 +118,7 @@ def q18_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_mktsegment").agg(
         F.countDistinct("c_nationkey").alias("n_nations"),
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        qavg(F.col("c_acctbal"), 2).alias("avg_bal"),
     )
 
 
@@ -121,7 +126,8 @@ def q18_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q09_having",
     tags=("agg", "having"),
     oracle="""
-SELECT o_custkey, count(*) AS order_cnt, round(sum(o_totalprice), 2) AS total_spend
+SELECT o_custkey, count(*) AS order_cnt,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_spend
 FROM orders
 GROUP BY o_custkey
 HAVING count(*) >= 13
@@ -133,7 +139,7 @@ def q09_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("order_cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            qsum(F.col("o_totalprice"), 2).alias("total_spend"),
         )
         .filter(F.col("order_cnt") >= 13)
     )
@@ -144,9 +150,11 @@ def q09_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "case"),
     oracle="""
 SELECT o_orderstatus,
-       round(sum(CASE WHEN o_totalprice > 250000 THEN o_totalprice ELSE 0 END), 2) AS big_revenue,
+       sum(CAST(floor((CASE WHEN o_totalprice > 250000 THEN o_totalprice ELSE 0 END) * 100 + 0.5) AS BIGINT)) / 100.0
+         AS big_revenue,
        count(CASE WHEN o_totalprice > 250000 THEN 1 END)                           AS big_cnt,
-       round(avg(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS urgent_avg
+       sum(CAST(floor((CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) * 100 + 0.5) AS BIGINT))
+         / (count(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) * 100.0) AS urgent_avg
 FROM orders
 GROUP BY o_orderstatus
 """,
@@ -155,10 +163,10 @@ def q20_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     big = F.col("o_totalprice") > 250000
     return o.groupBy("o_orderstatus").agg(
-        F.round(F.sum(F.when(big, F.col("o_totalprice")).otherwise(0)), 2).alias("big_revenue"),
+        qsum(F.when(big, F.col("o_totalprice")).otherwise(0), 2).alias("big_revenue"),
         F.count(F.when(big, F.lit(1))).alias("big_cnt"),
-        F.round(
-            F.avg(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))), 2
+        qavg(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")), 2
         ).alias("urgent_avg"),
     )
 
@@ -174,7 +182,8 @@ def q20_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d')                       AS orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)       AS revenue
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0
+                                                               AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -208,7 +217,7 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate")
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             )
         )
@@ -222,7 +231,8 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=("join", "broadcast", "agg"),
     oracle="""
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -255,7 +265,7 @@ def q05_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             )
         )
@@ -267,8 +277,8 @@ def q05_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "broadcast", "agg"),
     oracle="""
 SELECT p_brand,
-       round(avg(l_quantity), 4)      AS avg_qty,
-       round(sum(l_extendedprice), 2) AS brand_revenue,
+       sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) / (count(l_quantity) * 10000.0) AS avg_qty,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS brand_revenue,
        count(*)                       AS n_items
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -284,8 +294,8 @@ def q21_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("brand_revenue"),
+            qavg(F.col("l_quantity"), 4).alias("avg_qty"),
+            qsum(F.col("l_extendedprice"), 2).alias("brand_revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -341,7 +351,7 @@ def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey,
        count(o_orderkey)                      AS order_cnt,
-       round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+       coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 0) / 100.0 AS total_spend
 FROM customer
 LEFT JOIN orders ON o_custkey = c_custkey
 GROUP BY c_custkey
@@ -356,7 +366,9 @@ def q08_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("order_cnt"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+            (
+                F.coalesce(F.sum(quant(F.col("o_totalprice"), 2)), F.lit(0)) / 100.0
+            ).alias("total_spend"),
         )
     )
 
@@ -400,7 +412,7 @@ def q22_order_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "rollup"),
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty, count(*) AS cnt
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
@@ -408,7 +420,7 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     return l.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+        qsum(F.col("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
     )
 
 
@@ -417,7 +429,7 @@ def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "cube"),
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
-       count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
+       count(*) AS cnt, sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -425,7 +437,7 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 def q15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        F.count(F.lit(1)).alias("cnt"), qsum(F.col("o_totalprice"), 2).alias("revenue")
     )
 
 
@@ -486,9 +498,9 @@ def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "frame"),
     oracle="""
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_spend
 FROM orders
 """,
 )
@@ -502,7 +514,9 @@ def q12_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        (F.sum(quant(F.col("o_totalprice"), 2)).over(w) / 100.0).alias(
+            "running_spend"
+        ),
     )
 
 
@@ -598,7 +612,7 @@ SELECT p_partkey,
        CASE WHEN p_size < 10 THEN 'small'
             WHEN p_size < 30 THEN 'medium'
             ELSE 'large' END                   AS size_class,
-       round(p_retailprice * 1.1, 2)           AS marked_up,
+       floor(p_retailprice * 1.1 * 100 + 0.5) / 100.0 AS marked_up,
        p_partkey % 7                           AS bucket,
        abs(p_size - 25)                        AS size_dist
 FROM part
@@ -615,7 +629,9 @@ def q19_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("p_size") < 30, "medium")
         .otherwise("large")
         .alias("size_class"),
-        F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+        (F.floor(F.col("p_retailprice") * 1.1 * 100 + F.lit(0.5)) / 100.0).alias(
+            "marked_up"
+        ),
         (F.col("p_partkey") % 7).alias("bucket"),
         F.abs(F.col("p_size") - 25).alias("size_dist"),
     )

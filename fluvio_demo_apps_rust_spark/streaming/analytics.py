@@ -45,7 +45,14 @@ def windowed_counts(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # exact-cents: per-row quantize before the sum so the result is
+            # independent of summation order AND engine round() semantics
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")) / 100.0).alias(
+                "total_value"
+            ),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -76,7 +83,12 @@ def sessionized(events: DataFrame, gap: str = "5 minutes", watermark: str = "30 
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")) / 100.0).alias(
+                "session_value"
+            ),
+        )
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),

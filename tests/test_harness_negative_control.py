@@ -43,16 +43,24 @@ def test_row_count_difference_is_detected():
 
 
 def test_float_int_boundary_and_null():
-    # 2.0 canonicalizes to "2" (matches a BIGINT 2 from the other
-    # engine), NaN and NULL are distinct, tiny deltas beyond the 9-dp
-    # canon round are ignored but real deltas are not
-    assert canon_rows(["x"], [(2.0,)]) == canon_rows(["x"], [(2,)])
+    """Driver-grade type-faithful canon (r3 regression pins).
+
+    The r3 driver failed q70 on float 3.0 vs int 3 and q77 on a DuckDB
+    HUGEINT (Decimal) vs BIGINT while the old local canon collapsed
+    both — these pins keep the local gate at least as strict as the
+    driver's hash.
+    """
+    import decimal
+
+    # q70 class: float NEVER collapses to int
+    assert canon_rows(["x"], [(2.0,)]) != canon_rows(["x"], [(2,)])
+    # q77 class: Decimal (HUGEINT via Arrow) is distinct from int AND float
+    assert canon_rows(["x"], [(decimal.Decimal(5),)]) != canon_rows(["x"], [(5,)])
+    assert canon_rows(["x"], [(decimal.Decimal(5),)]) != canon_rows(["x"], [(5.0,)])
     assert canon_rows(["x"], [(float("nan"),)]) != canon_rows(["x"], [(None,)])
-    # the int-exactness check runs BEFORE the 9-dp round, so a double
-    # infinitesimally off an integer is strict-mismatched against the
-    # exact integer — safe-side strictness (queries pin rounding anyway)
+    # full-repr floats: no 9-dp rounding masks ulp-level divergence
     assert canon_rows(["x"], [(1.00000000001,)]) != canon_rows(["x"], [(1.0,)])
-    # away from integers the 9-dp canon round absorbs sub-9dp noise
-    assert canon_rows(["x"], [(1.1000000000001,)]) == canon_rows(["x"], [(1.1,)])
+    assert canon_rows(["x"], [(1.1000000000001,)]) != canon_rows(["x"], [(1.1,)])
+    assert canon_rows(["x"], [(1.1,)]) == canon_rows(["x"], [(1.1,)])
     assert canon_rows(["x"], [(1.1,)]) != canon_rows(["x"], [(1.2,)])
     assert not math.isnan(1.0)  # keep math import honest

@@ -143,3 +143,65 @@ def test_replay_log_bootstraps_follower(spark, tmp_path):
     assert n == len(expected) > 0
     (conn,) = _read_conns(conn_dir)
     assert conn["stmts"] == expected
+
+
+class SqliteFollower:
+    """Real PEP 249 follower: the reference's MySQL follower stand-in.
+
+    sqlite has no CREATE DATABASE (one file == one database), so that
+    single statement is a no-op here; everything else — CREATE TABLE,
+    ALTER TABLE ADD COLUMN, INSERT/UPDATE/DELETE with the renderer's
+    double-quoted literals and bare Null token — executes verbatim.
+    """
+
+    def __init__(self, path: str):
+        import sqlite3
+
+        self.conn = sqlite3.connect(path)
+
+    def execute(self, sql: str) -> None:
+        if sql.upper().startswith("CREATE DATABASE"):
+            return
+        self.conn.execute(sql)
+
+    def commit(self) -> None:
+        self.conn.commit()
+
+    def close(self) -> None:
+        self.conn.close()
+
+
+class SqliteConnect:
+    def __init__(self, path: str):
+        self.path = path
+
+    def __call__(self) -> SqliteFollower:
+        return SqliteFollower(self.path)
+
+
+def test_replay_pet_scenario_into_sqlite_follower(spark, tmp_path):
+    """K5 live-follower e2e via a real DB-API connection: the pet
+    scenario's rendered statements replayed through replay_log_jdbc
+    into sqlite must leave the follower table equal to PET_GOLDEN —
+    the reference's leader==follower check
+    (cdc-mysql/scripts/mysql-validate-result.sh:70-75) with sqlite
+    standing in for the follower MySQL."""
+    import sqlite3
+
+    from fluvio_demo_apps_rust_spark.codec import parse_events
+    from fluvio_demo_apps_rust_spark.fixtures import PET_EVENTS, PET_GOLDEN
+    from fluvio_demo_apps_rust_spark.streaming.sql_sink import append_statements_batch
+
+    log_dir = tmp_path / "log"
+    db = tmp_path / "follower.db"
+    events = parse_events(
+        spark.createDataFrame([(s,) for s in PET_EVENTS], "value string")
+    )
+    append_statements_batch(events, log_dir)
+    n = replay_log_jdbc(spark, str(log_dir), SqliteConnect(str(db)))
+    assert n > 0
+    with sqlite3.connect(db) as conn:
+        rows = conn.execute(
+            "SELECT name, owner, species, sex, birth, last_vaccine FROM pet ORDER BY name"
+        ).fetchall()
+    assert rows == sorted(PET_GOLDEN)

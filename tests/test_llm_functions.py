@@ -112,9 +112,34 @@ def test_multimodal_stub_matches_meta(spark, docs):
         assert meta[k].byte_len == stub[k].byte_len
 
 
-def test_decode_real_is_stubbed(docs):
+try:
+    import PIL  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="PIL present: decode_real is live")
+def test_decode_real_raises_without_pil(docs):
     with pytest.raises(NotImplementedError):
         M.decode_real(docs)
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed in sandbox")
+def test_decode_real_with_pil(spark):
+    """Live-decode proof for environments with media libs: a real PNG
+    through the same Arrow harness must yield its true geometry."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, blob binary")
+    (row,) = M.decode_real(df).collect()
+    assert (row.width, row.height, row.n_frames) == (17, 9, 1)
+    assert row.byte_len == len(buf.getvalue())
 
 
 def test_frame_sample_fanout(spark, docs):
