@@ -293,7 +293,9 @@ def dsir_importance(
     ratio ``((c_tgt+1)*(tot_raw+V)) / ((c_raw+1)*(tot_tgt+V))`` so the
     DuckDB oracle reproduces it bit-for-bit (products stay < 2^53).
 
-    Returns (id, n_tokens, log_ratio) with log_ratio rounded to 4 dp.
+    Returns (id, n_tokens, log_ratio); log_ratio is the quotient of an
+    exact per-token nano-quantized integer sum (deterministic across
+    engines and summation orders — no -0.0/0.0 ambiguity).
 
     Scale posture: identical to :func:`unigram_surprise` — one token
     explode, ONE vocabulary-sized aggregate building BOTH models
@@ -322,15 +324,25 @@ def dsir_importance(
         .crossJoin(F.broadcast(totals))
         .select(
             id_col,
-            F.log2(
-                ((F.col("c_tgt") + 1) * (F.col("tot_raw") + F.col("v")))
-                / ((F.col("c_raw") + 1) * (F.col("tot_tgt") + F.col("v")))
-            ).alias("s"),
+            # per-token quantize to exact nano BIGINTs BEFORE the mean:
+            # avg() of doubles is summation-order-dependent and its 4-dp
+            # round produced 0.0-vs-(-0.0) across engines at sf0.1; the
+            # integer-sum quotient is deterministic and sign-clean
+            F.floor(
+                F.log2(
+                    ((F.col("c_tgt") + 1) * (F.col("tot_raw") + F.col("v")))
+                    / ((F.col("c_raw") + 1) * (F.col("tot_tgt") + F.col("v")))
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("s_nano"),
         )
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg("s"), 4).alias("log_ratio"),
+        (F.sum("s_nano") / (F.count(F.lit(1)) * F.lit(1e9))).alias("log_ratio"),
     )
 
 

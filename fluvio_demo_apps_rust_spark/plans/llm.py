@@ -1513,8 +1513,9 @@ tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS tot_raw,
                CAST(count(*) AS BIGINT) AS v
         FROM model)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(log2(((c_tgt + 1) * (tot_raw + v))::DOUBLE
-                      / ((c_raw + 1) * (tot_tgt + v)))), 4) AS log_ratio
+       sum(CAST(floor(log2(((c_tgt + 1) * (tot_raw + v))::DOUBLE
+                           / ((c_raw + 1) * (tot_tgt + v))) * 1000000000 + 0.5)
+                AS BIGINT)) / (count(*) * 1000000000.0) AS log_ratio
 FROM tok JOIN model USING (t) CROSS JOIN tot
 GROUP BY doc_id
 """,
