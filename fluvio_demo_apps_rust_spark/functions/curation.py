@@ -28,6 +28,15 @@ from .dedup import _spread, md5_int60, word_shingles
 SAMPLE_BUCKETS = 1_000_000
 
 
+
+def fround(col, scale):
+    """Binary-deterministic fractional round (floor(x*10^n+0.5)/10^n):
+    identical on Spark/DuckDB/numpy for identical doubles, no -0.0 for
+    tiny negatives rounding to zero. See plans/base.py:fround."""
+    col = F.col(col) if isinstance(col, str) else col
+    m = float(10**scale)
+    return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(m)
+
 def benchmark_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -59,11 +68,10 @@ def benchmark_contamination(
     return hit.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
-        F.round(
+        fround(
             F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
             / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("contamination"),
+            6).alias("contamination"),
     )
 
 
@@ -209,8 +217,8 @@ def domain_mixture(
         strata_col,
         "n_docs",
         "n_tokens",
-        F.round(share, 6).alias("token_share"),
-        F.round((F.lit(1.0) / F.col("k")) / share, 6).alias("uniform_weight"),
+        fround(share, 6).alias("token_share"),
+        fround((F.lit(1.0) / F.col("k")) / share, 6).alias("uniform_weight"),
     )
 
 

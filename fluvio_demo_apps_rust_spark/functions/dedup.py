@@ -25,6 +25,15 @@ from .text import tokens, word_ngrams
 MINHASH_P = 2147483647  # 2^31 - 1
 
 
+
+def fround(col, scale):
+    """Binary-deterministic fractional round (floor(x*10^n+0.5)/10^n):
+    identical on Spark/DuckDB/numpy for identical doubles, no -0.0 for
+    tiny negatives rounding to zero. See plans/base.py:fround."""
+    col = F.col(col) if isinstance(col, str) else col
+    m = float(10**scale)
+    return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(m)
+
 def ordered_pair_fanout(ds: str, fields: str = "x AS a, y AS b") -> str:
     """SQL snippet: ordered (i < j) pair fan-out over a sorted posting
     array ``ds`` — struct fields come from the caller (``x`` is the
@@ -466,7 +475,7 @@ def ngram_jaccard_pairs(
         F.first("na").alias("na"),
         F.first("nb").alias("nb"),
     )
-    jac = F.round(
+    jac = fround(
         F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
     ).alias("jaccard")
     if with_counts:

@@ -29,6 +29,23 @@ NORM = (
 )
 
 
+
+def fl6(col):
+    """Binary-deterministic 6-dp round: floor(x*1e6+0.5)/1e6 — identical
+    on Spark, DuckDB and numpy for identical input doubles, and never
+    emits -0.0 for a tiny negative that rounds to zero (floor result 0
+    divided is +0.0). Replaces round(x, 6), whose Spark implementation
+    is Double.toString-based and diverges from binary rounding at
+    shortest-repr half boundaries and at -0.0."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def np_fl6(a):
+    """numpy twin of fl6 (same binary floor semantics)."""
+    import numpy as np
+
+    return np.floor(a * 1e6 + 0.5) / 1e6
+
 def dot(a: str, b: str) -> Column:
     return F.expr(DOT.format(a=a, b=b))
 
@@ -72,8 +89,8 @@ def brute_force_topk(
         .select(
             "q_id",
             "n_id",
-            F.round(
-                dot("q_vec", "n_vec") / (F.col("q_norm") * F.col("n_norm")), 6
+            fl6(
+                dot("q_vec", "n_vec") / (F.col("q_norm") * F.col("n_norm"))
             ).alias("cos_sim"),
         )
     )
@@ -130,7 +147,7 @@ def ivf_cells(
             id_col,
             vec_col,
             "c_id",
-            F.round(cosine(vec_col, "c_vec"), 6).alias("c_sim"),
+            fl6(cosine(vec_col, "c_vec")).alias("c_sim"),
         )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("c_id"))
@@ -172,7 +189,7 @@ def ivf_topk(
             id_col,
             vec_col,
             "c_id",
-            F.round(cosine(vec_col, "c_vec"), 6).alias("c_sim"),
+            fl6(cosine(vec_col, "c_vec")).alias("c_sim"),
         )
         .groupBy(id_col)
         .agg(
@@ -199,8 +216,8 @@ def ivf_topk(
         .select(
             "q_id",
             "n_id",
-            F.round(
-                dot("q_vec", "n_vec") / (F.col("q_norm") * F.col("n_norm")), 6
+            fl6(
+                dot("q_vec", "n_vec") / (F.col("q_norm") * F.col("n_norm"))
             ).alias("cos_sim"),
         )
     )
@@ -284,8 +301,8 @@ def lsh_bucketed_topk(
         .select(
             "q_id",
             "n_id",
-            F.round(
-                dot("q_vec", "n_vec") / (F.col("q_norm") * F.col("n_norm")), 6
+            fl6(
+                dot("q_vec", "n_vec") / (F.col("q_norm") * F.col("n_norm"))
             ).alias("cos_sim"),
         )
     )
@@ -337,7 +354,7 @@ def kmeans(
             id_col,
             vec_col,
             F.struct(
-                F.round(F.sqrt(F.expr(SQDIST.format(a=vec_col, b="c_vec"))), 6).alias("d"),
+                fl6(F.sqrt(F.expr(SQDIST.format(a=vec_col, b="c_vec")))).alias("d"),
                 F.col("c_id").alias("c_id"),
             ).alias("dc"),
         )
@@ -351,7 +368,19 @@ def kmeans(
         cent = (
             assigned.select(F.col("best")["c_id"].alias("cluster"), F.posexplode("vec"))
             .groupBy("cluster", "pos")
-            .agg(F.round(F.avg(F.col("col").cast("double")), 6).alias("m"))
+            .agg(
+                # quantized mean: exact integer micro-sum / count — the
+                # centroid feeds the next iteration, so engine-identical
+                # doubles here keep the whole loop in lockstep
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("col").cast("double") * F.lit(1e6) + F.lit(0.5)
+                        ).cast("long")
+                    )
+                    / (F.count(F.lit(1)) * F.lit(1e6))
+                ).alias("m")
+            )
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(
@@ -420,7 +449,7 @@ def semdedup_prune(
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             vn = np.sqrt((V * V).sum(axis=1))
-            sims = np.round((V @ C.T) / np.outer(vn, c_norms), 6)
+            sims = np_fl6((V @ C.T) / np.outer(vn, c_norms))
             # argmax returns the FIRST max — c_ids ascend, so ties on
             # the rounded cosine break to the smallest centroid id,
             # matching max_by(struct(sim, -c_id)) and the oracle's
@@ -446,7 +475,7 @@ def semdedup_prune(
         B = 1024  # block rows: memory is B×k, not k×k
         for s in range(0, k, B):
             e = min(s + B, k)
-            S = np.round((V[s:e] @ V.T) / np.outer(n[s:e], n), 6)
+            S = np_fl6((V[s:e] @ V.T) / np.outer(n[s:e], n))
             # a < b only: ids ascend with column index, so the first
             # qualifying column IS the minimum keeper id.
             valid = (S >= tau) & (cols[None, :] < np.arange(s, e)[:, None])
@@ -489,7 +518,7 @@ def _semdedup_prune_sql(
             id_col,
             vec_col,
             "c_id",
-            F.round(cosine(vec_col, "c_vec"), 6).alias("c_sim"),
+            fl6(cosine(vec_col, "c_vec")).alias("c_sim"),
         )
         .groupBy(id_col)
         .agg(
@@ -512,7 +541,7 @@ def _semdedup_prune_sql(
         .select(
             "b",
             F.col("a"),
-            F.round(dot("va", "vb") / (F.col("na") * F.col("nb_")), 6).alias("cs"),
+            fl6(dot("va", "vb") / (F.col("na") * F.col("nb_"))).alias("cs"),
         )
         .filter(F.col("cs") >= tau)
     )
@@ -549,11 +578,16 @@ def gram_matrix(
     the query surface ends at the matrix, which IS the distributed
     part).
 
-    Float parity: per-partition numpy sums differ from a left-to-right
-    fold by ~1e-13 relative — invisible at 4-dp rounding.
+    Float parity: each per-row product is quantized to an exact scaled
+    BIGINT before ANY summation (floor(v_i·v_j·10^dp + 0.5), binary on
+    numpy/Spark/DuckDB alike), so partition composition, BLAS
+    association order, and engine round() semantics all drop out — the
+    reduced matrix is an exact integer sum emitted as one quotient.
     """
     import numpy as np
     import pandas as pd
+
+    m = float(10**round_dp)
 
     def partial(batches):
         acc = None
@@ -561,8 +595,15 @@ def gram_matrix(
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            G = V.T @ V
-            acc = G if acc is None else acc + G
+            # chunk rows: the quantized outer-product block is n×d×d
+            for s in range(0, len(V), 512):
+                W = V[s : s + 512]
+                Q = (
+                    np.floor(W[:, :, None] * W[:, None, :] * m + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+                acc = Q if acc is None else acc + Q
         if acc is not None:
             iu = np.triu_indices(acc.shape[0])
             yield pd.DataFrame(
@@ -573,9 +614,9 @@ def gram_matrix(
                 }
             )
 
-    partials = emb.select(vec_col).mapInPandas(partial, schema="i long, j long, partial double")
+    partials = emb.select(vec_col).mapInPandas(partial, schema="i long, j long, partial long")
     return partials.groupBy("i", "j").agg(
-        F.round(F.sum("partial"), round_dp).alias("gram")
+        (F.sum("partial") / F.lit(m)).alias("gram")
     )
 
 
@@ -624,7 +665,7 @@ def knn_classify(
             labels = pdf[label_col].to_numpy()
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             vn = np.sqrt((V * V).sum(axis=1))
-            S = np.round((Q @ V.T) / np.outer(qn, vn), 6)  # n_probes × m
+            S = np_fl6((Q @ V.T) / np.outer(qn, vn))  # n_probes × m
             out_q, out_nb, out_lb, out_s = [], [], [], []
             for qi in range(len(q_ids)):
                 # ascending (-sim, nb): best-first with id tiebreak
@@ -712,9 +753,9 @@ def pq_adc_topk(
     dsub = dim // m
     C3 = C.reshape(ncode, m, dsub)
     Q3 = Q.reshape(len(q_rows), m, dsub)
-    # LUT[q, s, c] = round(||Q[q,s] - C[c,s]||², 6)
-    LUT = np.round(
-        ((Q3[:, None, :, :] - C3[None, :, :, :]) ** 2).sum(-1), 6
+    # LUT[q, s, c] = fl6(||Q[q,s] - C[c,s]||²)
+    LUT = np_fl6(
+        ((Q3[:, None, :, :] - C3[None, :, :, :]) ** 2).sum(-1)
     ).transpose(0, 2, 1)  # nq × m × ncode
 
     def local_topk(batches):
@@ -728,13 +769,13 @@ def pq_adc_topk(
             )
             # encode: per subspace, nearest codeword (rounded, id tiebreak
             # via argmin-first-occurrence over ascending code ids)
-            dists = np.round(
-                ((V3[:, None, :, :] - C3[None, :, :, :]) ** 2).sum(-1), 6
+            dists = np_fl6(
+                ((V3[:, None, :, :] - C3[None, :, :, :]) ** 2).sum(-1)
             )  # n × ncode × m
             codes = np.argmin(dists, axis=1)  # n × m
             out_q, out_n, out_d = [], [], []
             for qi in range(len(q_ids)):
-                adc = np.round(LUT[qi][srange[None, :], codes].sum(1), 6)
+                adc = np_fl6(LUT[qi][srange[None, :], codes].sum(1))
                 order = np.lexsort((ids, adc))
                 order = order[ids[order] != q_ids[qi]][:k]
                 out_q.extend([q_ids[qi]] * len(order))
@@ -783,7 +824,7 @@ def l2_brute_topk(
             ids = pdf[id_col].to_numpy()
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             v_sq = (V * V).sum(axis=1)
-            D = np.round(q_sq[:, None] + v_sq[None, :] - 2.0 * (Q @ V.T), 6)
+            D = np_fl6(q_sq[:, None] + v_sq[None, :] - 2.0 * (Q @ V.T))
             out_q, out_n, out_d = [], [], []
             for qi in range(len(q_ids)):
                 order = np.lexsort((ids, D[qi]))
@@ -857,13 +898,13 @@ def ivf_pq_topk(
     Q3 = Q.reshape(len(q_rows), m, dsub)
 
     def l2_to_cents(X: np.ndarray) -> np.ndarray:
-        return np.round(((X[:, None, :] - CENT[None, :, :]) ** 2).sum(-1), 6)
+        return np_fl6(((X[:, None, :] - CENT[None, :, :]) ** 2).sum(-1))
 
     # Per-probe probed cell sets: nprobe nearest centroids (dist asc,
     # centroid id asc — argsort is stable, ids ascend with column).
     probed = np.argsort(l2_to_cents(Q), axis=1, kind="stable")[:, :nprobe]
-    LUT = np.round(
-        ((Q3[:, None, :, :] - CB3[None, :, :, :]) ** 2).sum(-1), 6
+    LUT = np_fl6(
+        ((Q3[:, None, :, :] - CB3[None, :, :, :]) ** 2).sum(-1)
     ).transpose(0, 2, 1)  # nq × m × ncode
 
     def local_topk(batches):
@@ -876,7 +917,7 @@ def ivf_pq_topk(
             cells = np.argmin(l2_to_cents(V), axis=1)
             V3 = V.reshape(len(pdf), m, dsub)
             codes = np.argmin(
-                np.round(((V3[:, None, :, :] - CB3[None, :, :, :]) ** 2).sum(-1), 6),
+                np_fl6(((V3[:, None, :, :] - CB3[None, :, :, :]) ** 2).sum(-1)),
                 axis=1,
             )
             out_q, out_n, out_d = [], [], []
@@ -885,7 +926,7 @@ def ivf_pq_topk(
                 if not mask.any():
                     continue
                 cids = ids[mask]
-                adc = np.round(LUT[qi][srange[None, :], codes[mask]].sum(1), 6)
+                adc = np_fl6(LUT[qi][srange[None, :], codes[mask]].sum(1))
                 order = np.lexsort((cids, adc))[:k]
                 out_q.extend([q_ids[qi]] * len(order))
                 out_n.extend(cids[order])

@@ -31,6 +31,15 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = LANG_MARKERS["en"] + ("in", "is", "it", "for", "on")
 
 
+
+def fround(col, scale):
+    """Binary-deterministic fractional round (floor(x*10^n+0.5)/10^n):
+    identical on Spark/DuckDB/numpy for identical doubles, no -0.0 for
+    tiny negatives rounding to zero. See plans/base.py:fround."""
+    col = F.col(col) if isinstance(col, str) else col
+    m = float(10**scale)
+    return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(m)
+
 def tokens(col: str | Column = "text") -> Column:
     """Whitespace tokens of the lowercased text."""
     c = F.col(col) if isinstance(col, str) else col
@@ -53,22 +62,21 @@ def quality_columns(col: str | Column = "text") -> list[Column]:
     """
     toks = tokens(col)
     n = F.size(toks).cast("double")
-    distinct_ratio = F.round(F.size(F.array_distinct(toks)) / n, 4)
+    distinct_ratio = fround(F.size(F.array_distinct(toks)) / n, 4)
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     stops = F.expr(
         f"size(filter(split(lower(trim(text)), '\\\\s+'), t -> t in ({stop_list})))"
     )
-    stop_ratio = F.round(stops / n, 4)
+    stop_ratio = fround(stops / n, 4)
     total_len = F.expr(
         "aggregate(split(lower(trim(text)), '\\\\s+'), 0L, (acc, t) -> acc + length(t))"
     )
-    avg_word_len = F.round(total_len / n, 4)
-    quality = F.round(
+    avg_word_len = fround(total_len / n, 4)
+    quality = fround(
         0.4 * (stops / n)
         + 0.4 * (F.size(F.array_distinct(toks)) / n)
         + 0.2 * F.least(n, F.lit(100.0)) / 100.0,
-        4,
-    )
+        4)
     return [
         F.size(toks).alias("n_tokens"),
         distinct_ratio.alias("distinct_ratio"),
@@ -143,11 +151,10 @@ def repetition_columns(col_name: str = "text") -> list[Column]:
             F.transform(
                 F.array(arr),
                 lambda a: F.when(F.size(a) == 0, F.lit(0.0)).otherwise(
-                    F.round(
+                    fround(
                         (F.size(a) - F.size(F.array_distinct(a)))
                         / F.size(a).cast("double"),
-                        4,
-                    )
+                        4)
                 ),
             ),
             1,
@@ -182,31 +189,28 @@ def gopher_columns(col_name: str = "text") -> list[Column]:
     toks = f"split(lower(trim({col_name})), '\\\\s+')"
     lines = f"split({col_name}, '\\n')"
     n_words = F.expr(f"size({toks})")
-    mean_wl = F.round(
+    mean_wl = fround(
         F.expr(f"aggregate({toks}, 0L, (acc, t) -> acc + length(t))")
         / n_words.cast("double"),
-        4,
-    )
+        4)
     # substring-occurrence counts via the replace trick (identical
     # leftmost-non-overlapping semantics in Spark and DuckDB)
     n_hash = F.length(col_name) - F.length(F.regexp_replace(col_name, "#", ""))
     n_ell = (
         F.length(col_name) - F.length(F.regexp_replace(col_name, r"\.\.\.", ""))
     ) / 3
-    symbol_ratio = F.round((n_hash + n_ell) / n_words.cast("double"), 4)
-    bullet_frac = F.round(
+    symbol_ratio = fround((n_hash + n_ell) / n_words.cast("double"), 4)
+    bullet_frac = fround(
         F.expr(
             f"size(filter({lines}, l -> startswith(ltrim(l), '-') "
             f"or startswith(ltrim(l), '*')))"
         )
         / F.expr(f"size({lines})").cast("double"),
-        4,
-    )
-    ellipsis_frac = F.round(
+        4)
+    ellipsis_frac = fround(
         F.expr(f"size(filter({lines}, l -> endswith(rtrim(l), '...')))")
         / F.expr(f"size({lines})").cast("double"),
-        4,
-    )
+        4)
     stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
     # LET-bind the token split: the filter lambda probes it once per
     # stopword, and lambda bodies get no common-subexpression
@@ -270,7 +274,7 @@ def unigram_surprise(
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg("s"), 4).alias("surprise"),
+        fround(F.avg("s"), 4).alias("surprise"),
     )
 
 
@@ -411,11 +415,10 @@ def tfidf_top_terms(
         .select(
             id_col,
             "t",
-            F.round(
+            fround(
                 F.col("tf")
                 * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1),
-                6,
-            ).alias("score"),
+                6).alias("score"),
         )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("t"))
@@ -443,7 +446,7 @@ def c4_line_columns(col_name: str = "text") -> list[Column]:
     return [
         n_lines.cast("long").alias("n_lines"),
         kept_lines.cast("long").alias("kept_lines"),
-        F.round(kept_lines / n_lines.cast("double"), 4).alias("kept_frac"),
+        fround(kept_lines / n_lines.cast("double"), 4).alias("kept_frac"),
         (kept_lines >= 3).alias("passes"),
     ]
 
@@ -481,11 +484,10 @@ def boilerplate_lines(
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.count_if(F.col("df") >= min_docs).alias("bp_lines"),
-            F.round(
+            fround(
                 F.count_if(F.col("df") >= min_docs)
                 / F.count(F.lit(1)).cast("double"),
-                4,
-            ).alias("bp_frac"),
+                4).alias("bp_frac"),
         )
     )
 
@@ -563,5 +565,5 @@ def bm25_scores(
         term = F.when(tf > 0, idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))).otherwise(F.lit(0.0))
         score = term if score is None else score + term
     return m.crossJoin(F.broadcast(stats)).select(
-        F.col(id_col), F.round(score, 6).alias("score")
+        F.col(id_col), fround(score, 6).alias("score")
     )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.asof import asof_join, range_join_count
 from ..session import ensure_utc
-from .base import load, qsum, register
+from .base import fround, load, qsum, register
 from .events import _events
 
 
@@ -49,10 +49,10 @@ def q40_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "percentile"),
     oracle="""
 SELECT o_orderstatus,
-       round(quantile_cont(o_totalprice, 0.5), 2)  AS median_price,
-       round(quantile_cont(o_totalprice, 0.9), 2)  AS p90_price,
-       round(min(o_totalprice), 2)                 AS min_price,
-       round(max(o_totalprice), 2)                 AS max_price
+       floor((quantile_cont(o_totalprice, 0.5)) * 100 + 0.5) / 100.0  AS median_price,
+       floor((quantile_cont(o_totalprice, 0.9)) * 100 + 0.5) / 100.0  AS p90_price,
+       floor((min(o_totalprice)) * 100 + 0.5) / 100.0                 AS min_price,
+       floor((max(o_totalprice)) * 100 + 0.5) / 100.0                 AS max_price
 FROM orders GROUP BY o_orderstatus
 """,
 )
@@ -62,10 +62,10 @@ def q41_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale path; exact is the verifiable contract."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        fround(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+        fround(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+        fround(F.min("o_totalprice"), 2).alias("min_price"),
+        fround(F.max("o_totalprice"), 2).alias("max_price"),
     )
 
 
@@ -100,8 +100,8 @@ SELECT o_orderkey,
        rank()         OVER w AS rnk,
        dense_rank()   OVER w AS drnk,
        ntile(4)       OVER w AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6)    AS cume
+       floor((percent_rank() OVER w) * 1000000 + 0.5) / 1000000.0 AS pct_rank,
+       floor((cume_dist() OVER w) * 1000000 + 0.5) / 1000000.0    AS cume
 FROM orders
 WHERE o_orderkey % 50 = 0
 WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
@@ -117,8 +117,8 @@ def q43_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        fround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        fround(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 
@@ -251,9 +251,9 @@ def q48_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar",),
     oracle="""
 SELECT p_partkey,
-       round(sqrt(p_retailprice), 4)            AS price_sqrt,
-       round(ln(p_retailprice), 4)              AS price_ln,
-       round(pow(p_size, 2)::DOUBLE, 1)         AS size_sq,
+       floor((sqrt(p_retailprice)) * 10000 + 0.5) / 10000.0            AS price_sqrt,
+       floor((ln(p_retailprice)) * 10000 + 0.5) / 10000.0              AS price_ln,
+       floor((pow(p_size, 2)::DOUBLE) * 10 + 0.5) / 10.0         AS size_sq,
        greatest(p_size, 25)                     AS g25,
        least(p_size, 25)                        AS l25,
        coalesce(nullif(p_brand, 'Brand#1'), 'other') AS brand_or_other,
@@ -269,9 +269,9 @@ def q49_scalar_library(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
     return p.select(
         "p_partkey",
-        F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
-        F.round(F.log("p_retailprice"), 4).alias("price_ln"),
-        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+        fround(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
+        fround(F.log("p_retailprice"), 4).alias("price_ln"),
+        fround(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
         F.greatest("p_size", F.lit(25)).alias("g25"),
         F.least("p_size", F.lit(25)).alias("l25"),
         F.coalesce(F.nullif("p_brand", F.lit("Brand#1")), F.lit("other")).alias(
@@ -437,7 +437,7 @@ SELECT l_orderkey,
        qtys[1] AS first_qty,
        len(qtys) AS n_items,
        list_contains(qtys, 30.0) AS has_30,
-       round(list_sum(list_transform(qtys, q -> q * 2)), 2) AS doubled_sum,
+       floor((list_sum(list_transform(qtys, q -> q * 2))) * 100 + 0.5) / 100.0 AS doubled_sum,
        qtys[2:3] AS mid_slice
 FROM (
   SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
@@ -461,14 +461,13 @@ def q57_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("qtys", 1).alias("first_qty"),
         F.size("qtys").alias("n_items"),
         F.array_contains("qtys", F.lit(30.0)).alias("has_30"),
-        F.round(
+        fround(
             F.aggregate(
                 F.transform("qtys", lambda q: q * 2),
                 F.lit(0.0),
                 lambda acc, q: acc + q,
             ),
-            2,
-        ).alias("doubled_sum"),
+            2).alias("doubled_sum"),
         F.slice("qtys", 2, 2).alias("mid_slice"),
     )
 
@@ -810,15 +809,15 @@ def q64_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "frame", "value"),
     oracle="""
 SELECT o_orderkey,
-       round(first_value(o_totalprice) OVER w, 2) AS cheapest_in_status,
-       round(last_value(o_totalprice)
-             OVER (w RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+       floor((first_value(o_totalprice) OVER w) * 100 + 0.5) / 100.0 AS cheapest_in_status,
+       floor((last_value(o_totalprice)
+             OVER (w RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) * 100 + 0.5) / 100.0
          AS priciest_in_status,
-       round(nth_value(o_totalprice, 3)
-             OVER (w RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+       floor((nth_value(o_totalprice, 3)
+             OVER (w RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) * 100 + 0.5) / 100.0
          AS third_cheapest,
-       round(lag(o_totalprice, 1, -1.0) OVER w, 2)  AS prev_price,
-       round(lead(o_totalprice, 2, -1.0) OVER w, 2) AS next2_price
+       floor((lag(o_totalprice, 1, -1.0) OVER w) * 100 + 0.5) / 100.0  AS prev_price,
+       floor((lead(o_totalprice, 2, -1.0) OVER w) * 100 + 0.5) / 100.0 AS next2_price
 FROM orders
 WHERE o_orderkey % 100 = 0
 WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
@@ -833,11 +832,11 @@ def q65_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return o.select(
         "o_orderkey",
-        F.round(F.first("o_totalprice").over(w), 2).alias("cheapest_in_status"),
-        F.round(F.last("o_totalprice").over(wfull), 2).alias("priciest_in_status"),
-        F.round(F.nth_value("o_totalprice", 3).over(wfull), 2).alias("third_cheapest"),
-        F.round(F.lag("o_totalprice", 1, -1.0).over(w), 2).alias("prev_price"),
-        F.round(F.lead("o_totalprice", 2, -1.0).over(w), 2).alias("next2_price"),
+        fround(F.first("o_totalprice").over(w), 2).alias("cheapest_in_status"),
+        fround(F.last("o_totalprice").over(wfull), 2).alias("priciest_in_status"),
+        fround(F.nth_value("o_totalprice", 3).over(wfull), 2).alias("third_cheapest"),
+        fround(F.lag("o_totalprice", 1, -1.0).over(w), 2).alias("prev_price"),
+        fround(F.lead("o_totalprice", 2, -1.0).over(w), 2).alias("next2_price"),
     )
 
 
@@ -914,7 +913,7 @@ WITH big AS (
   SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
   HAVING sum(l_quantity) > 250)
 SELECT c_name, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
-       round(o_totalprice, 2) AS o_totalprice, total_qty
+       floor((o_totalprice) * 100 + 0.5) / 100.0 AS o_totalprice, total_qty
 FROM (SELECT l_orderkey AS k, sum(l_quantity) AS total_qty
       FROM lineitem GROUP BY l_orderkey) q
 JOIN big ON big.l_orderkey = q.k
@@ -941,7 +940,7 @@ def q68_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "o_orderkey",
             F.col("o_orderdate").cast("string").alias("o_orderdate"),
-            F.round("o_totalprice", 2).alias("o_totalprice"),
+            fround("o_totalprice", 2).alias("o_totalprice"),
             "total_qty",
         )
     )
@@ -954,8 +953,8 @@ def q68_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n_items,
        CAST(round(sum(CAST(round(l_quantity * 100) AS BIGINT))) AS BIGINT) AS total_qty_c,
-       round(min(l_extendedprice), 2) AS min_price,
-       round(max(l_extendedprice), 2) AS max_price
+       floor((min(l_extendedprice)) * 100 + 0.5) / 100.0 AS min_price,
+       floor((max(l_extendedprice)) * 100 + 0.5) / 100.0 AS max_price
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -991,8 +990,8 @@ def q55_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "n_items",
         "total_qty_c",
-        F.round("min_price", 2).alias("min_price"),
-        F.round("max_price", 2).alias("max_price"),
+        fround("min_price", 2).alias("min_price"),
+        fround("max_price", 2).alias("max_price"),
     )
 
 

@@ -59,6 +59,7 @@ def fround(col, scale: int):
     """
     from pyspark.sql import functions as F
 
+    col = F.col(col) if isinstance(col, str) else col
     m = float(10**scale)
     return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(m)
 

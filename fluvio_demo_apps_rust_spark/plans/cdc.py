@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..fixtures import PET_EVENTS
 from ..operators.apply import apply_changes
-from .base import load, qsum, register
+from .base import fround, load, qsum, register
 
 
 @register(
@@ -228,7 +228,7 @@ def cdc_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_orders_roundtrip",
     tags=("cdc", "codec", "apply", "scale"),
     oracle="""
-SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+SELECT o_orderkey, o_orderstatus, floor((o_totalprice) * 100 + 0.5) / 100.0 AS o_totalprice
 FROM orders
 """,
 )
@@ -276,7 +276,7 @@ def cdc_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = apply_changes(spark, events)
     t = state.table("cdcdb", "orders_r")
     return t.select(
-        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+        "o_orderkey", "o_orderstatus", fround("o_totalprice", 2).alias("o_totalprice")
     )
 
 
@@ -526,7 +526,7 @@ def cdc_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
+       floor((sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0) * 100 + 0.5) / 100.0 AS revenue
 FROM orders
 WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 2 = 0)
 GROUP BY o_orderstatus
@@ -585,6 +585,6 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderstatus",
             "n_orders",
-            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            fround(F.col("cents") / 100.0, 2).alias("revenue"),
         )
     )

@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..session import ensure_utc
-from .base import load, qavg, qsum, register
+from .base import fround, load, qavg, qsum, register
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,8 +622,8 @@ stats AS (
          CAST(count(*) AS BIGINT) AS n
   FROM hourly GROUP BY event_type)
 SELECT h.event_type, hour_start, cnt,
-       round((cnt - s1 / n::DOUBLE)
-             / sqrt(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE)), 4) AS z,
+       floor(((cnt - s1 / n::DOUBLE)
+             / sqrt(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE))) * 10000 + 0.5) / 10000.0 AS z,
        abs((cnt - s1 / n::DOUBLE)
            / sqrt(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE))) > 2 AS is_anomaly
 FROM hourly h JOIN stats s ON h.event_type = s.event_type
@@ -653,7 +653,7 @@ def q75_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hour_start",
         "cnt",
-        F.round(z, 4).alias("z"),
+        fround(z, 4).alias("z"),
         (F.abs(z) > 2).alias("is_anomaly"),
     )
 

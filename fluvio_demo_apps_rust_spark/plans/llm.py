@@ -67,14 +67,14 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
 SELECT doc_id,
        len(toks) AS n_tokens,
-       round(len(list_distinct(toks)) / len(toks)::DOUBLE, 4) AS distinct_ratio,
-       round(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
-             / len(toks)::DOUBLE, 4) AS stop_ratio,
-       round(list_sum(list_transform(toks, t -> length(t))) / len(toks)::DOUBLE, 4) AS avg_word_len,
-       round(0.4 * (len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+       floor((len(list_distinct(toks)) / len(toks)::DOUBLE) * 10000 + 0.5) / 10000.0 AS distinct_ratio,
+       floor((len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+             / len(toks)::DOUBLE) * 10000 + 0.5) / 10000.0 AS stop_ratio,
+       floor((list_sum(list_transform(toks, t -> length(t))) / len(toks)::DOUBLE) * 10000 + 0.5) / 10000.0 AS avg_word_len,
+       floor((0.4 * (len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
                     / len(toks)::DOUBLE)
              + 0.4 * (len(list_distinct(toks)) / len(toks)::DOUBLE)
-             + 0.2 * least(len(toks)::DOUBLE, 100.0) / 100.0, 4) AS quality
+             + 0.2 * least(len(toks)::DOUBLE, 100.0) / 100.0) * 10000 + 0.5) / 10000.0 AS quality
 FROM t
 """,
 )
@@ -148,7 +148,7 @@ common AS (
   WHERE x.doc_id < y.doc_id AND sh IN (SELECT sh FROM kept)
   GROUP BY 1, 2)
 SELECT a, b,
-       round(common::DOUBLE / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+       floor((common::DOUBLE / (sa.n_sh + sb.n_sh - common)) * 1000000 + 0.5) / 1000000.0 AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = a
 JOIN sizes sb ON sb.doc_id = b
@@ -413,7 +413,7 @@ cand AS (
   FROM banded x JOIN banded y USING (band, key)
   WHERE x.vec_id < y.vec_id)
 SELECT a, b,
-       round({_dot_sql('x.embedding', 'y.embedding')} / (x.nrm * y.nrm), 6) AS cos_sim
+       floor(({_dot_sql('x.embedding', 'y.embedding')} / (x.nrm * y.nrm)) * 1000000 + 0.5) / 1000000.0 AS cos_sim
 FROM cand JOIN n x ON x.vec_id = a JOIN n y ON y.vec_id = b
 ORDER BY cos_sim DESC, a, b
 LIMIT 20
@@ -432,7 +432,7 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cand.select(
         "a",
         "b",
-        F.round(
+        fround(
             S.dot("va", "vb") / (F.col("na") * F.col("nb_")), 6
         ).alias("cos_sim"),
     )
@@ -448,7 +448,7 @@ WITH n AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM embedd
 q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM n WHERE vec_id < 10),
 scored AS (
   SELECT q_id, n.vec_id AS n_id,
-         round({_dot_sql('qv', 'n.embedding')} / (qn * n.nrm), 6) AS cos_sim
+         floor(({_dot_sql('qv', 'n.embedding')} / (qn * n.nrm)) * 1000000 + 0.5) / 1000000.0 AS cos_sim
   FROM n CROSS JOIN q
   WHERE n.vec_id <> q_id)
 SELECT q_id, n_id, cos_sim, rank FROM (
@@ -476,7 +476,7 @@ WITH n AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
 q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, bucket FROM n WHERE vec_id < 10),
 scored AS (
   SELECT q_id, n.vec_id AS n_id,
-         round({_dot_sql('qv', 'n.embedding')} / (qn * n.nrm), 6) AS cos_sim
+         floor(({_dot_sql('qv', 'n.embedding')} / (qn * n.nrm)) * 1000000 + 0.5) / 1000000.0 AS cos_sim
   FROM n JOIN q USING (bucket)
   WHERE n.vec_id <> q_id)
 SELECT q_id, n_id, cos_sim, rank FROM (
@@ -505,7 +505,7 @@ assign AS (
   SELECT vec_id, embedding, nrm, c_id,
          row_number() OVER (
            PARTITION BY vec_id
-           ORDER BY round({_dot_sql('embedding', 'c_vec')} / (nrm * c_nrm), 6) DESC, c_id
+           ORDER BY floor(({_dot_sql('embedding', 'c_vec')} / (nrm * c_nrm)) * 1000000 + 0.5) / 1000000.0 DESC, c_id
          ) AS rn
   FROM n CROSS JOIN cent),
 corpus AS (SELECT vec_id AS n_id, embedding AS n_vec, nrm AS n_nrm, c_id AS cell
@@ -514,7 +514,7 @@ probes AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm, c_id AS cell
            FROM assign WHERE vec_id < 10 AND rn <= 2),
 scored AS (
   SELECT q_id, n_id,
-         round({_dot_sql('q_vec', 'n_vec')} / (q_nrm * n_nrm), 6) AS cos_sim
+         floor(({_dot_sql('q_vec', 'n_vec')} / (q_nrm * n_nrm)) * 1000000 + 0.5) / 1000000.0 AS cos_sim
   FROM corpus JOIN probes USING (cell)
   WHERE n_id <> q_id)
 SELECT q_id, n_id, cos_sim, rank FROM (
@@ -589,10 +589,10 @@ t AS (
   FROM documents d JOIN keepers USING (doc_id)),
 scored AS (
   SELECT doc_id, toks, text,
-         round(0.4 * (len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+         floor((0.4 * (len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
                       / len(toks)::DOUBLE)
                + 0.4 * (len(list_distinct(toks)) / len(toks)::DOUBLE)
-               + 0.2 * least(len(toks)::DOUBLE, 100.0) / 100.0, 4) AS quality,
+               + 0.2 * least(len(toks)::DOUBLE, 100.0) / 100.0) * 10000 + 0.5) / 10000.0 AS quality,
          len(list_filter(toks, t -> t IN ('the','a','and','of','to')))       AS en_hits,
          len(list_filter(toks, t -> t IN ('der','und','die','das','nicht'))) AS de_hits,
          len(list_filter(toks, t -> t IN ('le','la','et','les','des')))      AS fr_hits,
@@ -606,7 +606,7 @@ SELECT CASE WHEN en_hits >= greatest(de_hits, fr_hits, es_hits, zh_hits) THEN 'e
             ELSE 'zh' END AS pred_lang,
        count(*) AS n_docs,
        CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
-       round(avg(quality), 4) AS avg_quality
+       floor((avg(quality)) * 10000 + 0.5) / 10000.0 AS avg_quality
 FROM scored
 WHERE quality >= 0.33
 GROUP BY pred_lang
@@ -631,7 +631,7 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(TX.bpe_token_count("text")).alias("total_bpe_tokens"),
-        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        fround(F.avg("quality"), 4).alias("avg_quality"),
     )
 
 
@@ -696,7 +696,7 @@ corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0)
 SELECT c.doc_id AS doc_id,
        CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-       round(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+       floor((sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) / count(*)::DOUBLE) * 1000000 + 0.5) / 1000000.0
            AS contamination
 FROM corp c LEFT JOIN bench b ON c.sh = b.sh
 GROUP BY c.doc_id
@@ -771,7 +771,7 @@ _ANN_RANKED = """
     SELECT q_id, n.vec_id AS n_id,
            row_number() OVER (
              PARTITION BY q_id
-             ORDER BY round({dot} / (qn * n.nrm), 6) DESC, n.vec_id) AS rank
+             ORDER BY floor(({dot} / (qn * n.nrm)) * 1000000 + 0.5) / 1000000.0 DESC, n.vec_id) AS rank
     FROM {src}
     WHERE n.vec_id <> q_id)
   WHERE rank <= 5
@@ -791,7 +791,7 @@ lshk AS ({_ANN_RANKED.format(dot=_dot_sql('qv', 'n.embedding'), src='n JOIN q US
 SELECT b.q_id AS q_id,
        CAST(count(*) AS BIGINT) AS n_true,
        CAST(sum(CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       round(sum(CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+       floor((sum(CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)::DOUBLE) * 1000000 + 0.5) / 1000000.0
            AS recall
 FROM brute b LEFT JOIN lshk l ON l.q_id = b.q_id AND l.n_id = b.n_id
 GROUP BY b.q_id
@@ -817,11 +817,10 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_true"),
             F.sum(F.coalesce(F.col("_m"), F.lit(0))).alias("n_hit"),
-            F.round(
+            fround(
                 F.sum(F.coalesce(F.col("_m"), F.lit(0)))
                 / F.count(F.lit(1)).cast("double"),
-                6,
-            ).alias("recall"),
+                6).alias("recall"),
         )
     )
 
@@ -883,11 +882,11 @@ g AS (SELECT doc_id,
       FROM t)
 SELECT doc_id,
        CASE WHEN len(g2) = 0 THEN 0.0
-            ELSE round((len(g2) - len(list_distinct(g2))) / len(g2)::DOUBLE, 4) END AS dup2_frac,
+            ELSE floor(((len(g2) - len(list_distinct(g2))) / len(g2)::DOUBLE) * 10000 + 0.5) / 10000.0 END AS dup2_frac,
        CASE WHEN len(g3) = 0 THEN 0.0
-            ELSE round((len(g3) - len(list_distinct(g3))) / len(g3)::DOUBLE, 4) END AS dup3_frac,
+            ELSE floor(((len(g3) - len(list_distinct(g3))) / len(g3)::DOUBLE) * 10000 + 0.5) / 10000.0 END AS dup3_frac,
        (CASE WHEN len(g3) = 0 THEN 0.0
-             ELSE round((len(g3) - len(list_distinct(g3))) / len(g3)::DOUBLE, 4) END) >= 0.1 AS repetitive
+             ELSE floor(((len(g3) - len(list_distinct(g3))) / len(g3)::DOUBLE) * 10000 + 0.5) / 10000.0 END) >= 0.1 AS repetitive
 FROM g
 """,
 )
@@ -909,14 +908,14 @@ assign AS (
   SELECT vec_id, embedding, nrm, c_id,
          row_number() OVER (
            PARTITION BY vec_id
-           ORDER BY round({_dot_sql('embedding', 'c_vec')} / (nrm * c_nrm), 6) DESC, c_id
+           ORDER BY floor(({_dot_sql('embedding', 'c_vec')} / (nrm * c_nrm)) * 1000000 + 0.5) / 1000000.0 DESC, c_id
          ) AS rn
   FROM n CROSS JOIN cent),
 corpus AS (SELECT vec_id, embedding, nrm, c_id AS cell FROM assign WHERE rn = 1),
 pairs AS (
   SELECT y.vec_id AS b, x.vec_id AS a
   FROM corpus x JOIN corpus y ON x.cell = y.cell AND x.vec_id < y.vec_id
-  WHERE round({_dot_sql('x.embedding', 'y.embedding')} / (x.nrm * y.nrm), 6) >= 0.3),
+  WHERE floor(({_dot_sql('x.embedding', 'y.embedding')} / (x.nrm * y.nrm)) * 1000000 + 0.5) / 1000000.0 >= 0.3),
 dup AS (SELECT b, min(a) AS keeper FROM pairs GROUP BY b)
 SELECT c.vec_id, c.cell, coalesce(d.keeper, c.vec_id) AS keeper,
        d.keeper IS NOT NULL AS pruned
@@ -950,11 +949,11 @@ survivors AS (
   SELECT doc_id, len(toks)::BIGINT AS n_tokens
   FROM g
   WHERE (CASE WHEN len(g3) = 0 THEN 0.0
-              ELSE round((len(g3) - len(list_distinct(g3))) / len(g3)::DOUBLE, 4) END) < 0.1
-    AND round(0.4 * (len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+              ELSE floor(((len(g3) - len(list_distinct(g3))) / len(g3)::DOUBLE) * 10000 + 0.5) / 10000.0 END) < 0.1
+    AND floor((0.4 * (len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
                      / len(toks)::DOUBLE)
               + 0.4 * (len(list_distinct(toks)) / len(toks)::DOUBLE)
-              + 0.2 * least(len(toks)::DOUBLE, 100.0) / 100.0, 4) >= 0.33),
+              + 0.2 * least(len(toks)::DOUBLE, 100.0) / 100.0) * 10000 + 0.5) / 10000.0 >= 0.33),
 packed AS (
   SELECT doc_id, n_tokens,
          coalesce(sum(n_tokens) OVER (ORDER BY doc_id
@@ -1115,7 +1114,7 @@ pairs AS (
   FROM buckets x JOIN buckets y USING (band, bucket)
   WHERE x.doc_id < y.doc_id)
 SELECT p.a, p.b,
-       round(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 16.0, 4) AS jaccard_est
+       floor((sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 16.0) * 10000 + 0.5) / 10000.0 AS jaccard_est
 FROM pairs p
 JOIN mh x ON x.doc_id = p.a
 JOIN mh y ON y.doc_id = p.b AND y.j = x.j
@@ -1146,7 +1145,7 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(a, "a")
         .join(b, "b")
-        .select("a", "b", F.round(matches / 16.0, 4).alias("jaccard_est"))
+        .select("a", "b", fround(matches / 16.0, 4).alias("jaccard_est"))
     )
 
 
@@ -1160,14 +1159,14 @@ WITH t AS (SELECT doc_id, text, {_TOKS} AS toks,
 m AS (
   SELECT doc_id,
          len(toks) AS n_words,
-         round(list_sum(list_transform(toks, t -> length(t))) / len(toks)::DOUBLE, 4) AS mean_word_len,
-         round(((length(text) - length(replace(text, '#', '')))
+         floor((list_sum(list_transform(toks, t -> length(t))) / len(toks)::DOUBLE) * 10000 + 0.5) / 10000.0 AS mean_word_len,
+         floor((((length(text) - length(replace(text, '#', '')))
                 + (length(text) - length(replace(text, '...', ''))) / 3)
-               / len(toks)::DOUBLE, 4) AS symbol_ratio,
-         round(len(list_filter(lines, l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')))
-               / len(lines)::DOUBLE, 4) AS bullet_frac,
-         round(len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
-               / len(lines)::DOUBLE, 4) AS ellipsis_frac,
+               / len(toks)::DOUBLE) * 10000 + 0.5) / 10000.0 AS symbol_ratio,
+         floor((len(list_filter(lines, l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')))
+               / len(lines)::DOUBLE) * 10000 + 0.5) / 10000.0 AS bullet_frac,
+         floor((len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
+               / len(lines)::DOUBLE) * 10000 + 0.5) / 10000.0 AS ellipsis_frac,
          len(list_filter(['the','be','to','of','and','that','have','with'],
                          w -> list_contains(toks, w))) AS stop_hits
   FROM t)
@@ -1197,8 +1196,8 @@ WITH per AS (
   FROM documents GROUP BY source),
 tot AS (SELECT sum(n_tokens)::DOUBLE AS tot_tokens, count(*) AS k FROM per)
 SELECT source, n_docs, n_tokens,
-       round(n_tokens / tot_tokens, 6) AS token_share,
-       round((1.0 / k) / (n_tokens / tot_tokens), 6) AS uniform_weight
+       floor((n_tokens / tot_tokens) * 1000000 + 0.5) / 1000000.0 AS token_share,
+       floor(((1.0 / k) / (n_tokens / tot_tokens)) * 1000000 + 0.5) / 1000000.0 AS uniform_weight
 FROM per CROSS JOIN tot
 """,
 )
@@ -1225,17 +1224,19 @@ WITH e AS (SELECT vec_id, embedding FROM embeddings),
 c0 AS (SELECT vec_id AS c_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_vec
        FROM e WHERE vec_id < 8),
-d1 AS (SELECT vec_id, c_id, round({_sqdist_sql('embedding', 'c_vec')}, 6) AS d
+d1 AS (SELECT vec_id, c_id, floor(({_sqdist_sql('embedding', 'c_vec')}) * 1000000 + 0.5) / 1000000.0 AS d
        FROM e CROSS JOIN c0),
 a1 AS (SELECT vec_id, c_id AS cluster
        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn FROM d1)
        WHERE rn = 1),
-m1 AS (SELECT cluster, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+m1 AS (SELECT cluster, i,
+              sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+              / (count(*) * 1000000.0) AS m
        FROM a1 JOIN e USING (vec_id)
        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
        GROUP BY cluster, i),
 c1 AS (SELECT cluster AS c_id, list(m ORDER BY i) AS c_vec FROM m1 GROUP BY cluster),
-d2 AS (SELECT vec_id, c_id, round({_sqdist_sql('embedding', 'c_vec')}, 6) AS d
+d2 AS (SELECT vec_id, c_id, floor(({_sqdist_sql('embedding', 'c_vec')}) * 1000000 + 0.5) / 1000000.0 AS d
        FROM e CROSS JOIN c1)
 SELECT vec_id, cluster, dist FROM (
   SELECT vec_id, c_id AS cluster, d AS dist,
@@ -1266,7 +1267,7 @@ freq AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
 tot AS (SELECT sum(c)::DOUBLE AS tot FROM freq)
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(-log2(c / tot)), 4) AS surprise
+       floor((avg(-log2(c / tot))) * 10000 + 0.5) / 10000.0 AS surprise
 FROM tok JOIN freq USING (t) CROSS JOIN tot
 GROUP BY doc_id
 """,
@@ -1290,7 +1291,7 @@ dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
 nd AS (SELECT count(*) AS n FROM documents),
 scored AS (
   SELECT doc_id, t,
-         round(tf * (ln((n + 1) / (df + 1)::DOUBLE) + 1), 6) AS score
+         floor((tf * (ln((n + 1) / (df + 1)::DOUBLE) + 1)) * 1000000 + 0.5) / 1000000.0 AS score
   FROM tf JOIN dfreq USING (t) CROSS JOIN nd)
 SELECT doc_id, t AS term, score, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rank
@@ -1457,7 +1458,7 @@ m AS (
 SELECT doc_id,
        CAST(n_lines AS BIGINT) AS n_lines,
        CAST(kept_lines AS BIGINT) AS kept_lines,
-       round(kept_lines / n_lines::DOUBLE, 4) AS kept_frac,
+       floor((kept_lines / n_lines::DOUBLE) * 10000 + 0.5) / 10000.0 AS kept_frac,
        kept_lines >= 3 AS passes
 FROM m
 """,
@@ -1485,7 +1486,7 @@ docfreq AS (SELECT lh, CAST(count(*) AS BIGINT) AS df FROM lines GROUP BY lh)
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_lines,
        CAST(count(*) FILTER (WHERE df >= 3) AS BIGINT) AS bp_lines,
-       round(count(*) FILTER (WHERE df >= 3) / count(*)::DOUBLE, 4) AS bp_frac
+       floor((count(*) FILTER (WHERE df >= 3) / count(*)::DOUBLE) * 10000 + 0.5) / 10000.0 AS bp_frac
 FROM lines JOIN docfreq USING (lh)
 GROUP BY doc_id
 """,
@@ -1539,7 +1540,7 @@ WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
 freq AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
 tot AS (SELECT sum(c)::DOUBLE AS tot FROM freq),
 per AS (
-  SELECT doc_id, round(avg(-log2(c / tot)), 4) AS surprise
+  SELECT doc_id, floor((avg(-log2(c / tot))) * 10000 + 0.5) / 10000.0 AS surprise
   FROM tok JOIN freq USING (t) CROSS JOIN tot GROUP BY doc_id),
 cuts AS (SELECT quantile_cont(surprise, 1.0/3) AS c1,
                 quantile_cont(surprise, 2.0/3) AS c2 FROM per)
@@ -1583,10 +1584,10 @@ reach(src, dst) AS (
 clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
 q AS (
   SELECT doc_id,
-         round(0.4 * (len(list_filter({_TOKS}, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+         floor((0.4 * (len(list_filter({_TOKS}, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
                       / len({_TOKS})::DOUBLE)
                + 0.4 * (len(list_distinct({_TOKS})) / len({_TOKS})::DOUBLE)
-               + 0.2 * least(len({_TOKS})::DOUBLE, 100.0) / 100.0, 4) AS quality
+               + 0.2 * least(len({_TOKS})::DOUBLE, 100.0) / 100.0) * 10000 + 0.5) / 10000.0 AS quality
   FROM documents)
 SELECT cluster_id,
        CAST(count(*) AS BIGINT) AS n_members,
@@ -1645,7 +1646,7 @@ s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
       FROM m),
 scored AS (
   SELECT doc_id,
-         round({" + ".join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))}, 6) AS score
+         floor(({" + ".join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))}) * 1000000 + 0.5) / 1000000.0 AS score
   FROM m CROSS JOIN s)
 SELECT doc_id, score, rank FROM (
   SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
@@ -1669,7 +1670,7 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "embedding", "linalg", "pca"),
     oracle="""
 SELECT i.i AS i, j.j AS j,
-       round(sum(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[j.j + 1] AS DOUBLE)), 4) AS gram
+       sum(CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * CAST(embedding[j.j + 1] AS DOUBLE) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS gram
 FROM embeddings,
      (SELECT unnest(generate_series(0, 63)) AS i) i,
      (SELECT unnest(generate_series(0, 63)) AS j) j
@@ -1693,7 +1694,7 @@ WITH n AS (SELECT vec_id, embedding, label, {_norm_sql('embedding')} AS nrm FROM
 p AS (SELECT * FROM n WHERE vec_id < 100),
 scored AS (
   SELECT p.vec_id AS q, p.label AS true_label, c.vec_id AS nb, c.label AS nb_label,
-         round({_dot_sql('p.embedding', 'c.embedding')} / (p.nrm * c.nrm), 6) AS sim
+         floor(({_dot_sql('p.embedding', 'c.embedding')} / (p.nrm * c.nrm)) * 1000000 + 0.5) / 1000000.0 AS sim
   FROM p JOIN n c ON c.vec_id <> p.vec_id),
 top AS (
   SELECT q, true_label, nb_label FROM (
@@ -1740,17 +1741,17 @@ enc AS (
     SELECT v.vec_id, cb.s, cb.c_id,
            row_number() OVER (
              PARTITION BY v.vec_id, cb.s
-             ORDER BY round({_pq_d2_sql('v.embedding', 'cb.cvec')}, 6), cb.c_id
+             ORDER BY floor(({_pq_d2_sql('v.embedding', 'cb.cvec')}) * 1000000 + 0.5) / 1000000.0, cb.c_id
            ) AS rn
     FROM embeddings v CROSS JOIN cb)
   WHERE rn = 1),
 lut AS (
   SELECT q.vec_id AS q_id, cb.s, cb.c_id,
-         round({_pq_d2_sql('q.embedding', 'cb.cvec')}, 6) AS dist
+         floor(({_pq_d2_sql('q.embedding', 'cb.cvec')}) * 1000000 + 0.5) / 1000000.0 AS dist
   FROM embeddings q CROSS JOIN cb
   WHERE q.vec_id < 10),
 adc AS (
-  SELECT l.q_id, e.vec_id AS n_id, round(sum(l.dist), 6) AS adc_dist
+  SELECT l.q_id, e.vec_id AS n_id, floor((sum(l.dist)) * 1000000 + 0.5) / 1000000.0 AS adc_dist
   FROM enc e JOIN lut l ON l.s = e.s AND l.c_id = e.code
   WHERE e.vec_id <> l.q_id
   GROUP BY l.q_id, e.vec_id),
@@ -1798,7 +1799,7 @@ exact AS (
     SELECT q.vec_id AS q_id, c.vec_id AS n_id,
            row_number() OVER (
              PARTITION BY q.vec_id
-             ORDER BY round({_PQ_L2_SQL}, 6), c.vec_id
+             ORDER BY floor(({_PQ_L2_SQL}) * 1000000 + 0.5) / 1000000.0, c.vec_id
            ) AS rn
     FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
     WHERE q.vec_id < 10)
@@ -1807,7 +1808,7 @@ hits AS (
   SELECT e.q_id, count(p.n_id) AS n_hit
   FROM exact e LEFT JOIN pqtop p ON p.q_id = e.q_id AND p.n_id = e.n_id
   GROUP BY e.q_id)
-SELECT q_id, round(n_hit / 10.0, 4) AS recall_at_10 FROM hits
+SELECT q_id, floor((n_hit / 10.0) * 10000 + 0.5) / 10000.0 AS recall_at_10 FROM hits
 """,
 )
 def llm_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1830,7 +1831,7 @@ def llm_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("n_id").alias("n_hit"))
     )
     return hits.select(
-        F.col("eq").alias("q_id"), F.round(F.col("n_hit") / 10.0, 4).alias("recall_at_10")
+        F.col("eq").alias("q_id"), fround(F.col("n_hit") / 10.0, 4).alias("recall_at_10")
     )
 
 
@@ -1843,9 +1844,9 @@ SELECT source,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
        CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
-       round(1.0 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 4) AS dup_ratio,
+       floor((1.0 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS dup_ratio,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-       round(sum(len({_TOKS})) / CAST(count(*) AS DOUBLE), 2) AS avg_doc_tokens
+       floor((sum(len({_TOKS})) / CAST(count(*) AS DOUBLE)) * 100 + 0.5) / 100.0 AS avg_doc_tokens
 FROM documents
 GROUP BY source
 """,
@@ -1870,11 +1871,11 @@ def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
             F.sum("ntok").alias("total_tokens"),
             F.count_distinct("h").alias("n_distinct_texts"),
-            F.round(
+            fround(
                 F.lit(1.0) - F.count_distinct("h") / F.count(F.lit(1)).cast("double"), 4
             ).alias("dup_ratio"),
             F.count_distinct("lang").alias("n_langs"),
-            F.round(F.sum("ntok") / F.count(F.lit(1)).cast("double"), 2).alias(
+            fround(F.sum("ntok") / F.count(F.lit(1)).cast("double"), 2).alias(
                 "avg_doc_tokens"
             ),
         )
@@ -1904,7 +1905,7 @@ cellassign AS (
     SELECT v.vec_id, cent.t_id,
            row_number() OVER (
              PARTITION BY v.vec_id
-             ORDER BY round({_l2full_sql('v.embedding', 'cent.tvec')}, 6), cent.t_id
+             ORDER BY floor(({_l2full_sql('v.embedding', 'cent.tvec')}) * 1000000 + 0.5) / 1000000.0, cent.t_id
            ) AS rn
     FROM embeddings v CROSS JOIN cent)
   WHERE rn = 1),
@@ -1913,7 +1914,7 @@ probecells AS (
     SELECT q.vec_id AS q_id, cent.t_id,
            row_number() OVER (
              PARTITION BY q.vec_id
-             ORDER BY round({_l2full_sql('q.embedding', 'cent.tvec')}, 6), cent.t_id
+             ORDER BY floor(({_l2full_sql('q.embedding', 'cent.tvec')}) * 1000000 + 0.5) / 1000000.0, cent.t_id
            ) AS rn
     FROM embeddings q CROSS JOIN cent
     WHERE q.vec_id < 10)
@@ -1923,17 +1924,17 @@ enc AS (
     SELECT v.vec_id, cb.s, cb.c_id,
            row_number() OVER (
              PARTITION BY v.vec_id, cb.s
-             ORDER BY round({_pq_d2_sql('v.embedding', 'cb.cvec')}, 6), cb.c_id
+             ORDER BY floor(({_pq_d2_sql('v.embedding', 'cb.cvec')}) * 1000000 + 0.5) / 1000000.0, cb.c_id
            ) AS rn
     FROM embeddings v CROSS JOIN cb)
   WHERE rn = 1),
 lut AS (
   SELECT q.vec_id AS q_id, cb.s, cb.c_id,
-         round({_pq_d2_sql('q.embedding', 'cb.cvec')}, 6) AS dist
+         floor(({_pq_d2_sql('q.embedding', 'cb.cvec')}) * 1000000 + 0.5) / 1000000.0 AS dist
   FROM embeddings q CROSS JOIN cb
   WHERE q.vec_id < 10),
 adc AS (
-  SELECT l.q_id, e.vec_id AS n_id, round(sum(l.dist), 6) AS adc_dist
+  SELECT l.q_id, e.vec_id AS n_id, floor((sum(l.dist)) * 1000000 + 0.5) / 1000000.0 AS adc_dist
   FROM enc e
   JOIN cellassign ca ON ca.vec_id = e.vec_id
   JOIN probecells pc ON pc.cell = ca.cell
@@ -1974,7 +1975,7 @@ m AS (
          len(list_filter(toks, x -> x IN ({", ".join(f"'{w}'" for w in _SENT_NEG)}))) AS neg
   FROM t)
 SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
-       round((pos - neg) / CAST(n AS DOUBLE), 4) AS polarity,
+       floor(((pos - neg) / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS polarity,
        CASE WHEN pos > neg THEN 'pos' WHEN neg > pos THEN 'neg' ELSE 'neutral' END AS label
 FROM m
 """,
@@ -2005,7 +2006,7 @@ def llm_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "pos",
         "neg",
-        F.round((F.col("pos") - F.col("neg")) / F.col("n").cast("double"), 4).alias(
+        fround((F.col("pos") - F.col("neg")) / F.col("n").cast("double"), 4).alias(
             "polarity"
         ),
         F.when(F.col("pos") > F.col("neg"), "pos")

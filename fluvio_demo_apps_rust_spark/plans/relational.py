@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..session import ensure_utc
-from .base import load, qavg, qsum, quant, register
+from .base import fround, load, qavg, qsum, quant, register
 
 # ---------------------------------------------------------------------------
 # Aggregation / scan queries
@@ -377,7 +377,7 @@ def q08_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_order_lineitem_stats",
     tags=("join", "agg"),
     oracle="""
-SELECT o_orderkey, n_items, round(max_price, 2) AS max_price
+SELECT o_orderkey, n_items, floor((max_price) * 100 + 0.5) / 100.0 AS max_price
 FROM orders
 JOIN (
   SELECT l_orderkey, count(*) AS n_items, max(l_extendedprice) AS max_price
@@ -399,7 +399,7 @@ def q22_order_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select("o_orderkey", "n_items", F.round(F.col("_mp"), 2).alias("max_price"))
+        .select("o_orderkey", "n_items", fround(F.col("_mp"), 2).alias("max_price"))
     )
 
 
@@ -470,7 +470,7 @@ def q16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_topk_per_group",
     tags=("window", "rank"),
     oracle="""
-SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+SELECT o_custkey, o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100.0 AS totalprice, rn
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -488,7 +488,7 @@ def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select(
-            "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn"
+            "o_custkey", "o_orderkey", fround("o_totalprice", 2).alias("totalprice"), "rn"
         )
     )
 
@@ -526,7 +526,7 @@ def q12_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey, o_orderkey,
        CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS gap_days,
-       round(o_totalprice - lag(o_totalprice) OVER w, 2)                      AS price_delta
+       floor((o_totalprice - lag(o_totalprice) OVER w) * 100 + 0.5) / 100.0                      AS price_delta
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """,
@@ -542,7 +542,7 @@ def q13_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
         .cast("long")
         .alias("gap_days"),
-        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("price_delta"),
+        fround(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("price_delta"),
     )
 
 
@@ -554,7 +554,7 @@ def q13_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_global_topk",
     tags=("sort", "topk"),
     oracle="""
-SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderpriority
+SELECT o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100.0 AS totalprice, o_orderpriority
 FROM orders
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 10
@@ -567,7 +567,7 @@ def q17_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "o_orderpriority")
+        .select("o_orderkey", fround("o_totalprice", 2).alias("totalprice"), "o_orderpriority")
     )
 
 
