@@ -672,7 +672,12 @@ w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)"""
     ]
     for k in range(1, _LR_ITERS + 1):
         p = f"w{k - 1}"
-        sig = f"1.0 / (1.0 + exp(-({p}.b + {p}.w1 * f.x1 + {p}.w2 * f.x2)))"
+        # softsign logistic (0.5 + 0.5*z/(1+|z|)): same sign/shape as the
+        # sigmoid but built ONLY from correctly-rounded IEEE ops (+,*,/,
+        # abs) — no exp(), whose 1-ulp engine variance could flip a
+        # quantized gradient unit and compound across epochs
+        z = f"({p}.b + {p}.w1 * f.x1 + {p}.w2 * f.x2)"
+        sig = f"(0.5 + 0.5 * {z} / (1.0 + abs({z})))"
         ctes.append(
             f"""w{k} AS (
   SELECT {p}.b + {_LR_RATE} * (sum(CAST(floor((f.y - {sig}) * {_GRAD_SCALE} + 0.5) AS BIGINT))
@@ -691,7 +696,7 @@ w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)"""
 SELECT CAST(floor({w}.b * 1000000 + 0.5) AS BIGINT) AS b_micro,
        CAST(floor({w}.w1 * 1000000 + 0.5) AS BIGINT) AS w1_micro,
        CAST(floor({w}.w2 * 1000000 + 0.5) AS BIGINT) AS w2_micro,
-       CAST(sum(CASE WHEN (CASE WHEN 1.0 / (1.0 + exp(-({w}.b + {w}.w1 * f.x1 + {w}.w2 * f.x2))) > 0.5
+       CAST(sum(CASE WHEN (CASE WHEN ({w}.b + {w}.w1 * f.x1 + {w}.w2 * f.x2) > 0.0
                           THEN 1.0 ELSE 0.0 END) = f.y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        CAST(count(*) AS BIGINT) AS n_total
 FROM f, {w} GROUP BY {w}.b, {w}.w1, {w}.w2"""
@@ -719,13 +724,13 @@ def llm_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     because each plan starts fresh from the scan. Per-row gradient
     components are quantized to exact BIGINTs before summing
     (floor(x+0.5), binary on both engines), making the weights
-    independent of partition/summation order. Residual cross-engine
-    risk: the sigmoid's exp() is only 1-ulp-accurate in both JVM Math
-    and libm, so a per-row term landing within ~1 ulp of a quantize
-    boundary could still flip one grad unit (and compound across the 5
-    epochs); if that ever flakes, replace the sigmoid with a rational
-    (dyadic-coefficient) approximation computed in plain arithmetic.
-    Final row: micro-scaled weights + training accuracy."""
+    independent of partition/summation order — and the activation is a
+    SOFTSIGN logistic (0.5 + 0.5·z/(1+|z|)): same sign/monotonicity as
+    the sigmoid, but built only from correctly-rounded IEEE ops, so
+    there is NO transcendental anywhere in the training loop and the
+    epochs are engine-bit-identical by construction (the exp() 1-ulp
+    compounding risk the r3 advice flagged is eliminated, not just
+    documented). Final row: micro-scaled weights + training accuracy."""
     d = load(spark, sf_dir, "documents")
     f = d.select(
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
@@ -736,7 +741,7 @@ def llm_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = w1 = w2 = 0.0
     for _ in range(_LR_ITERS):
         z = F.lit(b) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
-        sig = 1.0 / (1.0 + F.exp(-z))
+        sig = 0.5 + 0.5 * z / (1.0 + F.abs(z))  # softsign logistic, exp-free
         err = F.col("y") - sig
         sums = f.agg(
             F.sum(F.floor(err * _GRAD_SCALE + F.lit(0.5)).cast("long")).alias("g0"),
@@ -751,7 +756,7 @@ def llm_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         w1 += _LR_RATE * (sums.g1 / (n_row * _GRAD_SCALE))
         w2 += _LR_RATE * (sums.g2 / (n_row * _GRAD_SCALE))
     z = F.lit(b) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
-    pred = F.when(1.0 / (1.0 + F.exp(-z)) > 0.5, 1.0).otherwise(0.0)
+    pred = F.when(z > 0.0, 1.0).otherwise(0.0)  # s(z) > 0.5 <=> z > 0
     return f.agg(
         # floor(x+0.5) on both sides: binary-value semantics on both
         # engines, unlike round() (Spark stringy half-up vs DuckDB
