@@ -1326,3 +1326,115 @@ def llm_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("top_count"),
         F.sum(term).alias("entropy_nanobits"),
     )
+
+
+# HyperLogLog with p=8 (m=256 registers). The scale constant
+# alpha_256 * m^2 * 2^53 is computed ONCE here and its repr embedded
+# verbatim in both the Spark literal and the oracle SQL, so both
+# engines parse the identical decimal literal to the identical double.
+_HLL_M = 256
+_HLL_C = 0.7213 / (1.0 + 1.079 / _HLL_M) * 65536.0 * 9007199254740992.0
+
+
+@register(
+    "q89_hll_distinct",
+    tags=("sketch", "hll", "distinct"),
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events),
+r AS (
+  SELECT event_type, hv % {_HLL_M} AS idx,
+         CASE WHEN hv // {_HLL_M} = 0 THEN 53
+              ELSE 53 - length(bin(hv // {_HLL_M})) END AS rho
+  FROM h),
+reg AS (
+  SELECT event_type, idx, max(rho) AS mx
+  FROM r GROUP BY event_type, idx),
+s AS (
+  SELECT event_type,
+         CAST(sum(1::BIGINT << (53 - mx)) AS BIGINT)
+           + ({_HLL_M} - CAST(count(*) AS BIGINT)) * (1::BIGINT << 53) AS denom,
+         {_HLL_M} - CAST(count(*) AS BIGINT) AS v
+  FROM reg GROUP BY event_type),
+est AS (
+  SELECT event_type, v, {_HLL_C!r} / CAST(denom AS DOUBLE) AS raw_e
+  FROM s),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type)
+SELECT s.event_type, e.exact_distinct,
+       CAST(CASE WHEN s.raw_e <= {2.5 * _HLL_M!r} AND s.v > 0
+                 THEN floor({float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+                            / CAST(s.v AS DOUBLE)) + 0.5)
+                 ELSE floor(s.raw_e + 0.5) END AS BIGINT) AS hll_estimate
+FROM est s JOIN exact e ON e.event_type = s.event_type
+""",
+)
+def q89_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count per event type with a DETERMINISTIC
+    cross-engine estimate — the fixed-memory companion to the KMV
+    sketch in q82: m=256 registers (p=8) keyed by the low 8 bits of
+    the 60-bit md5 hash, register value rho = leading-zero rank of the
+    remaining 52 bits. No transcendental anywhere: rho comes from
+    ``length(bin(w))`` (exact integer on both engines, w=0
+    special-cased), the harmonic denominator Σ2^(-rho) is scaled by
+    2^53 and summed in EXACT BIGINT arithmetic (empty registers
+    contribute 2^53 each), and the single final division uses a
+    constant whose decimal repr is embedded verbatim in both plans —
+    so the estimate is bit-identical across engines and the driver
+    hash-gate applies (unlike engine-native HLL: q52_approx_distinct's
+    approx_count_distinct is rows-only-checkable). The standard
+    small-range (linear-counting) correction IS applied — raw E ≤ 2.5m
+    with empty registers → ``m·ln(m/V)`` — because without it a
+    15-distinct group estimates ~190; the branch condition compares
+    the identical double E on both engines, V is an exact integer, and
+    the one ``ln`` is the repo's documented residual class (1-ulp
+    engine variance could flip the floor only if m·ln(m/V) sits within
+    ~1e-10 of a .5 boundary — same posture as llm_naive_bayes).
+
+    Scale posture (100 TB): ONE partial-aggregating shuffle on
+    (event_type, register) — map-side combine caps the exchange at
+    groups x 256 rows regardless of input rows — then a per-group
+    256-row reduce. Sketch state is fixed-size and mergeable (max per
+    register), the streaming/multi-tenant shape; no distinct, no
+    window, no sort anywhere (KMV's bottom-k needs a per-group order).
+
+    Reference parity: the reference has no sketch module; this extends
+    the training-data-curation surface (corpus cardinality probes)
+    the task brief asks for beyond reference parity."""
+    e = load(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.expr(f"hv DIV {_HLL_M}")
+    r = e.select("event_type", hv.alias("hv")).select(
+        "event_type",
+        (F.col("hv") % _HLL_M).alias("idx"),
+        F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w))).alias("rho"),
+    )
+    reg = r.groupBy("event_type", "idx").agg(F.max("rho").alias("mx"))
+    s = reg.groupBy("event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mx AS INT))"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(1 << 53)
+        ).alias("denom"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v"),
+    )
+    raw_e = F.lit(_HLL_C) / F.col("denom").cast("double")
+    lc = F.floor(
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v").cast("double"))
+        + F.lit(0.5)
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return s.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        F.when((raw_e <= F.lit(2.5 * _HLL_M)) & (F.col("v") > 0), lc)
+        .otherwise(F.floor(raw_e + F.lit(0.5)))
+        .cast("long")
+        .alias("hll_estimate"),
+    )

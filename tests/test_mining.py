@@ -149,3 +149,19 @@ def test_weighted_sample_tracks_weights(spark):
         F.avg(F.col("kept").cast("double"))
     ).first()[0]
     assert hi > lo > 0
+
+
+def test_hll_estimate_brackets_exact(spark):
+    """HLL sanity on the real events table: every group's estimate is
+    within the 3-sigma band (sigma = 1.04/sqrt(256) ~= 6.5% relative)
+    of the exact distinct, and the linear-counting branch engages at
+    smoke scale (15 distinct users -> estimate within 2 of exact, not
+    the uncorrected raw HLL ~190)."""
+    from fluvio_demo_apps_rust_spark.plans import REGISTRY
+
+    rows = REGISTRY["q89_hll_distinct"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.hll_estimate - r.exact_distinct) <= 2 + 0.2 * r.exact_distinct
+        if r.exact_distinct <= 100:  # LC regime
+            assert abs(r.hll_estimate - r.exact_distinct) <= 2
