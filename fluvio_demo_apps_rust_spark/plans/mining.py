@@ -1438,3 +1438,103 @@ def q89_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hll_estimate"),
     )
+
+
+@register(
+    "q90_histogram_quantiles",
+    tags=("sketch", "quantile", "histogram"),
+    oracle="""
+WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+mm AS (SELECT min(cents) AS mn, max(cents) AS mx, CAST(count(*) AS BIGINT) AS n FROM c),
+bk AS (SELECT ((cents - mn) * 256) // (mx - mn + 1) AS b, mn, mx, n FROM c, mm),
+hist AS (SELECT b, mn, mx, n, CAST(count(*) AS BIGINT) AS cnt FROM bk GROUP BY b, mn, mx, n),
+cum AS (SELECT *, CAST(sum(cnt) OVER (ORDER BY b) AS BIGINT) AS cum FROM hist),
+probes AS (SELECT CAST(unnest([5000, 9000, 9900]) AS BIGINT) AS p_bp),
+est AS (
+  SELECT p.p_bp,
+         arg_min(mn + (b * (mx - mn + 1)) // 256
+             + (((p.p_bp * n + 9999) // 10000 - (cum - cnt))
+                * (((b + 1) * (mx - mn + 1)) // 256 - (b * (mx - mn + 1)) // 256)) // cnt,
+             b) AS est_cents
+  FROM probes p JOIN cum ON cum.cum >= (p.p_bp * cum.n + 9999) // 10000
+  GROUP BY p.p_bp),
+dist AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY cents),
+dcum AS (SELECT cents, CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum FROM dist),
+ex AS (SELECT p.p_bp, min(d.cents) AS exact_cents
+       FROM probes p, mm, dcum d WHERE d.cum >= (p.p_bp * mm.n + 9999) // 10000
+       GROUP BY p.p_bp)
+SELECT e.p_bp, e.exact_cents, est.est_cents
+FROM ex e JOIN est ON est.p_bp = e.p_bp
+""",
+)
+def q90_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width-histogram quantile sketch over order value
+    (p50/p90/p99), beside the rank-exact quantile — the deterministic
+    counterpart to engine-native approx_percentile (whose t-digest-ish
+    state is engine-specific and rows-only-checkable, like the HLL in
+    q52). EVERY step is exact BIGINT arithmetic: o_totalprice is a raw
+    2-dp money column so cents-quantization is exact; bucket index,
+    bucket bounds, rank targets (ceil via ``(p·n + 9999) DIV 10000``),
+    and the within-bucket linear interpolation all use integer
+    multiply/DIV — no double exists anywhere in the plan, so there is
+    NOTHING to round and the cross-engine hash is safe by construction
+    (stronger than the documented-residual class: q89's ln, naive
+    Bayes).
+
+    Scale posture (100 TB): the sketch path is a min/max/count scalar
+    pass + ONE partial-aggregating shuffle into ≤256 fixed-width
+    bucket counts (map-side combine caps the exchange regardless of
+    input rows; counts merge by addition = shard-combinable, the
+    streaming-rollup shape); the cumulative window then runs over
+    ≤256 rows — constant, partition-safe. Probe lookup is a broadcast
+    of 3×256 candidate rows reduced by min_by. The EXACT companion
+    aggregates distinct cent values then windows over them — that side
+    is the verification baseline, not the scale path (at 100 TB it
+    would use llm_sequence_pack's two-phase distributed prefix sum or
+    simply be dropped, leaving the histogram alone).
+
+    Reference parity: no sketch module exists in the reference
+    (cdc-mysql); this extends the curation/analytics surface the task
+    brief requires beyond reference parity."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    mm = c.agg(
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bk = c.crossJoin(F.broadcast(mm)).select(
+        F.expr("((cents - mn) * 256) DIV (mx - mn + 1)").alias("b"), "mn", "mx", "n"
+    )
+    hist = bk.groupBy("b", "mn", "mx", "n").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)  # <=256 rows
+    cum = hist.withColumn("cum", F.sum("cnt").over(wb))
+    probes = spark.range(1).select(
+        F.explode(F.array(F.lit(5000), F.lit(9000), F.lit(9900))).alias("p0")
+    ).select(F.col("p0").cast("long").alias("p_bp"))
+    r_tgt = F.expr("(p_bp * n + 9999) DIV 10000")
+    est_expr = F.expr(
+        "mn + (b * (mx - mn + 1)) DIV 256"
+        " + ((((p_bp * n + 9999) DIV 10000) - (cum - cnt))"
+        "    * (((b + 1) * (mx - mn + 1)) DIV 256 - (b * (mx - mn + 1)) DIV 256))"
+        "   DIV cnt"
+    )
+    est = (
+        probes.join(F.broadcast(cum), cum["cum"] >= r_tgt)
+        .groupBy("p_bp")
+        .agg(F.min_by(est_expr, F.col("b")).alias("est_cents"))
+    )
+    dist = c.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wd = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    dcum = dist.withColumn("cum", F.sum("cnt").over(wd))
+    ex = (
+        probes.crossJoin(F.broadcast(mm))
+        .join(dcum, dcum["cum"] >= r_tgt)
+        .groupBy("p_bp")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    return ex.join(est, "p_bp").select("p_bp", "exact_cents", "est_cents")

@@ -165,3 +165,28 @@ def test_hll_estimate_brackets_exact(spark):
         assert abs(r.hll_estimate - r.exact_distinct) <= 2 + 0.2 * r.exact_distinct
         if r.exact_distinct <= 100:  # LC regime
             assert abs(r.hll_estimate - r.exact_distinct) <= 2
+
+
+def test_histogram_quantile_within_bucket(spark):
+    """The equi-width-histogram estimator's defining bound: the
+    estimate lands within one bucket width of the rank-exact quantile,
+    and both columns are monotone across p50 < p90 < p99."""
+    import pyspark.sql.functions as F
+
+    from fluvio_demo_apps_rust_spark.plans import REGISTRY
+    from fluvio_demo_apps_rust_spark.plans.base import load
+
+    rows = sorted(
+        REGISTRY["q90_histogram_quantiles"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.p_bp,
+    )
+    assert [r.p_bp for r in rows] == [5000, 9000, 9900]
+    o = load(spark, SF_SMOKE, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c")
+    )
+    mm = o.agg(F.min("c").alias("mn"), F.max("c").alias("mx")).first()
+    width = (mm.mx - mm.mn + 1) // 256 + 1
+    for r in rows:
+        assert abs(r.est_cents - r.exact_cents) <= width
+    assert rows[0].exact_cents <= rows[1].exact_cents <= rows[2].exact_cents
+    assert rows[0].est_cents <= rows[1].est_cents <= rows[2].est_cents
