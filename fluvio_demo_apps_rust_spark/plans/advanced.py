@@ -548,7 +548,7 @@ WITH ps AS (
   FROM lineitem GROUP BY 1, 2),
 best AS (SELECT l_partkey, min(unit_cost) AS best_cost FROM ps GROUP BY 1)
 SELECT p_partkey, p_name, s_name, n_name,
-       round(ps.unit_cost * 100) / 100.0 AS unit_cost
+       floor(ps.unit_cost * 100 + 0.5) / 100.0 AS unit_cost
 FROM ps
 JOIN best ON best.l_partkey = ps.l_partkey AND ps.unit_cost = best.best_cost
 JOIN part ON p_partkey = ps.l_partkey
@@ -566,12 +566,14 @@ def q60_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic on doubles so the float equality is safe on both
     engines. Dim tables (part filtered, supplier, nation) broadcast.
 
-    The output rounds via scale-0 integer rounding (round(x*100)/100):
-    Spark's fractional-scale round goes through Double.toString, so a
-    double whose shortest decimal repr sits exactly on the half
-    boundary (e.g. 75.19499…→"75.195") rounds UP while DuckDB rounds
-    the binary value DOWN — scale-0 rounding agrees on every double
-    (found at sf0.1; same fix in q36)."""
+    The output is presented at 2 dp via the repo's binary floor form
+    (fround): unit_cost is an INEXACT quotient, and BOTH of Spark's
+    round scales go through Double.toString (a shortest-repr
+    "…·5" can sit below the binary half: 75.19499…→"75.195" rounds UP
+    on Spark, DOWN in DuckDB — and README finding #5 showed scale-0
+    round has the same failure, q86's 43973.5), so floor(x·100+0.5)
+    on the identical double is the only engine-stable presentation
+    (same fix in q36)."""
     li = load(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
@@ -595,7 +597,7 @@ def q60_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_name",
             "s_name",
             "n_name",
-            (F.round(F.col("unit_cost") * 100) / 100.0).alias("unit_cost"),
+            fround(F.col("unit_cost"), 2).alias("unit_cost"),
         )
     )
 

@@ -209,8 +209,8 @@ def q35_events_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS h, event_type,
          count(*) AS c,
-         round(sum(CAST(round(value * 10000) AS BIGINT))
-               / (count(*) * 10000.0) * 10000) / 10000.0 AS av
+         floor(sum(CAST(round(value * 10000) AS BIGINT))
+               / (count(*) * 10000.0) * 10000 + 0.5) / 10000.0 AS av
   FROM events GROUP BY 1, 2),
 bounds AS (
   SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
@@ -236,12 +236,14 @@ def q36_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct keys), never materialized wider than slots × keys.
 
     The hourly average sums exact scaled integers (round(value·10⁴) as
-    BIGINT) so partial-aggregation order can't move the result, and the
-    4-dp presentation rounds at scale 0 (round(x·10⁴)/10⁴) — Spark's
-    fractional-scale round is Double.toString-based and disagrees with
-    DuckDB's binary rounding exactly at shortest-repr half boundaries
-    (found at sf0.1; same fix in q60). Rounding happens per hourly
-    value BEFORE the forward-fill window, which only copies it."""
+    BIGINT — identity-safe on the raw 4-dp source column) so
+    partial-aggregation order can't move the result, and the 4-dp
+    presentation uses the repo's binary floor form (fround: the
+    scale-0 round() this query used through r3 is NOT half-boundary
+    immune either — README finding #5, q86's 43973.5 — so it was
+    migrated like everything else; same fix in q60). Rounding happens
+    per hourly value BEFORE the forward-fill window, which only
+    copies it."""
     from pyspark.sql import Window
 
     e = _events(spark, sf_dir)
@@ -249,13 +251,10 @@ def q36_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("h"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("c"),
-        (
-            F.round(
-                F.sum(F.round(F.col("value") * 10000).cast("long"))
-                / (F.count(F.lit(1)) * 10000.0)
-                * 10000
-            )
-            / 10000.0
+        fround(
+            F.sum(F.round(F.col("value") * 10000).cast("long"))
+            / (F.count(F.lit(1)) * 10000.0),
+            4,
         ).alias("av"),
     )
     bounds = e.agg(
