@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "llm_doc_repetition",
     "llm_countmin_heavyhitters",
     "q85_rfm_segmentation",
+    # round 4 additions (sketch family growth documented in BASELINE.md:
+    # totals before r4 exclude these two, compare per-query/per-family)
+    "q89_hll_distinct",
+    "q90_histogram_quantiles",
 ]
 
 # Per-family subtotals so cross-round regressions (CDC vs dedup vs ANN)
@@ -89,6 +93,8 @@ FAMILY = {
     "llm_doc_repetition": "text",
     "llm_countmin_heavyhitters": "mining",
     "q85_rfm_segmentation": "mining",
+    "q89_hll_distinct": "mining",
+    "q90_histogram_quantiles": "mining",
 }
 
 
