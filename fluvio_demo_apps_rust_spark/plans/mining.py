@@ -1538,3 +1538,88 @@ def q90_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cents").alias("exact_cents"))
     )
     return ex.join(est, "p_bp").select("p_bp", "exact_cents", "est_cents")
+
+
+@register(
+    "q91_stream_hll",
+    tags=("sketch", "hll", "streaming", "stateful"),
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events),
+r AS (
+  SELECT event_type, hv % {_HLL_M} AS idx,
+         CASE WHEN hv // {_HLL_M} = 0 THEN 53
+              ELSE 53 - length(bin(hv // {_HLL_M})) END AS rho
+  FROM h),
+reg AS (
+  SELECT event_type, idx, max(rho) AS mx
+  FROM r GROUP BY event_type, idx),
+s AS (
+  SELECT event_type,
+         CAST(sum(1::BIGINT << (53 - mx)) AS BIGINT)
+           + ({_HLL_M} - CAST(count(*) AS BIGINT)) * (1::BIGINT << 53) AS denom,
+         {_HLL_M} - CAST(count(*) AS BIGINT) AS v
+  FROM reg GROUP BY event_type),
+est AS (
+  SELECT event_type, v, {_HLL_C!r} / CAST(denom AS DOUBLE) AS raw_e
+  FROM s),
+n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type)
+SELECT n.event_type, n.n_events,
+       CAST(CASE WHEN e.raw_e <= {2.5 * _HLL_M!r} AND e.v > 0
+                 THEN floor({float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+                            / CAST(e.v AS DOUBLE)) + 0.5)
+                 ELSE floor(e.raw_e + 0.5) END AS BIGINT) AS hll_estimate
+FROM n JOIN est e ON e.event_type = n.event_type
+""",
+)
+def q91_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run of the mergeable HLL sketch: the
+    events table streamed file-source → ``hll_distinct_stream``
+    (applyInPandasWithState keeping 256 registers + a row counter per
+    event type, availableNow trigger, memory sink) — the streaming
+    twin of q89, and the oracle is the same batch HLL formula, so the
+    gate proves STREAMING == BATCH: folding rows through checkpointed
+    microbatch state lands on the identical registers (element-wise
+    max is order/shard-insensitive) and the identical estimate. The
+    Python-side estimate math mirrors q89's Spark/DuckDB text exactly
+    (same embedded constant repr; the LC branch's one ln is
+    libm-vs-libm here — Python and DuckDB both call the system libm —
+    so even the documented JVM 1-ulp residual doesn't apply).
+
+    Scale posture: state is 256 bytes + one BIGINT per key forever;
+    each microbatch shuffles only (event_type, user_id) pairs to the
+    stateful operator; restart-safety is pinned separately by
+    tests/test_streaming_sketch.py."""
+    from ..streaming.sketches import hll_distinct_stream
+
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source wants a directory: stream the sf dir, glob-
+    # filtered to the one events file (no copy of the data)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = "q91_stream_hll_" + uuid.uuid4().hex[:8]
+    q = (
+        hll_distinct_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode re-emits a key on every batch that touches it; the
+    # final state row is the one with the highest running count
+    return spark.sql(
+        f"""SELECT event_type, max(n_events) AS n_events,
+                   max_by(hll_estimate, n_events) AS hll_estimate
+            FROM {name} GROUP BY event_type"""
+    )
