@@ -104,6 +104,67 @@ _PRIORITY: tuple[str, ...] = (
     "q51_range_join",
 )
 
+# ROUND 5 — STAGED, NOT ACTIVE (activating mid-round-4 could disturb the
+# r4 driver sample). First commit of round 5: set `_PRIORITY = _PRIORITY_R5`
+# below. This is exactly the still-never-driver-sampled set after r4
+# (computed from CORRECTNESS_r01-03 keys + the first 50 of the r4 order):
+# 53 names, so the ~50-query sample covers all but ~3.
+_PRIORITY_R5: tuple[str, ...] = (
+    "q40_pivot",
+    "q41_percentiles",
+    "q42_ordered_agg",
+    "q43_rank_family",
+    "q44_range_frame",
+    "q45_full_outer",
+    "q46_cross_join",
+    "q47_setops_all",
+    "q48_correlated_subqueries",
+    "q49_scalar_library",
+    "q52_approx_distinct",
+    "q53_unpivot",
+    "q54_lateral_explode",
+    "q56_sample_hash",
+    "q57_array_ops",
+    "q58_disjunctive_join",
+    "q59_profit_rollup",
+    "q60_min_cost_supplier",
+    "q61_waiting_suppliers",
+    "q62_idle_rich_customers",
+    "q63_binational_volume",
+    "q64_market_share",
+    "q65_value_windows",
+    "q66_shipmode_buckets",
+    "q67_order_count_histogram",
+    "q68_large_orders",
+    "q50_asof_join",
+    "q51_range_join",
+    "q55_skew_salted_agg",
+    "q69_skew_salted_join",
+    "q79_pagerank",
+    "q80_weighted_sample",
+    "q81_zorder_layout",
+    "q83_graph_triangles",
+    "q84_market_basket",
+    "q85_rfm_segmentation",
+    "q86_ewma_smoothing",
+    "q89_hll_distinct",
+    "q90_histogram_quantiles",
+    "q91_stream_hll",
+    "llm_dedup_keep_best",
+    "llm_gram_matrix",
+    "llm_knn_classify",
+    "llm_corpus_report",
+    "llm_sentiment",
+    "llm_naive_bayes",
+    "llm_quality_lr",
+    "llm_vocab_coverage",
+    "llm_vocab_entropy",
+    "llm_multimodal_meta",
+    "llm_multimodal_frames",
+    "llm_multimodal_resize",
+    "llm_stream_incremental_dedup",
+)
+
 
 def _rotate_registry() -> None:
     missing = [n for n in _PRIORITY if n not in REGISTRY]
