@@ -74,3 +74,44 @@ def test_streaming_hll_matches_batch_and_survives_restart(spark, tmp_path):
         # and it actually estimates the true cardinality sanely
         exact = per_type.get_group(et).nunique()
         assert abs(row.hll_estimate - exact) <= 2 + 0.2 * exact
+
+
+# -- pure-Python property pins (no Spark) ------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fluvio_demo_apps_rust_spark.streaming.sketches import (
+    _M,
+    _fold,
+    estimate_from_regs,
+)
+import numpy as np
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), max_size=200),
+    cut=st.integers(min_value=0, max_value=200),
+)
+def test_hll_fold_is_merge_invariant(ids, cut):
+    """The mergeability contract the streaming operator relies on:
+    folding a stream in any sharding and merging by element-wise max
+    yields the registers (hence the estimate) of one whole-stream
+    fold. Duplicated ids are absorbed (max is idempotent)."""
+    cut = min(cut, len(ids))
+    whole = bytearray(_M)
+    _fold(whole, np.array(ids + ids, dtype=np.int64))  # dup absorption
+    a, b = bytearray(_M), bytearray(_M)
+    _fold(a, np.array(ids[:cut], dtype=np.int64))
+    _fold(b, np.array(ids[cut:], dtype=np.int64))
+    merged = bytes(max(x, y) for x, y in zip(a, b))
+    assert merged == bytes(whole)
+    assert estimate_from_regs(merged) == estimate_from_regs(bytes(whole))
+
+
+def test_hll_empty_stream_estimates_zero():
+    regs = bytes(_M)
+    # all registers empty -> raw estimate tiny -> LC branch with v=m:
+    # 256 * ln(256/256) = 0
+    assert estimate_from_regs(regs) == 0
