@@ -1623,3 +1623,162 @@ def q91_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                    max_by(hll_estimate, n_events) AS hll_estimate
             FROM {name} GROUP BY event_type"""
     )
+
+
+def _hll_est_sql(denom: str, v: str) -> str:
+    """The q89 estimate formula as SQL text over (denom, v) columns —
+    identical text embedded in oracle and mirrored by _hll_est_col."""
+    return (
+        f"CAST(CASE WHEN {_HLL_C!r} / CAST({denom} AS DOUBLE) <= {2.5 * _HLL_M!r} "
+        f"AND {v} > 0 THEN floor({float(_HLL_M)!r} * ln({float(_HLL_M)!r} "
+        f"/ CAST({v} AS DOUBLE)) + 0.5) "
+        f"ELSE floor({_HLL_C!r} / CAST({denom} AS DOUBLE) + 0.5) END AS BIGINT)"
+    )
+
+
+def _hll_est_col(denom: F.Column, v: F.Column) -> F.Column:
+    raw_e = F.lit(_HLL_C) / denom.cast("double")
+    lc = F.floor(
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double"))
+        + F.lit(0.5)
+    )
+    return (
+        F.when((raw_e <= F.lit(2.5 * _HLL_M)) & (v > 0), lc)
+        .otherwise(F.floor(raw_e + F.lit(0.5)))
+        .cast("long")
+    )
+
+
+@register(
+    "q92_hll_setops",
+    tags=("sketch", "hll", "setops"),
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events WHERE event_type IN ('view', 'purchase')),
+r AS (
+  SELECT event_type, hv % {_HLL_M} AS idx,
+         CASE WHEN hv // {_HLL_M} = 0 THEN 53
+              ELSE 53 - length(bin(hv // {_HLL_M})) END AS rho
+  FROM h),
+reg AS (SELECT event_type, idx, max(rho) AS mx FROM r GROUP BY event_type, idx),
+ureg AS (SELECT idx, max(mx) AS mx FROM reg GROUP BY idx),
+s AS (
+  SELECT event_type,
+         CAST(sum(1::BIGINT << (53 - mx)) AS BIGINT)
+           + ({_HLL_M} - CAST(count(*) AS BIGINT)) * (1::BIGINT << 53) AS denom,
+         {_HLL_M} - CAST(count(*) AS BIGINT) AS v
+  FROM reg GROUP BY event_type),
+ab AS (
+  SELECT max(CASE WHEN event_type = 'view' THEN denom END) AS denom_a,
+         max(CASE WHEN event_type = 'view' THEN v END) AS v_a,
+         max(CASE WHEN event_type = 'purchase' THEN denom END) AS denom_b,
+         max(CASE WHEN event_type = 'purchase' THEN v END) AS v_b
+  FROM s),
+us AS (
+  SELECT CAST(sum(1::BIGINT << (53 - mx)) AS BIGINT)
+           + ({_HLL_M} - CAST(count(*) AS BIGINT)) * (1::BIGINT << 53) AS denom_u,
+         {_HLL_M} - CAST(count(*) AS BIGINT) AS v_u
+  FROM ureg),
+ests AS (
+  SELECT {_hll_est_sql('ab.denom_a', 'ab.v_a')} AS est_a,
+         {_hll_est_sql('ab.denom_b', 'ab.v_b')} AS est_b,
+         {_hll_est_sql('us.denom_u', 'us.v_u')} AS est_union
+  FROM ab, us),
+exact AS (
+  SELECT CAST(count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+              AS BIGINT) AS exact_a,
+         CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+              AS BIGINT) AS exact_b,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union
+  FROM events WHERE event_type IN ('view', 'purchase'))
+SELECT e.est_a, e.est_b, e.est_union,
+       CAST(e.est_a + e.est_b - e.est_union AS BIGINT) AS est_intersection,
+       x.exact_a, x.exact_b, x.exact_union
+FROM ests e, exact x
+""",
+)
+def q92_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra — the HyperLogLog twin of q88's KMV set ops:
+    the union of two sketches is the ELEMENT-WISE REGISTER MAX (the
+    exact same merge the streaming operator and any shard-combine
+    uses — union costs nothing beyond a 256-row max), and the
+    intersection estimate follows by inclusion-exclusion, all beside
+    the exact distinct counts. Register/denominator arithmetic is
+    exact BIGINT as in q89; the three estimates share one formula
+    whose text is embedded identically on both engines (the LC
+    branch's ln carries q89's documented 1-ulp residual). Both
+    per-type sketches are emitted from ONE-ROW max(CASE) aggregates —
+    q88's empty-side lesson (r3 advice): an absent event type yields
+    NULL columns on both engines, never a row-count mismatch.
+
+    Scale posture: one scan of the two event types, one (type, idx)
+    partial-aggregating shuffle capped at 2x256 rows, a 256-row union
+    reduce — sketch union never touches the raw data again, which is
+    the whole point of mergeable sketch state at 100 TB."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.expr(f"hv DIV {_HLL_M}")
+    r = e.select("event_type", hv.alias("hv")).select(
+        "event_type",
+        (F.col("hv") % _HLL_M).alias("idx"),
+        F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w))).alias("rho"),
+    )
+    reg = r.groupBy("event_type", "idx").agg(F.max("rho").alias("mx"))
+    ureg = reg.groupBy("idx").agg(F.max("mx").alias("mx"))
+
+    def sketch_agg(df):
+        return (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mx AS INT))"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(1 << 53),
+            F.lit(_HLL_M) - F.count(F.lit(1)),
+        )
+
+    s = reg.groupBy("event_type").agg(
+        sketch_agg(reg)[0].alias("denom"), sketch_agg(reg)[1].alias("v")
+    )
+    ab = s.agg(
+        F.max(F.when(F.col("event_type") == "view", F.col("denom"))).alias("denom_a"),
+        F.max(F.when(F.col("event_type") == "view", F.col("v"))).alias("v_a"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("denom"))).alias(
+            "denom_b"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("v"))).alias("v_b"),
+    )
+    us = ureg.agg(
+        sketch_agg(ureg)[0].alias("denom_u"), sketch_agg(ureg)[1].alias("v_u")
+    )
+    exact = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("event_type") == "view", F.col("user_id"))
+            ).alias("exact_a"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            ).alias("exact_b"),
+            F.countDistinct("user_id").alias("exact_union"),
+        )
+    )
+    ests = ab.crossJoin(F.broadcast(us)).select(
+        _hll_est_col(F.col("denom_a"), F.col("v_a")).alias("est_a"),
+        _hll_est_col(F.col("denom_b"), F.col("v_b")).alias("est_b"),
+        _hll_est_col(F.col("denom_u"), F.col("v_u")).alias("est_union"),
+    )
+    return ests.crossJoin(F.broadcast(exact)).select(
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_intersection"
+        ),
+        "exact_a",
+        "exact_b",
+        "exact_union",
+    )
