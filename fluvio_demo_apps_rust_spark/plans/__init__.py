@@ -108,7 +108,8 @@ _PRIORITY: tuple[str, ...] = (
 # r4 driver sample). First commit of round 5: set `_PRIORITY = _PRIORITY_R5`
 # below. This is exactly the still-never-driver-sampled set after r4
 # (computed from CORRECTNESS_r01-03 keys + the first 50 of the r4 order):
-# 53 names, so the ~50-query sample covers all but ~3.
+# 56 names (53 + the post-staging r4 additions q92/train_split/
+# global_shuffle), so the ~50-query sample covers all but ~6.
 _PRIORITY_R5: tuple[str, ...] = (
     "q40_pivot",
     "q41_percentiles",
@@ -163,6 +164,9 @@ _PRIORITY_R5: tuple[str, ...] = (
     "llm_multimodal_frames",
     "llm_multimodal_resize",
     "llm_stream_incremental_dedup",
+    "q92_hll_setops",
+    "llm_train_split",
+    "llm_global_shuffle",
 )
 
 

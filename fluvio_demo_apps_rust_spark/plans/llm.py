@@ -2014,3 +2014,116 @@ def llm_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
         .alias("label"),
     )
+
+
+@register(
+    "llm_train_split",
+    tags=("llm", "curation", "split"),
+    oracle="""
+WITH tagged AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 < 80 THEN 'train'
+              WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM tagged GROUP BY split, lang
+""",
+)
+def llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by salted content
+    hash — the reproducibility primitive every training pipeline
+    needs: a document's split is a pure function of its id (md5 of a
+    salted key, mod 100), so re-running on different partition
+    layouts, engines, cluster sizes, or data ORDER yields the
+    identical assignment, and adding documents never moves existing
+    ones between splits (unlike any sample()/rand()-based split). The
+    salt ('split:') decorrelates this hash from every other md5-bucket
+    decision in the pipeline (sampling, sharding), so the split is
+    independent of them. Emitted as the per-(split, lang) audit table
+    a pipeline records: row-local tagging, one partial-aggregating
+    shuffle — no sort, no window, scale-free."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    tagged = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    return tagged.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "llm_global_shuffle",
+    tags=("llm", "curation", "shuffle"),
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('shuffle:42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS shuffle_key
+  FROM documents),
+r AS (
+  SELECT doc_id, lang, shuffle_key,
+         row_number() OVER (ORDER BY shuffle_key, doc_id) AS rank
+  FROM keyed)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, lang, shuffle_key
+FROM r WHERE rank <= 100
+""",
+)
+def llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle — reproducible example
+    ordering for training: each document's position is the rank of a
+    salted hash ('shuffle:<seed>:' || id), so the permutation is a
+    pure function of (seed, ids): identical across engines, partition
+    layouts and re-runs, and changing the seed re-deals the whole
+    order (unlike orderBy(rand()), which is neither reproducible nor
+    restart-safe). Emits the first 100 positions as the audit window.
+
+    Scale posture: hash values are uniform in [0, 2^60), so the
+    ORDER BY is a RANGE-PARTITIONED sort with no skew by
+    construction — Spark samples the key space and every executor
+    writes one contiguous, already-shuffled shard (the exact layout a
+    training data loader wants); the tie-break on doc_id makes the
+    permutation total even under hash collisions. The top-100 window
+    here takes the per-partition top-k merge path (TakeOrderedAndProject),
+    never a global sort on the driver."""
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shuffle:42:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("shuffle_key"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 100)
+        .select("rank", "doc_id", "lang", "shuffle_key")
+    )
