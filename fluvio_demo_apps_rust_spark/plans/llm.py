@@ -2127,3 +2127,84 @@ def llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 100)
         .select("rank", "doc_id", "lang", "shuffle_key")
     )
+
+
+# Target token budget per language bucket for the mixture plan below —
+# exact integers (weights 0.5/0.2/0.2/0.1 of a 2M-token budget), so the
+# whole computation stays in BIGINT arithmetic.
+_MIX_TARGETS = {"en": 1_000_000, "de": 400_000, "fr": 400_000, "other": 200_000}
+
+
+@register(
+    "llm_epoch_upsample",
+    tags=("llm", "curation", "mixture"),
+    oracle=f"""
+WITH avail AS (
+  SELECT CASE WHEN lang IN ('en', 'de', 'fr') THEN lang ELSE 'other' END AS lang_bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY 1),
+tgt AS (
+  SELECT unnest(['en', 'de', 'fr', 'other']) AS lang_bucket,
+         unnest([{_MIX_TARGETS["en"]}, {_MIX_TARGETS["de"]},
+                 {_MIX_TARGETS["fr"]}, {_MIX_TARGETS["other"]}])::BIGINT
+           AS target_tokens)
+SELECT a.lang_bucket, a.n_docs, a.avail_tokens, t.target_tokens,
+       (t.target_tokens * 1000000) // a.avail_tokens AS epochs_micro,
+       CASE WHEN t.target_tokens > a.avail_tokens
+            THEN t.target_tokens - a.avail_tokens ELSE 0 END AS upsampled_tokens
+FROM avail a JOIN tgt t ON t.lang_bucket = a.lang_bucket
+""",
+)
+def llm_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture epoch plan — the "how many times do we repeat each
+    domain" computation a pretraining pipeline runs before writing
+    shards (the DoReMi/LLaMA-style fixed-weight mixture, computed from
+    what the corpus actually has): per language bucket, the available
+    whitespace-token supply vs an integer per-bucket token target
+    (exact 0.5/0.2/0.2/0.1 splits of a 2M budget), the repeat factor
+    as an EXACT micro-scaled integer ((target·10⁶) DIV avail — epochs
+    > 1e6 means upsampling/repeating, < 1e6 means subsampling), and
+    the token shortfall to be covered by repeats. Pure BIGINT
+    arithmetic end to end — nothing to round, no doubles anywhere.
+
+    Scale posture: one scan with a row-local token count (single
+    split reference — no lambda-CSE trap), ONE partial-aggregating
+    shuffle down to 4 bucket rows, broadcast-joined to the constant
+    target table. The per-doc application step (repeat each doc
+    floor/ceil(epochs) times) is a deterministic-hash Bernoulli on the
+    fractional part — the same md5-uniform machinery as
+    llm_stratified_sample — and is omitted here to keep the audit
+    table tiny."""
+    d = load(spark, sf_dir, "documents")
+    tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    avail = (
+        d.select(
+            F.when(F.col("lang").isin("en", "de", "fr"), F.col("lang"))
+            .otherwise("other")
+            .alias("lang_bucket"),
+            tok.alias("tok"),
+        )
+        .groupBy("lang_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("long").alias("avail_tokens"),
+        )
+    )
+    tgt = spark.createDataFrame(
+        [(k, v) for k, v in _MIX_TARGETS.items()], "lang_bucket string, target_tokens long"
+    )
+    return avail.join(F.broadcast(tgt), "lang_bucket").select(
+        "lang_bucket",
+        "n_docs",
+        "avail_tokens",
+        "target_tokens",
+        F.expr("(target_tokens * 1000000) DIV avail_tokens").alias("epochs_micro"),
+        F.when(
+            F.col("target_tokens") > F.col("avail_tokens"),
+            F.col("target_tokens") - F.col("avail_tokens"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("upsampled_tokens"),
+    )
