@@ -1782,3 +1782,99 @@ def q92_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_b",
         "exact_union",
     )
+
+
+@register(
+    "q93_hll_rollup",
+    tags=("sketch", "hll", "rollup", "events"),
+    oracle=f"""
+WITH h AS (
+  SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS hh,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events),
+r AS (
+  SELECT d, hh, hv % {_HLL_M} AS idx,
+         CASE WHEN hv // {_HLL_M} = 0 THEN 53
+              ELSE 53 - length(bin(hv // {_HLL_M})) END AS rho
+  FROM h),
+hourly AS (SELECT d, hh, idx, max(rho) AS mx FROM r GROUP BY d, hh, idx),
+daily AS (SELECT d, idx, max(mx) AS mx FROM hourly GROUP BY d, idx),
+s AS (
+  SELECT d,
+         CAST(sum(1::BIGINT << (53 - mx)) AS BIGINT)
+           + ({_HLL_M} - CAST(count(*) AS BIGINT)) * (1::BIGINT << 53) AS denom,
+         {_HLL_M} - CAST(count(*) AS BIGINT) AS v
+  FROM daily GROUP BY d),
+nh AS (SELECT d, CAST(count(DISTINCT hh) AS BIGINT) AS n_hours FROM h GROUP BY d),
+exact AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1)
+SELECT CAST(epoch(s.d) AS BIGINT) AS day_start, nh.n_hours, x.exact_distinct,
+       {_hll_est_sql('s.denom', 's.v')} AS hll_estimate
+FROM s JOIN nh ON nh.d = s.d JOIN exact x ON x.d = s.d
+""",
+)
+def q93_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style SKETCH ROLLUP — the time-series re-aggregation
+    pattern the task brief names: per-hour HLL register tables are the
+    stored rollup (24x256 rows per day, independent of event volume),
+    and the DAILY distinct-user estimate is produced by MERGING the
+    hourly registers (element-wise max) — the raw events are never
+    re-read for the coarser grain, which is the entire economics of
+    hypertable rollups at 100 TB (continuous aggregation: each hour
+    closes its sketch once; any coarser window — day, week, arbitrary
+    span — is a 256-row max-merge of closed sketches). Max-merge
+    associativity guarantees the rolled-up registers equal a direct
+    daily fold, so accuracy is identical to q89 at the day grain;
+    tests/test_mining.py pins that equality. Register arithmetic and
+    estimate formula are q89's (exact BIGINT; ln residual documented
+    there); day boundaries are emitted as epoch BIGINT, never raw
+    timestamps.
+
+    Scale posture: one scan → ONE partial-aggregating shuffle into
+    (day, hour, register) cells — bounded by 24x256 rows per day —
+    then two tiny reduces (day-merge, day-denominator). The exact
+    distinct beside it is the verification baseline only."""
+    from .events import _events
+
+    e = _events(spark, sf_dir)
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.expr(f"hv DIV {_HLL_M}")
+    r = e.select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("hh"),
+        hv.alias("hv"),
+    ).select(
+        "d",
+        "hh",
+        (F.col("hv") % _HLL_M).alias("idx"),
+        F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w))).alias("rho"),
+    )
+    hourly = r.groupBy("d", "hh", "idx").agg(F.max("rho").alias("mx"))
+    daily = hourly.groupBy("d", "idx").agg(F.max("mx").alias("mx"))
+    s = daily.groupBy("d").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mx AS INT))"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(1 << 53)
+        ).alias("denom"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v"),
+    )
+    nh = hourly.select("d", "hh").distinct().groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_hours")
+    )
+    exact = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        s.join(nh, "d")
+        .join(exact, "d")
+        .select(
+            F.col("d").cast("long").alias("day_start"),
+            "n_hours",
+            "exact_distinct",
+            _hll_est_col(F.col("denom"), F.col("v")).alias("hll_estimate"),
+        )
+    )

@@ -190,3 +190,54 @@ def test_histogram_quantile_within_bucket(spark):
         assert abs(r.est_cents - r.exact_cents) <= width
     assert rows[0].exact_cents <= rows[1].exact_cents <= rows[2].exact_cents
     assert rows[0].est_cents <= rows[1].est_cents <= rows[2].est_cents
+
+
+def test_hll_rollup_equals_direct_daily_fold(spark):
+    """Max-merge associativity, the property the rollup economics rest
+    on: merging the per-hour register tables per day yields the same
+    estimate as folding each day's raw rows directly (here: the q89
+    estimator grouped by day instead of event_type)."""
+    import pyspark.sql.functions as F
+
+    from fluvio_demo_apps_rust_spark.plans import REGISTRY
+    from fluvio_demo_apps_rust_spark.plans.events import _events
+    from fluvio_demo_apps_rust_spark.plans.mining import (
+        _HLL_M,
+        _hll_est_col,
+    )
+
+    rolled = {
+        r.day_start: r.hll_estimate
+        for r in REGISTRY["q93_hll_rollup"].fn(spark, SF_SMOKE).collect()
+    }
+    e = _events(spark, SF_SMOKE)
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.expr(f"hv DIV {_HLL_M}")
+    direct = (
+        e.select(F.date_trunc("day", "ts").alias("d"), hv.alias("hv"))
+        .select(
+            "d",
+            (F.col("hv") % _HLL_M).alias("idx"),
+            F.when(w == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin(w)))
+            .alias("rho"),
+        )
+        .groupBy("d", "idx")
+        .agg(F.max("rho").alias("mx"))
+        .groupBy("d")
+        .agg(
+            (
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mx AS INT))"))
+                + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(1 << 53)
+            ).alias("denom"),
+            (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v"),
+        )
+        .select(
+            F.col("d").cast("long").alias("day_start"),
+            _hll_est_col(F.col("denom"), F.col("v")).alias("est"),
+        )
+    )
+    direct_map = {r.day_start: r.est for r in direct.collect()}
+    assert rolled == direct_map and len(rolled) > 0
