@@ -241,3 +241,34 @@ def test_hll_rollup_equals_direct_daily_fold(spark):
     )
     direct_map = {r.day_start: r.est for r in direct.collect()}
     assert rolled == direct_map and len(rolled) > 0
+
+
+def test_global_shuffle_full_sort_is_range_partitioned(spark):
+    """The scale claim behind llm_global_shuffle: ordering the whole
+    corpus by the salted hash key is a RANGE-partitioned sort (uniform
+    key space, no skew), not a single-partition collapse."""
+    import pyspark.sql.functions as F
+
+    from fluvio_demo_apps_rust_spark.plans.base import load
+
+    d = load(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shuffle:42:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("shuffle_key"),
+    )
+    plan = (
+        d.orderBy("shuffle_key", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
