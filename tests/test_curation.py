@@ -140,3 +140,30 @@ def test_repetition_columns_pinned(spark):
     assert rows[1].repetitive is True
     assert rows[2].dup2_frac == 0.0 and rows[2].dup3_frac == 0.0
     assert rows[3].dup2_frac == 0.0 and rows[3].repetitive is False
+
+
+def test_curate_demo_funnel(spark):
+    """The end-to-end pipeline demo composes the gated kernels into a
+    monotone funnel and produces non-degenerate outputs at smoke SF."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from curate_demo import run
+
+    from .conftest import SF_SMOKE
+
+    funnel = run(spark, SF_SMOKE, pack_budget=256)
+    s = funnel["stage_docs"]
+    assert (
+        s["input"]
+        >= s["exact_dedup"]
+        >= s["near_dedup"]
+        >= s["decontaminated"]
+        >= s["quality_gate"]
+        > 0
+    )
+    assert sum(funnel["split_docs"].values()) == s["quality_gate"]
+    assert funnel["packing"]["n_packs"] > 0
+    for m in funnel["mixture"].values():
+        assert m["epochs_micro"] == m["target_tokens"] * 1_000_000 // m["avail_tokens"]
