@@ -567,3 +567,68 @@ def bm25_scores(
     return m.crossJoin(F.broadcast(stats)).select(
         F.col(id_col), fround(score, 6).alias("score")
     )
+
+
+# Karp-Rabin + winnowing parameters (Schleimer et al., SIGMOD 2003 —
+# the MOSS fingerprinting scheme): char k-grams, polynomial rolling
+# hash base/modulus, window w. M = 2^31-1 keeps every Horner step
+# inside BIGINT on both engines ((M-1)*257 + 255 < 2^63).
+WINNOW_K = 8
+WINNOW_W = 16
+WINNOW_B = 257
+WINNOW_M = 2147483647
+
+
+def winnow_fingerprints(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Winnowed rolling-hash document fingerprints: per doc, the
+    distinct window-minima of the Karp-Rabin hashes of all character
+    k-grams — the MOSS scheme, whose guarantee is that any shared
+    substring of length >= k + w - 1 contributes at least one IDENTICAL
+    fingerprint to both documents (local near-dup evidence robust to
+    insertion/reordering, unlike the global sorted-token fingerprint).
+
+    Returns (id, n_fingerprints, fp_digest): the selected-fingerprint
+    count and an md5 digest of the sorted fingerprint set (compact,
+    order-canonical). All hash arithmetic is exact BIGINT (Horner fold
+    mod 2^31-1), so both engines compute identical fingerprints.
+
+    Plan shape: four row-local projections — each array (char codes,
+    k-gram hashes, window minima) is materialized as a COLUMN between
+    steps, so no higher-order lambda ever re-evaluates an expensive
+    subexpression (the lambda-CSE trap, README findings 1-3). Work is
+    O(len·(k+w)) per row, embarrassingly parallel; no shuffle at all."""
+    k, w, b, m = WINNOW_K, WINNOW_W, WINNOW_B, WINNOW_M
+    codes = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(split({text_col}, ''), ch -> CAST(ascii(ch) AS BIGINT))"
+        ).alias("codes"),
+    )
+    hashes = codes.select(
+        id_col,
+        F.expr(
+            f"""CASE WHEN size(codes) >= {k} THEN
+                  transform(sequence(1, size(codes) - {k} + 1),
+                    i -> aggregate(slice(codes, i, {k}), 0L,
+                                   (a, x) -> (a * {b} + x) % {m}))
+                ELSE array() END"""
+        ).alias("hashes"),
+    )
+    fps = hashes.select(
+        id_col,
+        F.expr(
+            f"""CASE WHEN size(hashes) >= {w} THEN
+                  array_distinct(transform(sequence(1, size(hashes) - {w} + 1),
+                    i -> array_min(slice(hashes, i, {w}))))
+                ELSE array_distinct(hashes) END"""
+        ).alias("fps"),
+    )
+    return fps.select(
+        id_col,
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.md5(
+            F.concat_ws(
+                ",", F.expr("transform(array_sort(fps), x -> CAST(x AS STRING))")
+            )
+        ).alias("fp_digest"),
+    )

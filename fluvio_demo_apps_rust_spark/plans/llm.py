@@ -2208,3 +2208,44 @@ def llm_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("long"))
         .alias("upsampled_tokens"),
     )
+
+
+@register(
+    "llm_winnow_fingerprint",
+    tags=("llm", "dedup", "fingerprint", "winnowing"),
+    oracle=f"""
+WITH c AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1), i -> ord(text[i])::BIGINT) AS codes
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         CASE WHEN len(codes) >= {TX.WINNOW_K} THEN
+           list_transform(range(1, len(codes) - {TX.WINNOW_K} + 2),
+             i -> list_reduce(list_prepend(0::BIGINT, codes[i:i+{TX.WINNOW_K - 1}]),
+                              (a, x) -> (a * {TX.WINNOW_B} + x) % {TX.WINNOW_M}))
+         ELSE [] END AS hashes
+  FROM c),
+f AS (
+  SELECT doc_id,
+         CASE WHEN len(hashes) >= {TX.WINNOW_W} THEN
+           list_distinct(list_transform(range(1, len(hashes) - {TX.WINNOW_W} + 2),
+             i -> list_min(hashes[i:i+{TX.WINNOW_W - 1}])))
+         ELSE list_distinct(hashes) END AS fps
+  FROM h)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+FROM f
+""",
+)
+def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (Karp-Rabin char k-grams +
+    winnowing window minima — the MOSS scheme): the brief's "document
+    fingerprinting (rolling hash)" item in its canonical form, and the
+    local-substring complement to the global sorted-token fingerprint
+    of llm_fingerprint (a shared >= k+w-1-char substring guarantees a
+    shared fingerprint). See functions/text.py:winnow_fingerprints for
+    the exact-BIGINT hash arithmetic and the materialized-column plan
+    shape (no lambda re-evaluation)."""
+    d = load(spark, sf_dir, "documents")
+    return TX.winnow_fingerprints(d)

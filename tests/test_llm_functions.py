@@ -433,3 +433,51 @@ def test_ivf_pq_clone_found_when_cell_probed(spark):
     top = {r.q_id: r for r in res if r.rank == 1}
     assert top[3].n_id == 25 and top[3].adc_dist == 0.0
     assert all(r.q_id != r.n_id for r in res)
+
+
+def _py_winnow(text: str):
+    """Python reference of functions/text.py:winnow_fingerprints."""
+    from fluvio_demo_apps_rust_spark.functions.text import (
+        WINNOW_B,
+        WINNOW_K,
+        WINNOW_M,
+        WINNOW_W,
+    )
+
+    codes = [ord(c) for c in text]
+    hashes = []
+    for i in range(len(codes) - WINNOW_K + 1):
+        a = 0
+        for x in codes[i : i + WINNOW_K]:
+            a = (a * WINNOW_B + x) % WINNOW_M
+        hashes.append(a)
+    if len(hashes) >= WINNOW_W:
+        fps = {
+            min(hashes[i : i + WINNOW_W])
+            for i in range(len(hashes) - WINNOW_W + 1)
+        }
+    else:
+        fps = set(hashes)
+    return fps
+
+
+def test_winnow_fingerprint_moss_guarantee_and_parity(spark):
+    """MOSS property: two documents sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; and the Spark
+    pipeline's digest equals the Python reference's digest."""
+    import hashlib
+
+    from fluvio_demo_apps_rust_spark.functions.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over it"  # 33 chars >= 8+16-1
+    a = "zzyy aabbcc " + shared + " qq 0123456789 qq"
+    b = "totally different prefix here " + shared + " and suffix"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in winnow_fingerprints(df).collect()}
+    fa, fb = _py_winnow(a), _py_winnow(b)
+    assert fa & fb, "shared substring must yield a shared fingerprint"
+    for doc_id, text in ((1, a), (2, b)):
+        fp = sorted(_py_winnow(text))
+        digest = hashlib.md5(",".join(map(str, fp)).encode()).hexdigest()
+        assert rows[doc_id].fp_digest == digest
+        assert rows[doc_id].n_fingerprints == len(fp)
