@@ -579,7 +579,7 @@ WINNOW_B = 257
 WINNOW_M = 2147483647
 
 
-def winnow_fingerprints(df, id_col: str = "doc_id", text_col: str = "text"):
+def winnow_fp_sets(df, id_col: str = "doc_id", text_col: str = "text"):
     """Winnowed rolling-hash document fingerprints: per doc, the
     distinct window-minima of the Karp-Rabin hashes of all character
     k-grams — the MOSS scheme, whose guarantee is that any shared
@@ -598,7 +598,11 @@ def winnow_fingerprints(df, id_col: str = "doc_id", text_col: str = "text"):
     subexpression (the lambda-CSE trap, README findings 1-3). Work is
     O(len·(k+w)) per row, embarrassingly parallel; no shuffle at all."""
     k, w, b, m = WINNOW_K, WINNOW_W, WINNOW_B, WINNOW_M
-    codes = df.select(
+    # Per-row-heavy chain: spread off the testdata's single row group
+    # first (one file = one split; at cluster scale this is a no-op
+    # relative to the O(len·(k+w)) per-row work it parallelizes).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    codes = df.repartition(par).select(
         F.col(id_col),
         F.expr(
             f"transform(split({text_col}, ''), ch -> CAST(ascii(ch) AS BIGINT))"
@@ -623,7 +627,13 @@ def winnow_fingerprints(df, id_col: str = "doc_id", text_col: str = "text"):
                 ELSE array_distinct(hashes) END"""
         ).alias("fps"),
     )
-    return fps.select(
+    return fps
+
+
+def winnow_fingerprints(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, n_fingerprints, fp_digest) — the compact per-doc summary of
+    :func:`winnow_fp_sets` (count + md5 of the sorted fingerprint set)."""
+    return winnow_fp_sets(df, id_col, text_col).select(
         id_col,
         F.size("fps").cast("long").alias("n_fingerprints"),
         F.md5(

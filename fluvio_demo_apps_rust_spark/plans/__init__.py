@@ -108,9 +108,9 @@ _PRIORITY: tuple[str, ...] = (
 # r4 driver sample). First commit of round 5: set `_PRIORITY = _PRIORITY_R5`
 # below. This is exactly the still-never-driver-sampled set after r4
 # (computed from CORRECTNESS_r01-03 keys + the first 50 of the r4 order):
-# 59 names (53 + the post-staging r4 additions q92/train_split/
+# 60 names (53 + the post-staging r4 additions q92/train_split/
 # global_shuffle/epoch_upsample/hll_rollup/winnow_fingerprint), so the
-# ~50-query sample covers all but ~9; the spill rolls to round 6.
+# ~50-query sample covers all but ~10; the spill rolls to round 6.
 _PRIORITY_R5: tuple[str, ...] = (
     "q40_pivot",
     "q41_percentiles",
@@ -171,6 +171,7 @@ _PRIORITY_R5: tuple[str, ...] = (
     "llm_epoch_upsample",
     "q93_hll_rollup",
     "llm_winnow_fingerprint",
+    "llm_winnow_pairs",
 )
 
 

@@ -2249,3 +2249,98 @@ def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (no lambda re-evaluation)."""
     d = load(spark, sf_dir, "documents")
     return TX.winnow_fingerprints(d)
+
+
+@register(
+    "llm_winnow_pairs",
+    tags=("llm", "dedup", "fingerprint", "winnowing", "pairs"),
+    oracle=f"""
+WITH c AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1), i -> ord(text[i])::BIGINT) AS codes
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         CASE WHEN len(codes) >= {TX.WINNOW_K} THEN
+           list_transform(range(1, len(codes) - {TX.WINNOW_K} + 2),
+             i -> list_reduce(list_prepend(0::BIGINT, codes[i:i+{TX.WINNOW_K - 1}]),
+                              (a, x) -> (a * {TX.WINNOW_B} + x) % {TX.WINNOW_M}))
+         ELSE [] END AS hashes
+  FROM c),
+f AS (
+  SELECT doc_id,
+         CASE WHEN len(hashes) >= {TX.WINNOW_W} THEN
+           list_distinct(list_transform(range(1, len(hashes) - {TX.WINNOW_W} + 2),
+             i -> list_min(hashes[i:i+{TX.WINNOW_W - 1}])))
+         ELSE list_distinct(hashes) END AS fps
+  FROM h),
+n AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS nf FROM f),
+post AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+keep AS (SELECT fp FROM post GROUP BY fp HAVING count(*) BETWEEN 2 AND 20),
+pk AS (SELECT p.doc_id, p.fp FROM post p JOIN keep USING (fp)),
+shared AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared_fps
+  FROM pk x JOIN pk y USING (fp)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+  HAVING count(*) >= 2)
+SELECT s.a, s.b, s.shared_fps,
+       (s.shared_fps * 1000000) // least(na.nf, nb.nf) AS overlap_micro
+FROM shared s JOIN n na ON na.doc_id = s.a JOIN n nb ON nb.doc_id = s.b
+""",
+)
+def llm_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-fingerprint candidate pairs over the winnowed rolling-hash
+    fingerprints — the plagiarism-detection / local-near-dup join that
+    completes the MOSS pipeline: documents sharing >= 2 winnow
+    fingerprints (each one evidence of a shared >= k+w-1-char
+    substring), scored by the overlap coefficient as an exact
+    micro-integer (shared·10⁶ DIV min(|A|,|B|)).
+
+    Scale shape: the same posting-list kernel as every near-dup family
+    here — explode fingerprints, ONE shuffle on the fingerprint key,
+    ordered pair fan-out per posting list, count-aggregate on (a, b) —
+    candidate generation linear in corpus + output size, never an
+    all-pairs self-join (the oracle's self-join is the semantic spec,
+    not the plan). Per-doc fingerprint counts broadcast back onto the
+    surviving pairs."""
+    d = load(spark, sf_dir, "documents")
+    # localCheckpoint: the fps chain is an expensive generator input
+    # referenced twice (counts + explode) — without truncating lineage,
+    # CollapseProject inlines the whole Horner/winnow chain into every
+    # reference and InferFiltersFromGenerate clones it into a pushed
+    # filter (README findings #1-#3: measured runaway, >6 min at
+    # sf0.01 vs 2 s with the barrier).
+    sets = TX.winnow_fp_sets(d).localCheckpoint(eager=False)
+    n = sets.select("doc_id", F.size("fps").cast("long").alias("nf"))
+    posts = sets.select("doc_id", F.explode("fps").alias("fp"))
+    # stop-fingerprint cap (same valve as the ngram kernel's
+    # stop-shingle cap): a fingerprint present in > 20 documents is a
+    # common-substring artifact whose m^2/2 fan-out buys no dedup
+    # signal — at sf0.1 the cap turns 5.2M noise pairs into 1.4k real
+    # ones and bounds the fan-out at any corpus size.
+    grouped = (
+        posts.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds").between(2, 20))
+    )
+    pairs = grouped.select(
+        F.explode(F.expr(X.ordered_pair_fanout("ds"))).alias("p")
+    ).select("p.a", "p.b")
+    shared = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )
+    na = n.select(F.col("doc_id").alias("a"), F.col("nf").alias("na"))
+    nb = n.select(F.col("doc_id").alias("b"), F.col("nf").alias("nb"))
+    return (
+        shared.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            "shared_fps",
+            F.expr("(shared_fps * 1000000) DIV least(na, nb)").alias("overlap_micro"),
+        )
+    )
