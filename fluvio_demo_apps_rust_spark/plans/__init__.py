@@ -15,119 +15,78 @@ from . import llm  # noqa: F401
 from . import advanced  # noqa: F401
 from . import mining  # noqa: F401
 
-# Driver-sampling rotation (round 4): the correctness driver samples the
-# FIRST ~50 registered queries, and rounds 1-3 only ever sampled the
-# relational/events/cdc prefix — the entire LLM/mining/sketch surface
-# (plus the two r3 oracle fixes q70/q77) had no driver-green row. Lead
-# with those; everything else keeps its original relative order after.
+# Driver-sampling rotation — ROUND 5 ACTIVE. The correctness driver
+# samples the FIRST ~50 registered queries; rounds 1-3 sampled the
+# relational/events/cdc prefix, round 4 sampled the llm/mining/sketch
+# rotation (50/50 green). This list is exactly the 60 still-never-
+# driver-sampled queries, risk-ranked per VERDICT r4 #1: every NOVEL
+# operator family (winnow/MOSS, HLL set-ops + rollup, multimodal trio,
+# train-split / global-shuffle / epoch-upsample, streaming incremental
+# dedup, the classifier tail, graph/skew/asof/range) sits inside the
+# first 50; the ~10-name spill to round 6 is mechanically-equivalent
+# TPC-H variants (q59–q68) that share their join/agg shapes with the
+# driver-green q01–q39 family.
 _PRIORITY: tuple[str, ...] = (
-    # r3 driver-hash fixes — must re-sample this round
-    "q70_stream_interval_join",
-    "q77_ts_similarity",
-    # new this round: binary binlog ingestion e2e (the reference's real
-    # input format — closes VERDICT r3 "missing" #3)
-    "cdc_binlog_replay",
-    # north-star dedup / ANN surface named in VERDICT r3
-    "llm_minhash_signature",
-    "llm_minhash_lsh_pairs",
-    "llm_dedup_clusters",
-    "llm_semdedup",
-    "llm_ann_lsh",
-    "llm_ann_ivf",
-    "llm_ann_pq",
-    "llm_ann_ivf_pq",
-    "llm_ann_topk",
-    "llm_ann_recall",
-    "llm_ann_pq_recall",
-    "llm_sequence_pack",
-    "llm_bm25_topk",
-    # sketch family (registered late in r3, likely missed the snapshot)
-    "q82_kmv_distinct",
-    "q88_kmv_setops",
-    "q87_ams_join_size",
-    "llm_countmin_heavyhitters",
-    "llm_containment_dedup",
-    # remaining dedup / text / curation families
-    "llm_dedup_ngram_jaccard",
-    "llm_simhash",
-    "llm_simhash_pairs",
-    "llm_embedding_neardup",
-    "llm_fingerprint",
-    "llm_text_quality",
-    "llm_langid",
-    "llm_token_stats",
-    "llm_curation_pipeline",
-    "llm_dedup_fuzzy_verify",
-    "llm_contamination",
-    "llm_stratified_sample",
-    "llm_pii_scrub",
-    "llm_incremental_dedup",
-    "llm_doc_repetition",
-    "llm_pretrain_prep",
-    "llm_doc_chunking",
-    "llm_chunk_dedup",
-    "llm_minhash_jaccard_est",
-    "llm_gopher_rules",
-    "llm_domain_mixture",
-    "llm_kmeans",
-    "llm_unigram_surprise",
-    "llm_tfidf_topterms",
-    "llm_bpe_merge_counts",
-    "llm_c4_clean",
-    "llm_line_boilerplate",
-    "llm_dsir_importance",
-    "llm_surprise_buckets",
-    "llm_dedup_keep_best",
-    "llm_gram_matrix",
-    "llm_knn_classify",
-    "llm_corpus_report",
-    "llm_sentiment",
+    # novel kernels added late in r4 — never sampled, highest information
+    "llm_winnow_fingerprint",
+    "llm_winnow_pairs",
+    "q92_hll_setops",
+    "q93_hll_rollup",
+    "llm_train_split",
+    "llm_global_shuffle",
+    "llm_epoch_upsample",
+    "llm_stream_incremental_dedup",
+    # multimodal trio (blob plumbing, frame sample, resize harness)
+    "llm_multimodal_meta",
+    "llm_multimodal_frames",
+    "llm_multimodal_resize",
+    # HLL sketch family (r4, never sampled)
+    "q89_hll_distinct",
+    "q90_histogram_quantiles",
+    "q91_stream_hll",
+    # classifier / linear-algebra tail
     "llm_naive_bayes",
     "llm_quality_lr",
     "llm_vocab_coverage",
     "llm_vocab_entropy",
-    "llm_multimodal_meta",
-    "llm_multimodal_frames",
-    "llm_multimodal_resize",
-    "llm_stream_incremental_dedup",
-    # mining / graph / skew / custom-op queries never sampled
-    "q79_pagerank",
-    "q84_market_basket",
-    "q85_rfm_segmentation",
-    "q83_graph_triangles",
-    "q86_ewma_smoothing",
-    "q80_weighted_sample",
-    "q81_zorder_layout",
-    "q55_skew_salted_agg",
-    "q69_skew_salted_join",
+    "llm_gram_matrix",
+    "llm_knn_classify",
+    "llm_dedup_keep_best",
+    "llm_corpus_report",
+    "llm_sentiment",
+    # skew / asof / range custom operators
     "q50_asof_join",
     "q51_range_join",
-)
-
-# ROUND 5 — STAGED, NOT ACTIVE (activating mid-round-4 could disturb the
-# r4 driver sample). First commit of round 5: set `_PRIORITY = _PRIORITY_R5`
-# below. This is exactly the still-never-driver-sampled set after r4
-# (computed from CORRECTNESS_r01-03 keys + the first 50 of the r4 order):
-# 60 names (53 + the post-staging r4 additions q92/train_split/
-# global_shuffle/epoch_upsample/hll_rollup/winnow_fingerprint), so the
-# ~50-query sample covers all but ~10; the spill rolls to round 6.
-_PRIORITY_R5: tuple[str, ...] = (
+    "q55_skew_salted_agg",
+    "q69_skew_salted_join",
+    # graph / mining
+    "q79_pagerank",
+    "q80_weighted_sample",
+    "q81_zorder_layout",
+    "q83_graph_triangles",
+    "q84_market_basket",
+    "q85_rfm_segmentation",
+    "q86_ewma_smoothing",
+    # advanced relational with DISTINCT mechanics (window frames,
+    # correlated subqueries, pivot/unpivot, lateral, set-ops)
+    "q43_rank_family",
+    "q44_range_frame",
+    "q48_correlated_subqueries",
     "q40_pivot",
     "q41_percentiles",
     "q42_ordered_agg",
-    "q43_rank_family",
-    "q44_range_frame",
-    "q45_full_outer",
-    "q46_cross_join",
     "q47_setops_all",
-    "q48_correlated_subqueries",
-    "q49_scalar_library",
     "q52_approx_distinct",
     "q53_unpivot",
     "q54_lateral_explode",
     "q56_sample_hash",
     "q57_array_ops",
     "q58_disjunctive_join",
+    "q45_full_outer",
+    "q46_cross_join",
+    "q49_scalar_library",
+    # --- expected spill to round 6: TPC-H variants sharing shapes with
+    # the driver-green q01–q39 family ---
     "q59_profit_rollup",
     "q60_min_cost_supplier",
     "q61_waiting_suppliers",
@@ -138,40 +97,6 @@ _PRIORITY_R5: tuple[str, ...] = (
     "q66_shipmode_buckets",
     "q67_order_count_histogram",
     "q68_large_orders",
-    "q50_asof_join",
-    "q51_range_join",
-    "q55_skew_salted_agg",
-    "q69_skew_salted_join",
-    "q79_pagerank",
-    "q80_weighted_sample",
-    "q81_zorder_layout",
-    "q83_graph_triangles",
-    "q84_market_basket",
-    "q85_rfm_segmentation",
-    "q86_ewma_smoothing",
-    "q89_hll_distinct",
-    "q90_histogram_quantiles",
-    "q91_stream_hll",
-    "llm_dedup_keep_best",
-    "llm_gram_matrix",
-    "llm_knn_classify",
-    "llm_corpus_report",
-    "llm_sentiment",
-    "llm_naive_bayes",
-    "llm_quality_lr",
-    "llm_vocab_coverage",
-    "llm_vocab_entropy",
-    "llm_multimodal_meta",
-    "llm_multimodal_frames",
-    "llm_multimodal_resize",
-    "llm_stream_incremental_dedup",
-    "q92_hll_setops",
-    "llm_train_split",
-    "llm_global_shuffle",
-    "llm_epoch_upsample",
-    "q93_hll_rollup",
-    "llm_winnow_fingerprint",
-    "llm_winnow_pairs",
 )
 
 
