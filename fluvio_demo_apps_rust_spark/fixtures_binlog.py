@@ -10,11 +10,114 @@ binlogs anywhere there is no live MySQL.
 
 from __future__ import annotations
 
+import json
 import struct
 import zlib
 
 SERVER_ID = 1
 T_VARCHAR, T_STRING, T_DATE = 0x0F, 0xFE, 0x0A
+T_YEAR, T_TIMESTAMP2, T_DATETIME2, T_TIME2 = 0x0D, 0x11, 0x12, 0x13
+T_JSON, T_NEWDECIMAL, T_ENUM = 0xF5, 0xF6, 0xF7
+_DIG2BYTES = (0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+_FSP_BYTES = (0, 1, 1, 2, 2, 3, 3)
+
+
+def _enc_fsp(us: int, fsp: int) -> bytes:
+    """Microseconds → big-endian fractional bytes for the given fsp."""
+    nb = _FSP_BYTES[fsp]
+    return (us // 10 ** (6 - 2 * nb)).to_bytes(nb, "big") if nb else b""
+
+
+def _enc_decimal(s: str, precision: int, scale: int) -> bytes:
+    """Decimal string → MySQL NEWDECIMAL binary (inverse of the reader)."""
+    neg = s.startswith("-")
+    s = s.lstrip("-")
+    intpart, _, fracpart = s.partition(".")
+    intpart = (intpart or "0").zfill(precision - scale)
+    fracpart = fracpart.ljust(scale, "0")
+    out = bytearray()
+    intg0, intg_rem = divmod(precision - scale, 9)
+    frac0, frac_rem = divmod(scale, 9)
+    p = 0
+    if intg_rem:
+        out += int(intpart[: intg_rem]).to_bytes(_DIG2BYTES[intg_rem], "big")
+        p = intg_rem
+    for _ in range(intg0):
+        out += int(intpart[p : p + 9]).to_bytes(4, "big")
+        p += 9
+    p = 0
+    for _ in range(frac0):
+        out += int(fracpart[p : p + 9]).to_bytes(4, "big")
+        p += 9
+    if frac_rem:
+        out += int(fracpart[p : p + frac_rem]).to_bytes(_DIG2BYTES[frac_rem], "big")
+    if neg:
+        for i in range(len(out)):
+            out[i] = ~out[i] & 0xFF
+    out[0] ^= 0x80
+    return bytes(out)
+
+
+def _enc_jsonb(obj) -> bytes:
+    """Python value → MySQL binary JSON (small-container form)."""
+    t, data = _enc_jsonb_val(obj)
+    return bytes([t]) + data
+
+
+def _enc_jsonb_val(obj) -> tuple[int, bytes]:
+    if obj is None:
+        return 0x04, b"\x00"
+    if obj is True:
+        return 0x04, b"\x01"
+    if obj is False:
+        return 0x04, b"\x02"
+    if isinstance(obj, int):
+        if -(2**15) <= obj < 2**15:
+            return 0x05, obj.to_bytes(2, "little", signed=True)
+        if -(2**31) <= obj < 2**31:
+            return 0x07, obj.to_bytes(4, "little", signed=True)
+        return 0x09, obj.to_bytes(8, "little", signed=True)
+    if isinstance(obj, float):
+        return 0x0B, struct.pack("<d", obj)
+    if isinstance(obj, str):
+        b = obj.encode()
+        assert len(b) < 128  # single varlen byte is enough for fixtures
+        return 0x0C, bytes([len(b)]) + b
+    if isinstance(obj, dict):
+        items = list(obj.items())
+        n = len(items)
+        keys = [k.encode() for k, _ in items]
+        vals = [_enc_jsonb_val(v) for _, v in items]
+        header = 4 + 4 * n + 3 * n
+        key_off = header
+        key_entries = b""
+        for k in keys:
+            key_entries += struct.pack("<HH", key_off, len(k))
+            key_off += len(k)
+        val_entries, tail, val_off = b"", b"", key_off
+        for t, data in vals:
+            if t in (0x04, 0x05, 0x06):  # inlined
+                val_entries += bytes([t]) + data.ljust(2, b"\x00")
+            else:
+                val_entries += bytes([t]) + struct.pack("<H", val_off)
+                tail += data
+                val_off += len(data)
+        body = key_entries + val_entries + b"".join(keys) + tail
+        return 0x00, struct.pack("<HH", n, 4 + len(body)) + body
+    if isinstance(obj, list):
+        n = len(obj)
+        vals = [_enc_jsonb_val(v) for v in obj]
+        val_entries, tail, val_off = b"", b"", 4 + 3 * n
+        for t, data in vals:
+            if t in (0x04, 0x05, 0x06):
+                val_entries += bytes([t]) + data.ljust(2, b"\x00")
+            else:
+                val_entries += bytes([t]) + struct.pack("<H", val_off)
+                tail += data
+                val_off += len(data)
+        body = val_entries + tail
+        return 0x02, struct.pack("<HH", n, 4 + len(body)) + body
+    raise ValueError(f"unsupported json fixture value {obj!r}")
 
 
 class BinlogWriter:
@@ -55,8 +158,21 @@ class BinlogWriter:
         d, t = db.encode(), table.encode()
         meta = b""
         for ty, m in zip(types, metas):
-            if ty in (T_VARCHAR, T_STRING):
-                meta += struct.pack("<H", m)
+            if ty == T_VARCHAR:
+                meta += struct.pack("<H", m)  # max length, little-endian
+            elif ty == T_STRING:
+                # byte pair: (real type, length) — real MySQL layout,
+                # verified against cdc-mysql/test_files/binlog.000003.
+                # Pass m > 255 to carry an explicit real type in the high
+                # byte (e.g. (0xF7 << 8) | 1 for ENUM-as-STRING).
+                if m > 255:
+                    meta += bytes([m >> 8, m & 0xFF])
+                else:
+                    meta += bytes([T_STRING, m])
+            elif ty == T_NEWDECIMAL:
+                meta += bytes([m >> 8, m & 0xFF])  # (precision, scale)
+            elif ty in (T_JSON, T_TIMESTAMP2, T_DATETIME2, T_TIME2):
+                meta += bytes([m])
         body = (
             table_id.to_bytes(6, "little")
             + struct.pack("<H", 1)
@@ -72,15 +188,48 @@ class BinlogWriter:
 
     @staticmethod
     def _row(values: list) -> bytes:
-        """values: str | ('date', y, m, d) | None (NULL)."""
+        """values: str | None (NULL) | tagged tuple:
+        ('date',y,m,d) ('year',yyyy) ('time2',h,mi,s,us,fsp)
+        ('dt2',y,mo,d,h,mi,s,us,fsp) ('ts2',epoch,us,fsp)
+        ('dec',text,precision,scale) ('enum',idx,nbytes) ('json',obj)."""
         nullmap = 0
         payload = b""
         for i, v in enumerate(values):
             if v is None:
                 nullmap |= 1 << i
-            elif isinstance(v, tuple) and v[0] == "date":
-                _, y, m, d = v
-                payload += ((y << 9) | (m << 5) | d).to_bytes(3, "little")
+            elif isinstance(v, tuple):
+                tag = v[0]
+                if tag == "int4":
+                    payload += v[1].to_bytes(4, "little", signed=True)
+                elif tag == "date":
+                    _, y, m, d = v
+                    payload += ((y << 9) | (m << 5) | d).to_bytes(3, "little")
+                elif tag == "year":
+                    payload += bytes([v[1] - 1900])
+                elif tag == "time2":
+                    _, h, mi, s, us, fsp = v
+                    packed = 0x800000 | (h << 12) | (mi << 6) | s
+                    payload += packed.to_bytes(3, "big") + _enc_fsp(us, fsp)
+                elif tag == "dt2":
+                    _, y, mo, d, h, mi, s, us, fsp = v
+                    packed = (
+                        (1 << 39) | ((y * 13 + mo) << 22) | (d << 17)
+                        | (h << 12) | (mi << 6) | s
+                    )
+                    payload += packed.to_bytes(5, "big") + _enc_fsp(us, fsp)
+                elif tag == "ts2":
+                    _, epoch, us, fsp = v
+                    payload += epoch.to_bytes(4, "big") + _enc_fsp(us, fsp)
+                elif tag == "dec":
+                    _, text, precision, scale = v
+                    payload += _enc_decimal(text, precision, scale)
+                elif tag == "enum":
+                    payload += v[1].to_bytes(v[2], "little")
+                elif tag == "json":
+                    blob = _enc_jsonb(v[1])
+                    payload += struct.pack("<I", len(blob)) + blob
+                else:
+                    raise ValueError(f"unknown row-value tag {tag!r}")
             else:
                 b = str(v).encode()
                 payload += bytes([len(b)]) + b
@@ -108,6 +257,49 @@ class BinlogWriter:
 PET_BINLOG_COLUMNS = {
     ("flvdb", "pet"): ["name", "owner", "species", "sex", "birth", "last_vaccine"]
 }
+
+TYPED_BINLOG_COLUMNS = {
+    ("typedb", "alltypes"): [
+        "id", "label", "grade", "born_year", "appt_dt", "appt_time",
+        "updated_at", "balance", "tags",
+    ]
+}
+
+
+def typed_binlog_bytes() -> bytes:
+    """One INSERT + one UPDATE over a table exercising every §1.4 value
+    type the reference decodes (values.rs:9-45): ENUM, YEAR, DATETIME2,
+    TIME2, TIMESTAMP2, NEWDECIMAL, JSON (+ VARCHAR/DATE covered by the
+    pet scenario)."""
+    w = BinlogWriter()
+    w.query("typedb", "CREATE DATABASE typedb")
+    w.query(
+        "typedb",
+        "CREATE TABLE alltypes (id INT, label VARCHAR(20), "
+        "grade ENUM('a','b','c'), born_year YEAR, appt_dt DATETIME(2), "
+        "appt_time TIME(2), updated_at TIMESTAMP(2), "
+        "balance DECIMAL(12,4), tags JSON)",
+    )
+    types = [
+        0x03, T_VARCHAR, T_STRING, T_YEAR, T_DATETIME2,
+        T_TIME2, T_TIMESTAMP2, T_NEWDECIMAL, T_JSON,
+    ]
+    metas = [0, 20, (T_ENUM << 8) | 1, 0, 2, 2, 2, (12 << 8) | 4, 4]
+    row1 = [
+        ("int4", 7), "widget", ("enum", 2, 1), ("year", 1999),
+        ("dt2", 2024, 3, 30, 21, 31, 30, 120000, 2),
+        ("time2", 21, 31, 30, 500000, 2),
+        ("ts2", 1524885322, 250000, 2),
+        ("dec", "-12345.6789", 12, 4),
+        ("json", {"a": 2, "b": [True, None, "x"], "c": -1.5}),
+    ]
+    row2 = list(row1)
+    row2[7] = ("dec", "0.0000", 12, 4)
+    w.table_map(200, "typedb", "alltypes", types, metas)
+    w.rows(0x1E, 200, 9, [row1])
+    w.table_map(200, "typedb", "alltypes", types, metas)
+    w.rows(0x1F, 200, 9, [(row1, row2)])
+    return bytes(w.buf)
 
 
 def pet_binlog_bytes() -> bytes:

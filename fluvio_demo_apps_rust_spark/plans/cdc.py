@@ -93,6 +93,99 @@ def cdc_binlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_binlog_real_pet",
+    tags=("cdc", "binlog", "binary", "e2e"),
+    oracle="""
+SELECT * FROM (VALUES
+  ('pet',  'Jack', 'Peter', 'dog',               'm', '1989-08-31', CAST(1 AS BIGINT)),
+  ('user', 'John', 'Doe',   CAST(NULL AS VARCHAR), 'm', '2000-03-30', CAST(6 AS BIGINT))
+) t(tbl, name, col2, species, sex, birth, n)
+""",
+)
+def cdc_binlog_real_pet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REFERENCE'S OWN recorded binlog (cdc-mysql/test_files/
+    binlog.000003 — read-only binary data, the actual bytes its demo
+    session produced) parsed by sources/binlog_binary.py and replayed
+    through codec → registry → apply. Exercises real-server quirks a
+    synthetic writer can't: LOG_EVENT_BINLOG_IN_USE_F still set on the
+    FDE (flag-cleared CRC), ANONYMOUS_GTID interleaving, BEGIN/XID
+    transaction framing, and a mid-stream ALTER (reference behavior:
+    binlog_parser.rs:16-36). Expected final state: pet = Jack with the
+    updated birth date (Puffball deleted), user = six duplicate John
+    Doe rows (K2 keeps duplicates — full-row semantics)."""
+    from ..operators.apply import apply_events_local
+    from ..sources.binlog_binary import parse_binlog_bytes
+
+    with open("/root/reference/cdc-mysql/test_files/binlog.000003", "rb") as f:
+        events = parse_binlog_bytes(f.read(), file_name="binlog.000003")
+    state = apply_events_local(spark, events)
+    pet = state.table("flvTest", "pet")
+    user = state.table("flvTest", "user")
+    pet_r = pet.select(
+        F.lit("pet").alias("tbl"),
+        F.col("name"),
+        F.col("owner").alias("col2"),
+        "species",
+        "sex",
+        F.date_format("birth", "yyyy-MM-dd").alias("birth"),
+    )
+    user_r = user.select(
+        F.lit("user").alias("tbl"),
+        F.col("first_name").alias("name"),
+        F.col("last_name").alias("col2"),
+        F.lit(None).cast("string").alias("species"),
+        "sex",
+        F.date_format("birth", "yyyy-MM-dd").alias("birth"),
+    )
+    return (
+        pet_r.unionByName(user_r)
+        .groupBy("tbl", "name", "col2", "species", "sex", "birth")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "cdc_binlog_typed_replay",
+    tags=("cdc", "binlog", "binary", "types"),
+    oracle="""
+SELECT * FROM (VALUES (
+  7, 'widget', '2', 1999,
+  '2024-03-30 21:31:30.12', '21:31:30.500000', '2018-04-28 03:15:22.25',
+  '0.0000', '{"a":2,"b":[true,null,"x"],"c":-1.5}'
+)) t(id, label, grade, born_year, appt_dt, appt_time, updated_at, balance, tags)
+""",
+)
+def cdc_binlog_typed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full §1.4 value-type surface through the BINARY path: ENUM, YEAR,
+    DATETIME2(fsp), TIME2(fsp), TIMESTAMP2(fsp), NEWDECIMAL and JSON
+    column decode (reference Value set: src/messages/values.rs:9-45),
+    then codec canonicalization, DDL-registry typing and K2/K3 apply —
+    the INSERT's balance is overwritten by the UPDATE. Timestamps are
+    emitted as strings (session tz pinned UTC), DECIMAL via its exact
+    Spark decimal(12,4) rendering."""
+    from ..fixtures_binlog import TYPED_BINLOG_COLUMNS, typed_binlog_bytes
+    from ..operators.apply import apply_events_local
+    from ..sources.binlog_binary import parse_binlog_bytes
+
+    events = parse_binlog_bytes(
+        typed_binlog_bytes(), columns_by_table=TYPED_BINLOG_COLUMNS
+    )
+    state = apply_events_local(spark, events)
+    t = state.table("typedb", "alltypes")
+    return t.select(
+        "id",
+        "label",
+        "grade",
+        "born_year",
+        F.col("appt_dt").cast("string").alias("appt_dt"),
+        "appt_time",
+        F.col("updated_at").cast("string").alias("updated_at"),
+        F.col("balance").cast("string").alias("balance"),
+        "tags",
+    )
+
+
+@register(
     "cdc_mixed_workload",
     tags=("cdc", "apply", "scale"),
     oracle="""

@@ -13,6 +13,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-second fixture parses (run by default; deselect with -m 'not slow')"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("pytest")
