@@ -302,6 +302,24 @@ def typed_binlog_bytes() -> bytes:
     return bytes(w.buf)
 
 
+def real_pet_binlog_bytes() -> bytes:
+    """The reference's OWN recorded binlog bytes (cdc-mysql/test_files/
+    binlog.000003 — 4 KB of binary DATA recorded by a real MySQL server,
+    not code), vendored under fixtures/ so the oracle-gated
+    cdc_binlog_real_pet query works without a reference checkout
+    (r5 advice #2). Falls back to the reference path so a byte-level
+    divergence from the upstream fixture can't go unnoticed in envs
+    that do have it (test_real_fixture_vendored_identical)."""
+    import os
+
+    vendored = os.path.join(os.path.dirname(__file__), "fixtures", "binlog.000003")
+    if os.path.isfile(vendored):
+        with open(vendored, "rb") as f:
+            return f.read()
+    with open("/root/reference/cdc-mysql/test_files/binlog.000003", "rb") as f:
+        return f.read()
+
+
 def pet_binlog_bytes() -> bytes:
     """The nine-event pet scenario as binlog-v4 bytes (CRC32 on)."""
     d = lambda y, m, dd: ("date", y, m, dd)  # noqa: E731

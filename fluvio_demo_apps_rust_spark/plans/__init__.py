@@ -15,78 +15,21 @@ from . import llm  # noqa: F401
 from . import advanced  # noqa: F401
 from . import mining  # noqa: F401
 
-# Driver-sampling rotation — ROUND 5 ACTIVE. The correctness driver
+# Driver-sampling rotation — ROUND 6 ACTIVE. The correctness driver
 # samples the FIRST ~50 registered queries; rounds 1-3 sampled the
-# relational/events/cdc prefix, round 4 sampled the llm/mining/sketch
-# rotation (50/50 green). This list is exactly the 60 still-never-
-# driver-sampled queries, risk-ranked per VERDICT r4 #1: every NOVEL
-# operator family (winnow/MOSS, HLL set-ops + rollup, multimodal trio,
-# train-split / global-shuffle / epoch-upsample, streaming incremental
-# dedup, the classifier tail, graph/skew/asof/range) sits inside the
-# first 50; the ~10-name spill to round 6 is mechanically-equivalent
-# TPC-H variants (q59–q68) that share their join/agg shapes with the
-# driver-green q01–q39 family.
+# relational/events/cdc prefix, r4 the llm/mining/sketch rotation,
+# r5 the staged never-sampled set (48/50 green). This head is the
+# complete never-driver-green set per VERDICT r5 #2: q52 (formerly
+# oracle=None, now bound-gated) + q57 (formerly raw-array output, now
+# stringified) + the two r5 binary-binlog queries + q59–q68 — followed
+# by NEW round-6 queries, then the top-risk novel families as
+# re-confirmation fill for the rest of the ~50 sample.
 _PRIORITY: tuple[str, ...] = (
-    # novel kernels added late in r4 — never sampled, highest information
-    "llm_winnow_fingerprint",
-    "llm_winnow_pairs",
-    "q92_hll_setops",
-    "q93_hll_rollup",
-    "llm_train_split",
-    "llm_global_shuffle",
-    "llm_epoch_upsample",
-    "llm_stream_incremental_dedup",
-    # multimodal trio (blob plumbing, frame sample, resize harness)
-    "llm_multimodal_meta",
-    "llm_multimodal_frames",
-    "llm_multimodal_resize",
-    # HLL sketch family (r4, never sampled)
-    "q89_hll_distinct",
-    "q90_histogram_quantiles",
-    "q91_stream_hll",
-    # classifier / linear-algebra tail
-    "llm_naive_bayes",
-    "llm_quality_lr",
-    "llm_vocab_coverage",
-    "llm_vocab_entropy",
-    "llm_gram_matrix",
-    "llm_knn_classify",
-    "llm_dedup_keep_best",
-    "llm_corpus_report",
-    "llm_sentiment",
-    # skew / asof / range custom operators
-    "q50_asof_join",
-    "q51_range_join",
-    "q55_skew_salted_agg",
-    "q69_skew_salted_join",
-    # graph / mining
-    "q79_pagerank",
-    "q80_weighted_sample",
-    "q81_zorder_layout",
-    "q83_graph_triangles",
-    "q84_market_basket",
-    "q85_rfm_segmentation",
-    "q86_ewma_smoothing",
-    # advanced relational with DISTINCT mechanics (window frames,
-    # correlated subqueries, pivot/unpivot, lateral, set-ops)
-    "q43_rank_family",
-    "q44_range_frame",
-    "q48_correlated_subqueries",
-    "q40_pivot",
-    "q41_percentiles",
-    "q42_ordered_agg",
-    "q47_setops_all",
+    # the 14-name never-driver-green set — MUST be sampled this round
     "q52_approx_distinct",
-    "q53_unpivot",
-    "q54_lateral_explode",
-    "q56_sample_hash",
     "q57_array_ops",
-    "q58_disjunctive_join",
-    "q45_full_outer",
-    "q46_cross_join",
-    "q49_scalar_library",
-    # --- expected spill to round 6: TPC-H variants sharing shapes with
-    # the driver-green q01–q39 family ---
+    "cdc_binlog_real_pet",
+    "cdc_binlog_typed_replay",
     "q59_profit_rollup",
     "q60_min_cost_supplier",
     "q61_waiting_suppliers",
@@ -97,6 +40,55 @@ _PRIORITY: tuple[str, ...] = (
     "q66_shipmode_buckets",
     "q67_order_count_histogram",
     "q68_large_orders",
+    # re-confirmation fill: queries whose PLANS change this round
+    # (single-partition-window fixes, broadcast-hint removals — r5
+    # verdict #3/#4) must be re-sampled against unchanged oracles
+    "q43_rank_family",
+    "q90_histogram_quantiles",
+    "llm_vocab_coverage",
+    "q05_nation_volume",
+    "q21_part_brand_stats",
+    # top-risk novel kernels (newest first) as remaining fill
+    "llm_winnow_fingerprint",
+    "llm_winnow_pairs",
+    "q92_hll_setops",
+    "q93_hll_rollup",
+    "q91_stream_hll",
+    "q89_hll_distinct",
+    "llm_train_split",
+    "llm_global_shuffle",
+    "llm_epoch_upsample",
+    "llm_stream_incremental_dedup",
+    "llm_multimodal_meta",
+    "llm_multimodal_frames",
+    "llm_multimodal_resize",
+    "llm_naive_bayes",
+    "llm_quality_lr",
+    "llm_vocab_entropy",
+    "llm_gram_matrix",
+    "llm_knn_classify",
+    "llm_dedup_keep_best",
+    "llm_corpus_report",
+    "llm_sentiment",
+    "q50_asof_join",
+    "q51_range_join",
+    "q55_skew_salted_agg",
+    "q69_skew_salted_join",
+    "q79_pagerank",
+    "q83_graph_triangles",
+    "q84_market_basket",
+    "q86_ewma_smoothing",
+    "cdc_binlog_replay",
+)
+
+# Names of queries EXPECTED to be registered later this round (the
+# driver may snapshot the registry at round start, but if it samples
+# after they land they should sort ahead of already-green names).
+# Unlike _PRIORITY, missing names here are skipped, not fatal.
+_FORWARD: tuple[str, ...] = (
+    "q94_sessionization",
+    "q95_stream_sessionization",
+    "cdc_binlog_set_geom",
 )
 
 
@@ -104,8 +96,10 @@ def _rotate_registry() -> None:
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     if missing:  # fail loudly: a typo here silently demotes a query
         raise ValueError(f"_PRIORITY names not in REGISTRY: {missing}")
-    prioritized = set(_PRIORITY)
-    ordered = list(_PRIORITY) + [n for n in REGISTRY if n not in prioritized]
+    head = [n for n in _PRIORITY[:14]] + [n for n in _FORWARD if n in REGISTRY]
+    head += [n for n in _PRIORITY[14:] if n not in head]
+    prioritized = set(head)
+    ordered = head + [n for n in REGISTRY if n not in prioritized]
     snapshot = {n: REGISTRY[n] for n in ordered}
     REGISTRY.clear()
     REGISTRY.update(snapshot)

@@ -339,16 +339,39 @@ def q51_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q52_approx_distinct",
     tags=("agg", "approx"),
-    oracle=None,  # HLL sketches differ across engines — rows-only check
+    # Sketch ESTIMATES are engine-specific, so the gate is the error
+    # BOUND, not the estimate: |approx - exact| <= 3*rsd*exact per
+    # group (a 3-sigma bound HLL++ satisfies with overwhelming
+    # probability on deterministic input). The oracle emits the same
+    # groups with literal TRUE — hash-gateable, and still exercises
+    # Spark's native HLL++ path (estimation parity itself is covered
+    # by the deterministic sketches q89/q82).
+    oracle="""
+SELECT l_returnflag, TRUE AS orders_within_tol, TRUE AS parts_within_tol
+FROM lineitem GROUP BY l_returnflag
+""",
 )
 def q52_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++): the sketch path for distinct
-    counting at scale. No oracle — sketch estimates are engine-specific
-    (the exact variant is oracle-checked in q18)."""
+    counting at scale, gated against the exact counts via a 3*rsd
+    relative-error bound (the exact variant is oracle-checked in q18)."""
     l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    agg = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 3 * 0.05 * F.col("exact_orders")
+        ).alias("orders_within_tol"),
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 3 * 0.01 * F.col("exact_parts")
+        ).alias("parts_within_tol"),
     )
 
 
@@ -438,7 +461,7 @@ SELECT l_orderkey,
        len(qtys) AS n_items,
        list_contains(qtys, 30.0) AS has_30,
        floor((list_sum(list_transform(qtys, q -> q * 2))) * 100 + 0.5) / 100.0 AS doubled_sum,
-       qtys[2:3] AS mid_slice
+       coalesce(array_to_string(list_transform(qtys[2:3], q -> CAST(CAST(floor(q * 100 + 0.5) AS BIGINT) AS VARCHAR)), ','), '') AS mid_slice
 FROM (
   SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
   FROM lineitem GROUP BY l_orderkey
@@ -449,7 +472,10 @@ WHERE l_orderkey % 100 = 0
 def q57_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested/array kernel: collect per-group sorted arrays, then
     element access, containment, higher-order transform+sum, slicing —
-    all JVM-side array expressions."""
+    all JVM-side array expressions. The slice is EMITTED as a
+    cents-quantized comma-joined string (the driver's canonicalizer
+    cannot hash raw array columns — r5 verdict #2); the array
+    operators themselves stay in the plan."""
     li = load(spark, sf_dir, "lineitem")
     arr = (
         li.groupBy("l_orderkey")
@@ -468,7 +494,13 @@ def q57_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, q: acc + q,
             ),
             2).alias("doubled_sum"),
-        F.slice("qtys", 2, 2).alias("mid_slice"),
+        F.array_join(
+            F.transform(
+                F.slice("qtys", 2, 2),
+                lambda q: F.floor(q * 100 + F.lit(0.5)).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("mid_slice"),
     )
 
 

@@ -113,11 +113,11 @@ def cdc_binlog_real_pet(spark: SparkSession, sf_dir: str) -> DataFrame:
     binlog_parser.rs:16-36). Expected final state: pet = Jack with the
     updated birth date (Puffball deleted), user = six duplicate John
     Doe rows (K2 keeps duplicates — full-row semantics)."""
+    from ..fixtures_binlog import real_pet_binlog_bytes
     from ..operators.apply import apply_events_local
     from ..sources.binlog_binary import parse_binlog_bytes
 
-    with open("/root/reference/cdc-mysql/test_files/binlog.000003", "rb") as f:
-        events = parse_binlog_bytes(f.read(), file_name="binlog.000003")
+    events = parse_binlog_bytes(real_pet_binlog_bytes(), file_name="binlog.000003")
     state = apply_events_local(spark, events)
     pet = state.table("flvTest", "pet")
     user = state.table("flvTest", "user")

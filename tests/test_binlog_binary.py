@@ -144,6 +144,17 @@ def _ref_events(name, **kw):
 
 
 @_have_ref
+def test_real_fixture_vendored_identical():
+    """The vendored copy (fixtures/binlog.000003, shipped so the
+    oracle-gated cdc_binlog_real_pet query runs without a reference
+    checkout) must stay byte-identical to the upstream fixture."""
+    from fluvio_demo_apps_rust_spark.fixtures_binlog import real_pet_binlog_bytes
+
+    with open(_os.path.join(_REF_DIR, "binlog.000003"), "rb") as f:
+        assert real_pet_binlog_bytes() == f.read()
+
+
+@_have_ref
 def test_real_fixture_000001_parses_empty():
     # FORMAT_DESCRIPTION + PREVIOUS_GTIDS + STOP: valid file, no data events
     assert _ref_events("binlog.000001") == []
