@@ -10,6 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions.ranks import bucketed_global_rank
 from ..operators.asof import asof_join, range_join_count
 from ..session import ensure_utc
 from .base import fround, load, qsum, register
@@ -109,16 +110,46 @@ WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
 )
 def q43_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank/dense_rank/ntile/percent_rank/cume_dist over a unique
-    total order (ties broken by key → deterministic)."""
+    total order (ties broken by key → deterministic).
+
+    Scale posture: a bare ``Window.orderBy`` would move ALL rows to
+    one partition (r5 verdict #3). Instead the global row number
+    comes from functions.ranks.bucketed_global_rank (two-phase
+    prefix sum over deterministic fixed-width cents buckets), and —
+    because (o_totalprice, o_orderkey) is a UNIQUE total order —
+    every rank-family function is a closed-form of (rn, n):
+    rank = dense_rank = rn; percent_rank = (rn-1)/(n-1);
+    cume_dist = rn/n; ntile(4) via the SQL-standard tile split
+    (first n%4 tiles one row larger). The oracle keeps the real
+    window functions, so the equivalence itself is gated."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    base = o.select(
         "o_orderkey",
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        fround(F.percent_rank().over(w), 6).alias("pct_rank"),
-        fround(F.cume_dist().over(w), 6).alias("cume"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("_cents"),
+    )
+    ranked = bucketed_global_rank(
+        base, "_cents", ("o_orderkey",), out_col="rn", total_col="n"
+    )
+    rn, n = F.col("rn"), F.col("n")
+    q = F.expr("n DIV 4")
+    r = n % 4
+    boundary = r * (q + 1)
+    # integer tile arithmetic (ANSI-safe: greatest() guards the q=0
+    # branch that is never selected when it would divide by zero)
+    quartile = F.when(
+        rn <= boundary, F.expr("(rn - 1) DIV (n DIV 4 + 1) + 1")
+    ).otherwise(
+        r + F.expr("(rn - (n % 4) * (n DIV 4 + 1) - 1) DIV greatest(n DIV 4, 1)") + 1
+    )
+    return ranked.select(
+        "o_orderkey",
+        rn.alias("rnk"),
+        rn.alias("drnk"),
+        quartile.cast("long").alias("quartile"),
+        fround(
+            F.when(n > 1, (rn - 1) / (n - 1).cast("double")).otherwise(F.lit(0.0)), 6
+        ).alias("pct_rank"),
+        fround(rn / n.cast("double"), 6).alias("cume"),
     )
 
 

@@ -1246,11 +1246,21 @@ FROM ranked, tot
 def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer vocabulary coverage: the smallest top-k vocabulary
     covering ≥90 % of all token occurrences, plus the mass of the top
-    10 — the vocab-sizing diagnostic for tokenizer training. The
-    window runs over the AGGREGATED vocabulary (thousands of rows, not
-    the corpus), so the single-partition rank sort is bounded by vocab
-    size by construction; the 90 % test is exact integer cross-multiply
-    (cum·10 ≥ 9·T) — no floats anywhere."""
+    10 — the vocab-sizing diagnostic for tokenizer training.
+
+    Scale posture: the vocabulary itself GROWS with the corpus, so the
+    r4/r5 global rank window over it was the one remaining unbounded
+    single-partition window (r5 verdict #3). Replaced with the
+    COUNT-LEVEL histogram closed form: group tokens by their count c
+    (O(distinct counts) ≈ O(√total) rows — Zipf), take running
+    token/mass totals over the LEVELS (a window bounded by the level
+    count, never the vocab), locate the level where cumulative mass
+    crosses 90 %, and compute how many of its tokens are needed —
+    inside a level every token contributes the same c, so
+    k90 = tokens_above + ceil((0.9·T − mass_above)/c*), exact in
+    integers (tenths cross-multiply). The top-10 mass is a
+    TakeOrdered LIMIT 10 (no window at all). The oracle keeps the
+    naive rank-window SQL, so the closed form is gated against it."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
@@ -1260,20 +1270,42 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    tot = counts.agg(F.sum("c").alias("t"))
-    w = Window.orderBy(F.desc("c"), "token")
-    ranked = counts.select(
-        "c",
-        F.row_number().over(w).alias("r"),
-        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    levels = counts.groupBy("c").agg(F.count(F.lit(1)).alias("n_tok"))
+    tot = levels.agg(
+        F.sum(F.col("c") * F.col("n_tok")).alias("t"),
+        F.sum("n_tok").alias("vocab_size"),
     )
-    return ranked.crossJoin(F.broadcast(tot)).agg(
-        F.count(F.lit(1)).alias("vocab_size"),
-        F.max("t").alias("total_tokens"),
-        F.min(
-            F.when(F.col("cum") * 10 >= 9 * F.col("t"), F.col("r"))
-        ).alias("k90"),
-        F.max(F.when(F.col("r") <= 10, F.col("cum"))).alias("top10_tokens"),
+    w_lv = Window.orderBy(F.desc("c")).rowsBetween(Window.unboundedPreceding, -1)
+    lv = levels.select(
+        "c",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w_lv), F.lit(0)).alias("tokens_above"),
+        F.coalesce(F.sum(F.col("c") * F.col("n_tok")).over(w_lv), F.lit(0)).alias(
+            "mass_above"
+        ),
+    )
+    k90 = (
+        lv.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("mass_above") * 10 < 9 * F.col("t"))
+            & ((F.col("mass_above") + F.col("c") * F.col("n_tok")) * 10 >= 9 * F.col("t"))
+        )
+        .select(
+            (
+                F.col("tokens_above")
+                + F.expr("(9 * t - 10 * mass_above + 10 * c - 1) DIV (10 * c)")
+            ).alias("k90")
+        )
+    )
+    top10 = (
+        counts.orderBy(F.desc("c"), "token")
+        .limit(10)
+        .agg(F.sum("c").alias("top10_tokens"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(k90))
+        .crossJoin(F.broadcast(top10))
+        .select("vocab_size", F.col("t").alias("total_tokens"), "k90", "top10_tokens")
     )
 
 
@@ -1487,11 +1519,11 @@ def q90_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     input rows; counts merge by addition = shard-combinable, the
     streaming-rollup shape); the cumulative window then runs over
     ≤256 rows — constant, partition-safe. Probe lookup is a broadcast
-    of 3×256 candidate rows reduced by min_by. The EXACT companion
-    aggregates distinct cent values then windows over them — that side
-    is the verification baseline, not the scale path (at 100 TB it
-    would use llm_sequence_pack's two-phase distributed prefix sum or
-    simply be dropped, leaving the histogram alone).
+    of 3×256 candidate rows reduced by min_by. The EXACT companion is
+    bucket-targeted too: the histogram cum locates each probe's
+    bucket + rank remainder, and the only window is partitioned per
+    probe over one bucket's rows (≈ n/256) — no global cumsum over
+    distinct cents anywhere (r5 verdict #3 fixed).
 
     Reference parity: no sketch module exists in the reference
     (cdc-mysql); this extends the curation/analytics surface the task
@@ -1508,7 +1540,11 @@ def q90_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
     bk = c.crossJoin(F.broadcast(mm)).select(
-        F.expr("((cents - mn) * 256) DIV (mx - mn + 1)").alias("b"), "mn", "mx", "n"
+        "cents",
+        F.expr("((cents - mn) * 256) DIV (mx - mn + 1)").alias("b"),
+        "mn",
+        "mx",
+        "n",
     )
     hist = bk.groupBy("b", "mn", "mx", "n").agg(F.count(F.lit(1)).alias("cnt"))
     wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)  # <=256 rows
@@ -1528,14 +1564,33 @@ def q90_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_bp")
         .agg(F.min_by(est_expr, F.col("b")).alias("est_cents"))
     )
-    dist = c.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
-    wd = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    dcum = dist.withColumn("cum", F.sum("cnt").over(wd))
-    ex = (
-        probes.crossJoin(F.broadcast(mm))
-        .join(dcum, dcum["cum"] >= r_tgt)
+    # Exact baseline WITHOUT a global cumsum over distinct cents (the
+    # r5-verdict single-partition window): the ≤256-row bucket cum
+    # already locates each probe's target bucket b* and its rank
+    # remainder k = r_tgt - cum_below; the k-th smallest cents WITHIN
+    # that one bucket is the exact rank-r_tgt value. The only window
+    # is partitioned by probe over ONE bucket's rows (≈ n/256) —
+    # parallel across probes, never corpus-scale.
+    tgt = (
+        probes.join(F.broadcast(cum), cum["cum"] >= r_tgt)
         .groupBy("p_bp")
-        .agg(F.min("cents").alias("exact_cents"))
+        .agg(
+            F.min("b").alias("b_star"),
+            F.min_by(F.col("cum") - F.col("cnt"), F.col("b")).alias("below"),
+            F.min("n").alias("_n"),
+        )
+        .select(
+            "p_bp",
+            "b_star",
+            (F.expr("(p_bp * _n + 9999) DIV 10000") - F.col("below")).alias("k"),
+        )
+    )
+    w_ex = Window.partitionBy("p_bp").orderBy("cents")
+    ex = (
+        bk.join(F.broadcast(tgt), F.col("b") == F.col("b_star"))
+        .withColumn("_r", F.row_number().over(w_ex))
+        .filter(F.col("_r") == F.col("k"))
+        .select("p_bp", F.col("cents").alias("exact_cents"))
     )
     return ex.join(est, "p_bp").select("p_bp", "exact_cents", "est_cents")
 

@@ -244,9 +244,13 @@ GROUP BY n_name
 """,
 )
 def q05_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style: star join with the region/nation/supplier dims
-    broadcast (they are bounded small at any scale factor), fact-fact
-    join (orders⋈lineitem) shuffling on the order key."""
+    """TPC-H Q5-style: star join with the region/nation dims broadcast
+    (25/5 rows at ANY scale factor), fact-fact join (orders⋈lineitem)
+    shuffling on the order key. Supplier is deliberately NOT hinted:
+    it scales 10k·SF, so a forced broadcast is an eventual OOM at
+    cluster scale — AQE picks broadcast for it at small SF on its own
+    and falls back to shuffle join when it outgrows the threshold
+    (r5 verdict #4)."""
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
@@ -259,7 +263,7 @@ def q05_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("o_custkey") == F.col("c_custkey"))
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -287,11 +291,15 @@ GROUP BY p_brand
 """,
 )
 def q21_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact⋈dim with an explicit broadcast of the filtered part dim."""
+    """Fact⋈dim on the filtered part dim. No forced broadcast: part
+    scales 200k·SF, so the hint would pin an eventual OOM where AQE
+    can otherwise decide per-run (it broadcasts the filtered dim at
+    small SF and shuffles when it outgrows the threshold —
+    r5 verdict #5)."""
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_size") < 10)
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             qavg(F.col("l_quantity"), 4).alias("avg_qty"),

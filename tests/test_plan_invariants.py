@@ -7,6 +7,13 @@ surface: the scale posture the README claims, pinned as tests.
 - No CartesianProduct nodes: every cross-ish join must be a bounded
   broadcast (BroadcastNestedLoopJoin over a small dimension/probe set
   is acceptable; an unbounded shuffled cartesian is not).
+- No corpus-scale global-order window: a Window with an EMPTY
+  partition spec moves every input row to ONE partition (WindowExec
+  "Moving all data to a single partition"), so it is only allowed
+  over an already-reduced subtree — an Aggregate (per-bucket /
+  per-level totals, the two-phase prefix-sum pattern), a Limit, or a
+  WindowGroupLimit (top-k rank pushdown). A bare global window over
+  a scan is the q43/q90/vocab_coverage defect class (r5 verdict #3).
 """
 
 from __future__ import annotations
@@ -16,6 +23,43 @@ import pytest
 from fluvio_demo_apps_rust_spark.plans import REGISTRY
 
 from .conftest import SF_SMOKE
+
+# Logical nodes that bound the input of a global-order window: the
+# window then runs over aggregated/limited rows, not the corpus.
+_WINDOW_REDUCERS = {"Aggregate", "GlobalLimit", "LocalLimit", "WindowGroupLimit"}
+
+
+def _jchildren(jnode):
+    ch = jnode.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _walk(jnode):
+    stack = [jnode]
+    while stack:
+        n = stack.pop()
+        yield n
+        stack.extend(_jchildren(n))
+
+
+def _unbounded_global_windows(df) -> list[str]:
+    """Names of empty-partition Window nodes in the OPTIMIZED logical
+    plan with no reducing node below them."""
+    bad = []
+    root = df._jdf.queryExecution().optimizedPlan()
+    for node in _walk(root):
+        if node.getClass().getSimpleName() != "Window":
+            continue
+        if not node.partitionSpec().isEmpty():
+            continue
+        reduced = any(
+            d.getClass().getSimpleName() in _WINDOW_REDUCERS
+            for c in _jchildren(node)
+            for d in _walk(c)
+        )
+        if not reduced:
+            bad.append(node.simpleString(100))
+    return bad
 
 # Streaming queries execute a stream inside the builder; CDC queries run
 # driver-side fold jobs. Both still yield inspectable batch plans, but
@@ -36,6 +80,32 @@ def test_no_rowwise_python_and_no_cartesian(spark, name, spec):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
     assert "CartesianProduct" not in plan, f"{name} has an unbounded cartesian product"
+    bad = _unbounded_global_windows(df)
+    assert not bad, f"{name} has corpus-scale global-order window(s): {bad}"
+
+
+def test_global_window_detector_fires(spark):
+    """Negative control: the detector must flag the exact defect class
+    it pins (a bare Window.orderBy over a scan) and must NOT flag the
+    sanctioned shapes (window over an aggregate; top-k WindowGroupLimit)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    naked = df.select(F.row_number().over(Window.orderBy("id")).alias("r"))
+    assert _unbounded_global_windows(naked), "bare global window not detected"
+
+    over_agg = (
+        df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.row_number().over(Window.orderBy("k")).alias("r"))
+    )
+    assert not _unbounded_global_windows(over_agg)
+
+    topk = df.select(
+        F.row_number().over(Window.orderBy("id")).alias("r"), "id"
+    ).filter(F.col("r") <= 5)
+    assert not _unbounded_global_windows(topk), "WindowGroupLimit shape flagged"
 
 
 def test_bench_queries_are_registered_and_classified():
