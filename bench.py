@@ -59,6 +59,15 @@ BENCH_QUERIES = [
     # totals before r4 exclude these two, compare per-query/per-family)
     "q89_hll_distinct",
     "q90_histogram_quantiles",
+    # round 6 additions (r5 verdict #5): the measured compute-bound
+    # winnow kernel (docs/SCALING.md 4.0x per x10 step), the seeded
+    # range-partitioned global shuffle, the salted-hash split, and a
+    # binary binlog-v4 parse+replay — totals before r6 exclude these
+    # four, compare per-query/per-family
+    "llm_winnow_fingerprint",
+    "llm_global_shuffle",
+    "llm_train_split",
+    "cdc_binlog_replay",
 ]
 
 # Per-family subtotals so cross-round regressions (CDC vs dedup vs ANN)
@@ -95,6 +104,10 @@ FAMILY = {
     "q85_rfm_segmentation": "mining",
     "q89_hll_distinct": "mining",
     "q90_histogram_quantiles": "mining",
+    "llm_winnow_fingerprint": "dedup",
+    "llm_global_shuffle": "curation",
+    "llm_train_split": "curation",
+    "cdc_binlog_replay": "cdc",
 }
 
 
