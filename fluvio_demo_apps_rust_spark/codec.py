@@ -261,6 +261,7 @@ def _canon_cell(c: F.Column) -> F.Column:
             num("SignedInteger"),
             num("UnsignedInteger"),
             num("Enum"),
+            num("Set"),
             num("Year"),
             flt("Float"),
             flt("Double"),
@@ -354,7 +355,7 @@ def _canon_cell_json(c: F.Column) -> F.Column:
             F.raise_error(F.concat(F.lit("malformed Value: "), c)).cast("string"),
         )
         .when(kind.isin("String", "Decimal"), payload)
-        .when(kind.isin("SignedInteger", "UnsignedInteger", "Enum", "Year"), payload)
+        .when(kind.isin("SignedInteger", "UnsignedInteger", "Enum", "Set", "Year"), payload)
         .when(kind.isin("Float", "Double"), payload)
         .when(kind == "Date", date_c)
         .when(kind == "Time", time_c)

@@ -17,7 +17,7 @@ import zlib
 SERVER_ID = 1
 T_VARCHAR, T_STRING, T_DATE = 0x0F, 0xFE, 0x0A
 T_YEAR, T_TIMESTAMP2, T_DATETIME2, T_TIME2 = 0x0D, 0x11, 0x12, 0x13
-T_JSON, T_NEWDECIMAL, T_ENUM = 0xF5, 0xF6, 0xF7
+T_JSON, T_NEWDECIMAL, T_ENUM, T_SET = 0xF5, 0xF6, 0xF7, 0xF8
 _DIG2BYTES = (0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
 _FSP_BYTES = (0, 1, 1, 2, 2, 3, 3)
 
@@ -189,9 +189,10 @@ class BinlogWriter:
     @staticmethod
     def _row(values: list) -> bytes:
         """values: str | None (NULL) | tagged tuple:
-        ('date',y,m,d) ('year',yyyy) ('time2',h,mi,s,us,fsp)
-        ('dt2',y,mo,d,h,mi,s,us,fsp) ('ts2',epoch,us,fsp)
-        ('dec',text,precision,scale) ('enum',idx,nbytes) ('json',obj)."""
+        ('date',y,m,d) ('year',yyyy) ('time2',h,mi,s,us,fsp) — h < 0
+        encodes a negative time — ('dt2',y,mo,d,h,mi,s,us,fsp)
+        ('ts2',epoch,us,fsp) ('dec',text,precision,scale)
+        ('enum',idx,nbytes) ('set',bitmask,nbytes) ('json',obj)."""
         nullmap = 0
         payload = b""
         for i, v in enumerate(values):
@@ -207,9 +208,21 @@ class BinlogWriter:
                 elif tag == "year":
                     payload += bytes([v[1] - 1900])
                 elif tag == "time2":
+                    # Negative times (h < 0): MySQL stores the WHOLE
+                    # (3+fsp)-byte value in offset binary — the
+                    # fractional bytes participate in the borrow, so the
+                    # combined magnitude is subtracted from the offset
+                    # as one integer (pins the reader's combined-negate
+                    # decode; my_time.c TIME_from_longlong_time_packed).
                     _, h, mi, s, us, fsp = v
-                    packed = 0x800000 | (h << 12) | (mi << 6) | s
-                    payload += packed.to_bytes(3, "big") + _enc_fsp(us, fsp)
+                    neg, h = h < 0, abs(h)
+                    nb = _FSP_BYTES[fsp]
+                    frac_bits = 8 * nb
+                    frac = us // 10 ** (6 - 2 * nb) if nb else 0
+                    mag = (((h << 12) | (mi << 6) | s) << frac_bits) | frac
+                    offset = 0x800000 << frac_bits
+                    packed = offset - mag if neg else offset | mag
+                    payload += packed.to_bytes(3 + nb, "big")
                 elif tag == "dt2":
                     _, y, mo, d, h, mi, s, us, fsp = v
                     packed = (
@@ -225,6 +238,8 @@ class BinlogWriter:
                     payload += _enc_decimal(text, precision, scale)
                 elif tag == "enum":
                     payload += v[1].to_bytes(v[2], "little")
+                elif tag == "set":
+                    payload += v[1].to_bytes(v[2], "little")  # bitmask
                 elif tag == "json":
                     blob = _enc_jsonb(v[1])
                     payload += struct.pack("<I", len(blob)) + blob
@@ -261,7 +276,7 @@ PET_BINLOG_COLUMNS = {
 TYPED_BINLOG_COLUMNS = {
     ("typedb", "alltypes"): [
         "id", "label", "grade", "born_year", "appt_dt", "appt_time",
-        "updated_at", "balance", "tags",
+        "updated_at", "balance", "tags", "perks", "delta",
     ]
 }
 
@@ -270,7 +285,9 @@ def typed_binlog_bytes() -> bytes:
     """One INSERT + one UPDATE over a table exercising every §1.4 value
     type the reference decodes (values.rs:9-45): ENUM, YEAR, DATETIME2,
     TIME2, TIMESTAMP2, NEWDECIMAL, JSON (+ VARCHAR/DATE covered by the
-    pet scenario)."""
+    pet scenario), plus SET (bitmask via T_STRING real-type metadata)
+    and a NEGATIVE fsp>0 TIME2 (pins the combined offset-binary negate:
+    the fractional bytes participate in the borrow)."""
     w = BinlogWriter()
     w.query("typedb", "CREATE DATABASE typedb")
     w.query(
@@ -278,13 +295,18 @@ def typed_binlog_bytes() -> bytes:
         "CREATE TABLE alltypes (id INT, label VARCHAR(20), "
         "grade ENUM('a','b','c'), born_year YEAR, appt_dt DATETIME(2), "
         "appt_time TIME(2), updated_at TIMESTAMP(2), "
-        "balance DECIMAL(12,4), tags JSON)",
+        "balance DECIMAL(12,4), tags JSON, "
+        "perks SET('x','y','z'), delta TIME(2))",
     )
     types = [
         0x03, T_VARCHAR, T_STRING, T_YEAR, T_DATETIME2,
         T_TIME2, T_TIMESTAMP2, T_NEWDECIMAL, T_JSON,
+        T_STRING, T_TIME2,
     ]
-    metas = [0, 20, (T_ENUM << 8) | 1, 0, 2, 2, 2, (12 << 8) | 4, 4]
+    metas = [
+        0, 20, (T_ENUM << 8) | 1, 0, 2, 2, 2, (12 << 8) | 4, 4,
+        (T_SET << 8) | 1, 2,
+    ]
     row1 = [
         ("int4", 7), "widget", ("enum", 2, 1), ("year", 1999),
         ("dt2", 2024, 3, 30, 21, 31, 30, 120000, 2),
@@ -292,13 +314,15 @@ def typed_binlog_bytes() -> bytes:
         ("ts2", 1524885322, 250000, 2),
         ("dec", "-12345.6789", 12, 4),
         ("json", {"a": 2, "b": [True, None, "x"], "c": -1.5}),
+        ("set", 0b101, 1),  # {'x','z'} — bits 0 and 2
+        ("time2", -10, 30, 30, 250000, 2),  # -10:30:30.25
     ]
     row2 = list(row1)
     row2[7] = ("dec", "0.0000", 12, 4)
     w.table_map(200, "typedb", "alltypes", types, metas)
-    w.rows(0x1E, 200, 9, [row1])
+    w.rows(0x1E, 200, 11, [row1])
     w.table_map(200, "typedb", "alltypes", types, metas)
-    w.rows(0x1F, 200, 9, [(row1, row2)])
+    w.rows(0x1F, 200, 11, [(row1, row2)])
     return bytes(w.buf)
 
 

@@ -151,13 +151,16 @@ def cdc_binlog_real_pet(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT * FROM (VALUES (
   7, 'widget', '2', 1999,
   '2024-03-30 21:31:30.12', '21:31:30.500000', '2018-04-28 03:15:22.25',
-  '0.0000', '{"a":2,"b":[true,null,"x"],"c":-1.5}'
-)) t(id, label, grade, born_year, appt_dt, appt_time, updated_at, balance, tags)
+  '0.0000', '{"a":2,"b":[true,null,"x"],"c":-1.5}', '5', '10:30:30.250000'
+)) t(id, label, grade, born_year, appt_dt, appt_time, updated_at, balance, tags,
+     perks, delta)
 """,
 )
 def cdc_binlog_typed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full §1.4 value-type surface through the BINARY path: ENUM, YEAR,
-    DATETIME2(fsp), TIME2(fsp), TIMESTAMP2(fsp), NEWDECIMAL and JSON
+    DATETIME2(fsp), TIME2(fsp), TIMESTAMP2(fsp), NEWDECIMAL, JSON,
+    SET (bitmask → '5' = {'x','z'}) and a NEGATIVE TIME2(2) (combined
+    offset-binary negate; sign dropped = reference Value::Time parity)
     column decode (reference Value set: src/messages/values.rs:9-45),
     then codec canonicalization, DDL-registry typing and K2/K3 apply —
     the INSERT's balance is overwritten by the UPDATE. Timestamps are
@@ -182,6 +185,8 @@ def cdc_binlog_typed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("updated_at").cast("string").alias("updated_at"),
         F.col("balance").cast("string").alias("balance"),
         "tags",
+        "perks",
+        "delta",
     )
 
 

@@ -76,7 +76,7 @@ OP_TYPES = ("Query", "Add", "Update", "Delete")
 #   Json     compact JSON     Blob          base64
 #   Null     None
 
-INT_KINDS = {"UnsignedInteger", "SignedInteger", "Enum", "Year"}
+INT_KINDS = {"UnsignedInteger", "SignedInteger", "Enum", "Set", "Year"}
 
 
 def _canon_date(p) -> str:
@@ -106,6 +106,7 @@ _KIND_CANON: dict[str, Any] = {
     "UnsignedInteger": lambda p: str(int(p)),
     "SignedInteger": lambda p: str(int(p)),
     "Enum": lambda p: str(int(p)),
+    "Set": lambda p: str(int(p)),  # bitmask; member i of the DDL list = 1 << i
     "Year": lambda p: str(int(p)),
     "Float": lambda p: repr(float(p)),
     "Double": lambda p: repr(float(p)),
@@ -145,7 +146,7 @@ def render_value_display(v: Any) -> str:
     if v == "Null" or v is None:
         return "Null"
     kind, payload = next(iter(v.items()))
-    if kind in ("UnsignedInteger", "SignedInteger", "Enum"):
+    if kind in ("UnsignedInteger", "SignedInteger", "Enum", "Set"):
         return str(int(payload))
     if kind in ("Float", "Double"):
         f = float(payload)

@@ -24,12 +24,14 @@ Supported column types cover the reference's full Value surface
 (src/messages/values.rs:9-45, fed by the mysql_binlog crate):
 LONGLONG/LONG/INT24/SHORT/TINY, FLOAT/DOUBLE, VARCHAR / VAR_STRING /
 STRING(CHAR), BLOB/TEXT, DATE, DATETIME + DATETIME2, TIME + TIME2,
-TIMESTAMP + TIMESTAMP2, YEAR, ENUM, NEWDECIMAL, JSON (binary JSONB
-decode) and NULL — emitting the same externally-tagged wire variants
-({"Enum":n}, {"Year":n}, {"Time":{...}}, {"DateTime":{...}},
-{"Timestamp":{"unix_time":..,"subsecond":..}}, {"Decimal":"..."},
-{"Json":...}). Unsupported types (SET, GEOMETRY) raise (strict) or
-skip the event (lenient), mirroring the producer's strict_ddl switch.
+TIMESTAMP + TIMESTAMP2, YEAR, ENUM, SET (bitmask, one bit per DDL
+member — the reference's mysql_binlog SET shape), NEWDECIMAL, JSON
+(binary JSONB decode) and NULL — emitting the same externally-tagged
+wire variants ({"Enum":n}, {"Set":n}, {"Year":n}, {"Time":{...}},
+{"DateTime":{...}}, {"Timestamp":{"unix_time":..,"subsecond":..}},
+{"Decimal":"..."}, {"Json":...}). GEOMETRY (WKB) is rejected loudly:
+raise (strict) or skip the event (lenient), mirroring the producer's
+strict_ddl switch.
 
 Verified against the REFERENCE'S OWN binary fixtures
 (cdc-mysql/test_files/binlog.000001/.000002/.000003 — read-only data
@@ -282,12 +284,25 @@ def _read_value(t: int, meta: int, data: bytes, pos: int) -> tuple[dict | str, i
                 "seconds": v % 100, "subseconds": 0,
             }
         }, pos + 3
-    if t == T_TIME2:  # 3-byte big-endian bitfield + fractional
-        v = int.from_bytes(data[pos : pos + 3], "big")
-        pos += 3
-        if not (v & 0x800000):  # sign bit clear = negative, 2's complement
-            v = (~v + 1) & 0xFFFFFF
-        us, pos = _read_fsp(data, pos, meta)
+    if t == T_TIME2:  # (3 + fsp)-byte big-endian offset-binary bitfield
+        # MySQL stores the int and fractional parts as ONE offset-binary
+        # number (my_time.c: the fsp bytes participate in the borrow for
+        # negative values), so the whole (3+fsp)-byte value must be
+        # negated as one integer — negating only the 3-byte part reads
+        # wrong seconds AND subseconds for negative times with fsp > 0.
+        nfrac = _FSP_BYTES[meta]
+        nb = 3 + nfrac
+        v = int.from_bytes(data[pos : pos + nb], "big")
+        pos += nb
+        bits = 8 * nb
+        if not (v >> (bits - 1)):  # sign bit clear = negative
+            v = (~v + 1) & ((1 << bits) - 1)
+        frac_bits = 8 * nfrac
+        us = (v & ((1 << frac_bits) - 1)) * 10 ** (6 - 2 * nfrac)
+        v >>= frac_bits
+        # Sign is discarded: the reference's Value::Time has no sign
+        # field (cdc-mysql values.rs Time{hours,minutes,seconds,
+        # subseconds}) — magnitude-only is reference parity.
         return {
             "Time": {
                 "hours": (v >> 12) & 0x3FF, "minutes": (v >> 6) & 0x3F,
@@ -324,6 +339,11 @@ def _read_value(t: int, meta: int, data: bytes, pos: int) -> tuple[dict | str, i
     if t == T_ENUM:  # only via T_STRING's real-type metadata
         n = meta  # packed byte width (1 or 2)
         return {"Enum": int.from_bytes(data[pos : pos + n], "little")}, pos + n
+    if t == T_SET:  # only via T_STRING's real-type metadata
+        n = meta  # packed byte width (1..8 — one bit per member)
+        # Bitmask semantics, matching the reference's mysql_binlog SET
+        # handling: member i of the DDL list is bit (1 << i).
+        return {"Set": int.from_bytes(data[pos : pos + n], "little")}, pos + n
     if t == T_JSON:
         n = int.from_bytes(data[pos : pos + meta], "little")
         pos += meta
@@ -343,7 +363,7 @@ def _read_value(t: int, meta: int, data: bytes, pos: int) -> tuple[dict | str, i
         if b0 == T_ENUM:
             return _read_value(T_ENUM, b1, data, pos)
         if b0 == T_SET:
-            raise BinlogError("unsupported column type SET")
+            return _read_value(T_SET, b1, data, pos)
         maxlen = _string_meta(b0, b1)
         if maxlen > 255:
             n = int.from_bytes(data[pos : pos + 2], "little")
@@ -356,6 +376,12 @@ def _read_value(t: int, meta: int, data: bytes, pos: int) -> tuple[dict | str, i
         n = int.from_bytes(data[pos : pos + meta], "little")
         pos += meta
         return {"String": data[pos : pos + n].decode("utf-8", "replace")}, pos + n
+    if t == T_GEOMETRY:
+        # Deliberately NOT decoded: WKB payloads have no Value variant in
+        # the reference's §1.4 set and no canonical text form here. Loud
+        # rejection (strict mode raises; lenient mode skips the event
+        # with this message) beats a silent misread of the length prefix.
+        raise BinlogError("unsupported column type GEOMETRY (0xff): WKB decode not implemented")
     raise BinlogError(f"unsupported column type {t:#x}")
 
 

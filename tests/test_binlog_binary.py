@@ -255,9 +255,27 @@ def test_typed_roundtrip_all_value_types():
         {"Timestamp": {"unix_time": 1524885322, "subsecond": 250000}},
         {"Decimal": "-12345.6789"},
         {"Json": {"a": 2, "b": [True, None, "x"], "c": -1.5}},
+        {"Set": 5},  # bitmask {'x','z'} = bits 0 and 2
+        # NEGATIVE fsp>0 TIME2: the fractional bytes participate in the
+        # two's-complement borrow — a 3-byte-only negate would decode
+        # 10:30:29.750000. Sign itself is dropped (reference Value::Time
+        # has no sign field).
+        {"Time": {"hours": 10, "minutes": 30, "seconds": 30,
+                  "subseconds": 250000}},
     ]
     after = objs[3]["operation"]["Update"]["rows"][0]["after_cols"]
     assert after[7] == {"Decimal": "0.0000"}  # negative-zero never emitted
+
+
+def test_geometry_rejected_loudly():
+    from fluvio_demo_apps_rust_spark.sources.binlog_binary import (
+        T_GEOMETRY,
+        BinlogError,
+        _read_value,
+    )
+
+    with pytest.raises(BinlogError, match="GEOMETRY"):
+        _read_value(T_GEOMETRY, 4, b"\x00" * 16, 0)
 
 
 @pytest.mark.parametrize(
