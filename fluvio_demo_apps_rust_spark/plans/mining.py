@@ -1933,3 +1933,78 @@ def q93_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _hll_est_col(F.col("denom"), F.col("v")).alias("hll_estimate"),
         )
     )
+
+
+@register(
+    "q94_sessionization",
+    tags=("streaming", "stateful", "session"),
+    oracle="""
+-- Streaming sessionization (5-min gap) must equal the batch
+-- gaps-and-islands sessions MINUS each user's trailing session (the
+-- stream's still-open state — by construction never emitted).
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) >= 300000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged),
+sessions AS (
+  SELECT user_id, sid,
+         epoch_us(min(ts)) // 1000000 AS session_start,
+         epoch_us(max(ts)) // 1000000 AS session_last,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS session_cents
+  FROM numbered GROUP BY user_id, sid)
+SELECT user_id, session_start, session_last, n_events, session_cents
+FROM (SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM sessions)
+WHERE sid < max_sid
+""",
+)
+def q94_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming sessionization (r5 verdict #6): the
+    events table streamed file-source → ``sessionize_stream``
+    (applyInPandasWithState keeping ONE open session per user,
+    availableNow trigger, memory sink). Each closed-by-gap session is
+    emitted exactly once, so streaming output == batch sessions minus
+    each user's trailing open session — the oracle computes exactly
+    that, proving STREAMING == BATCH for arbitrary (non-mergeable,
+    order-sensitive) keyed state, beyond the mergeable sketches of
+    q91. The finite-replay face runs evict=False for determinism (see
+    streaming/sessions.py docstring); the event-time-timeout eviction
+    path (state.remove on watermark passing last+gap) is pinned by
+    tests/test_streaming_sessions.py including a checkpoint restart.
+
+    Scale posture: state is four BIGINTs per ACTIVE user (with
+    eviction armed, idle keys are removed — bounded by the live
+    population); each microbatch shuffles only (user_id, event_id,
+    ts, cents-quantizable value) to the stateful operator."""
+    import uuid
+
+    from ..streaming.sessions import sessionize_stream
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = "q94_sessions_" + uuid.uuid4().hex[:8]
+    q = (
+        sessionize_stream(stream, evict=False)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # closed sessions are emitted exactly once, so the sink IS the result
+    return spark.sql(
+        f"""SELECT user_id, session_start, session_last, n_events, session_cents
+            FROM {name}"""
+    )
