@@ -111,12 +111,7 @@ def _images_df(
     cheap pushdown-friendly predicate at any batch size. (Header
     coverage — K6 — is enforced by the codec at decode time.)
     """
-    ev = events.filter(
-        (F.col("db") == run["db"])
-        & (F.col("table") == run["table"])
-        & (F.col("op_type") == run["op"])
-        & F.col("sequence").between(run["seq_min"], run["seq_max"])
-    )
+    ev = events.filter(_run_pred(run))
     exploded = ev.select("sequence", F.posexplode("rows").alias("pos", "img"))
     img = F.col("img." + side)
     sel = [
@@ -126,6 +121,49 @@ def _images_df(
     if with_pos:
         sel = [F.col("sequence"), F.col("pos")] + sel
     return exploded.select(*sel)
+
+
+def _run_pred(run: dict):
+    return (
+        (F.col("db") == run["db"])
+        & (F.col("table") == run["table"])
+        & (F.col("op_type") == run["op"])
+        & F.col("sequence").between(run["seq_min"], run["seq_max"])
+    )
+
+
+def _update_run_conflicts(events: DataFrame, run: dict) -> bool:
+    """True when batch-applying this multi-event Update run in one join
+    could diverge from the sequential per-event fold: some before-image
+    collides across events (the first event consumed those rows) or
+    equals an EARLIER event's after-image (U1's output is U2's input —
+    chaining). Hashes the CANONICAL image string arrays (the codec's
+    canon is injective per value, so canonical equality == the apply
+    join's typed null-safe equality); a 64-bit hash collision can only
+    create a spurious conflict → the safe sequential fallback, never a
+    wrong batch apply. One distributed pass over the run's images,
+    short-circuited by limit(1)."""
+    h = events.filter(_run_pred(run)).select(
+        "sequence", F.explode("rows").alias("img")
+    ).select(
+        "sequence",
+        F.xxhash64(F.col("img.before")).alias("bh"),
+        F.xxhash64(F.col("img.after")).alias("ah"),
+    )
+    b = h.select("sequence", "bh")
+    dup = (
+        b.groupBy("bh")
+        .agg(F.count_distinct("sequence").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select(F.lit(1).alias("x"))
+    )
+    chain = (
+        b.join(
+            h.select(F.col("sequence").alias("sa"), "ah"),
+            (F.col("bh") == F.col("ah")) & (F.col("sa") < F.col("sequence")),
+        ).select(F.lit(1).alias("x"))
+    )
+    return dup.unionAll(chain).limit(1).count() > 0
 
 
 def _empty_table(spark: SparkSession, cols: list[tuple[str, str | None]]) -> DataFrame:
@@ -222,11 +260,19 @@ def apply_changes(
     # Adds and Deletes coalesce into bulk runs: appends are independent
     # and deletes only remove (an earlier delete can't change what a
     # later one matches), so one union / one anti-join applies the whole
-    # run exactly. Updates never coalesce across events — U1's after-
-    # image may be U2's before-image (chaining), so they fold one by one.
+    # run exactly. Updates ALSO coalesce (r5 verdict #9) — but only
+    # tentatively: batch-applying several update events in one join is
+    # exact iff no event's before-image collides with another event's
+    # before-image (sequentially the first consumed those rows) or an
+    # EARLIER event's after-image (chaining: U1's output is U2's
+    # input). The apply loop verifies that with one distributed hash
+    # check per multi-event run (_update_run_conflicts) and falls back
+    # to the per-event sequential fold only for runs where chaining
+    # actually exists — so an update-dominated stream of independent
+    # single-row updates costs ONE summary row + ONE join, not
+    # O(#events) driver round-trips.
     new_run = (
-        (F.col("op_type") == "Update")
-        | F.lag("op_type").over(wt).isNull()
+        F.lag("op_type").over(wt).isNull()
         | (F.lag("op_type").over(wt) != F.col("op_type"))
         | (F.lag("ncols").over(wt) != F.col("ncols"))
         | (F.lag("barrier").over(wt) != F.col("barrier"))
@@ -238,10 +284,12 @@ def apply_changes(
             F.min("sequence").alias("seq_min"),
             F.max("sequence").alias("seq_max"),
             F.sum("nrows_ev").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_events"),
         )
         .withColumn("query", F.lit(None).cast("string"))
         .select(
-            "db", "table", "op_type", "ncols", "seq_min", "seq_max", "n_rows", "query"
+            "db", "table", "op_type", "ncols", "seq_min", "seq_max", "n_rows",
+            "n_events", "query"
         )
     )
     q_part = events.filter(F.col("op_type") == "Query").select(
@@ -252,6 +300,7 @@ def apply_changes(
         F.col("sequence").alias("seq_min"),
         F.col("sequence").alias("seq_max"),
         F.lit(None).cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("n_events"),
         "query",
     )
     # ONE action: materializes the event cache and collects run
@@ -280,7 +329,7 @@ def apply_changes(
             {
                 "db": r.db, "table": r.table, "op_type": r.op_type,
                 "ncols": r.ncols, "seq_min": r.seq_min, "seq_max": r.seq_max,
-                "n_rows": r.n_rows, "query": r.query,
+                "n_rows": r.n_rows, "n_events": r.n_events, "query": r.query,
             }
             for r in collected
         ),
@@ -302,9 +351,11 @@ def apply_changes(
         wm = state.watermarks.get(key, -1)
         if r["seq_max"] <= wm:
             continue  # full replay → no-op (exactly-once)
-        # Partial replay can only hit a coalesced Add or Delete run;
-        # appends are per-event independent and deletes idempotent, so
-        # trimming the range is exact.
+        # Partial replay trimming is exact for every coalesced run:
+        # appends are per-event independent, deletes idempotent, and a
+        # replayed update's before-image was already consumed by its
+        # first application (re-matching it is a no-op), so skipping
+        # replayed events changes nothing.
         seq_min = max(r["seq_min"], wm + 1)
         runs.append(
             {
@@ -316,6 +367,7 @@ def apply_changes(
                 "seq_max": r["seq_max"],
                 "ncols": r["ncols"],
                 "n_rows": r["n_rows"],
+                "n_events": r["n_events"],
             }
         )
 
@@ -357,31 +409,68 @@ def apply_changes(
             # image sets and falls back to shuffle join for bulk deletes
             new = cur.join(imgs, _nullsafe_cond(cur, imgs, names, "_d_"), "left_anti")
         elif op == "Update":
-            pairs = _images_df(events, run, "before", cols, prefix="_b_", with_pos=True)
-            afters = _images_df(events, run, "after", cols, prefix="_a_", with_pos=True)
-            both = pairs.join(afters, ["sequence", "pos"])
-            # Several pairs with an identical before-image: the last
-            # one wins (sequential MySQL semantics within one event).
-            from pyspark.sql import Window
 
-            w = Window.partitionBy(*[F.col("_b_" + c) for c in names]).orderBy(
-                F.desc("sequence"), F.desc("pos")
-            )
-            both = (
-                both.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn", "sequence", "pos")
-                .withColumn("_matched", F.lit(True))
-            )
-            if small:
-                both = F.broadcast(both)
-            joined = cur.join(both, _nullsafe_cond(cur, both, names, "_b_"), "left")
-            new = joined.select(
-                *[
-                    F.when(F.col("_matched"), F.col("_a_" + c)).otherwise(cur[c]).alias(c)
-                    for c in names
-                ]
-            )
+            def _one_update(left: DataFrame, sub: dict) -> DataFrame:
+                pairs = _images_df(
+                    events, sub, "before", cols, prefix="_b_", with_pos=True
+                )
+                afters = _images_df(
+                    events, sub, "after", cols, prefix="_a_", with_pos=True
+                )
+                both = pairs.join(afters, ["sequence", "pos"])
+                # Several pairs with an identical before-image: the last
+                # one wins (sequential MySQL semantics within one event;
+                # across events of a coalesced run the conflict check
+                # already guarantees before-images are disjoint).
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(*[F.col("_b_" + c) for c in names]).orderBy(
+                    F.desc("sequence"), F.desc("pos")
+                )
+                both_d = (
+                    both.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn", "sequence", "pos")
+                    .withColumn("_matched", F.lit(True))
+                )
+                if small:
+                    both_d = F.broadcast(both_d)
+                joined = left.join(
+                    both_d, _nullsafe_cond(left, both_d, names, "_b_"), "left"
+                )
+                return joined.select(
+                    *[
+                        F.when(F.col("_matched"), F.col("_a_" + c))
+                        .otherwise(left[c])
+                        .alias(c)
+                        for c in names
+                    ]
+                )
+
+            sub_runs = [run]
+            if (run.get("n_events") or 1) > 1 and _update_run_conflicts(events, run):
+                # Chaining exists somewhere in the run: fall back to the
+                # sequential per-event fold (reference semantics). This
+                # is the documented degenerate path — O(#events-in-run)
+                # driver rows + joins — paid only when update events
+                # actually feed each other, never for the common
+                # independent-updates stream.
+                seqs = sorted(
+                    r[0]
+                    for r in events.filter(_run_pred(run))
+                    .select("sequence")
+                    .distinct()
+                    .collect()
+                )
+                sub_runs = [dict(run, seq_min=s, seq_max=s) for s in seqs]
+            new = cur
+            for i, sub in enumerate(sub_runs):
+                new = _one_update(new, sub)
+                if len(sub_runs) > 1 and i < len(sub_runs) - 1:
+                    steps = fold_steps.get(key, 0) + 1
+                    fold_steps[key] = steps
+                    if steps % checkpoint_every == 0:
+                        new = new.localCheckpoint(eager=True)
         else:
             raise ApplyError(f"unknown op type: {op}")
 
