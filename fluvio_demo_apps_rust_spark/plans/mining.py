@@ -569,7 +569,8 @@ def llm_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All training state is integer counts (two token-keyed aggregates);
     the per-(token, class) log-likelihood table is vocab×classes rows
-    — broadcast-sized by construction — and every log is quantized to
+    — joined on token with no forced broadcast (vocab grows with the
+    corpus; AQE picks broadcast vs shuffle) — and every log is quantized to
     an exact nano-scaled BIGINT BEFORE the per-document sum, so
     argmax scores are exact integers and aggregation order cannot
     flip a prediction (ties break lexicographically on class).
@@ -625,8 +626,14 @@ def llm_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lp0"),
     )
     score = (
+        # No forced broadcast of ll: it is vocab×classes rows and the
+        # vocabulary GROWS with the corpus (Heaps' law) — the q05/q21
+        # forced-SF-linear-broadcast class. AQE broadcasts it at small
+        # scale on its own and falls back to a shuffle equi-join when
+        # the model outgrows the threshold. prior stays hinted
+        # (#classes rows, bounded).
         tok.withColumnRenamed("lang", "actual")
-        .join(F.broadcast(ll), "token")
+        .join(ll, "token")
         .join(F.broadcast(prior), "lang")
         .groupBy("doc_id", "actual", F.col("lang").alias("cand"), "lp0")
         .agg(F.sum("lp").alias("sl"))
