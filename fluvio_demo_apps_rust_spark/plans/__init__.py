@@ -87,8 +87,7 @@ _PRIORITY: tuple[str, ...] = (
 # Unlike _PRIORITY, missing names here are skipped, not fatal.
 _FORWARD: tuple[str, ...] = (
     "q94_sessionization",
-    "q95_stream_sessionization",
-    "cdc_binlog_set_geom",
+    "q95_bloom_semijoin",
 )
 
 

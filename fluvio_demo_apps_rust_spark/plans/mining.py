@@ -2015,3 +2015,119 @@ def q94_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""SELECT user_id, session_start, session_last, n_events, session_cents
             FROM {name}"""
     )
+
+
+@register(
+    "q95_bloom_semijoin",
+    tags=("sketch", "bloom", "join", "pruning"),
+    oracle="""
+-- Identical Bloom construction on both engines: 60-bit md5 hash, four
+-- 15-bit positions into m=32768 bits packed as 63-bit words (bit 63
+-- never used, so masks stay positive and >> needs no sign care).
+WITH bk AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_totalprice > 400000),
+bh AS (SELECT k, ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT AS hv FROM bk),
+pos AS (SELECT ((bh.hv >> (11 * i.i)) % 32768) AS p
+        FROM bh, (SELECT unnest([0, 1, 2, 3]) AS i) i),
+flt AS (SELECT p // 63 AS w,
+               bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS mask
+        FROM pos GROUP BY w),
+pk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+ph AS (SELECT k, ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT AS hv FROM pk),
+pp AS (SELECT ph.k, ((ph.hv >> (11 * i.i)) % 32768) AS p
+       FROM ph, (SELECT unnest([0, 1, 2, 3]) AS i) i),
+tests AS (SELECT pp.k,
+                 CASE WHEN (coalesce(flt.mask, 0) >> CAST(pp.p % 63 AS INT)) & 1 = 1
+                      THEN 1 ELSE 0 END AS hit
+          FROM pp LEFT JOIN flt ON flt.w = pp.p // 63),
+cand AS (SELECT k FROM tests GROUP BY k HAVING min(hit) = 1),
+ex AS (SELECT k FROM pk WHERE k IN (SELECT k FROM bk))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM bk)   AS n_build,
+       (SELECT CAST(count(*) AS BIGINT) FROM pk)   AS n_probe,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM ex)   AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand)
+         - (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_false_pos
+""",
+)
+def q95_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning — the classic broadcast-pruning
+    sketch beside the HLL/CMS/KMV family: build a m=32768-bit Bloom
+    filter (k=4, 60-bit md5 positions, bits packed into 63-bit BIGINT
+    words so no mask ever touches the sign bit) over the high-value
+    order keys, probe EVERY lineitem order key map-side, and report
+    build/probe/candidate/true/false-positive counts. Bloom guarantees
+    no false negatives, so n_candidates >= n_true always; with
+    identical integer hashing on both engines the counts are exact.
+
+    Scale posture (100 TB): the filter is a <=521-row (word, mask)
+    aggregate — bit_or is commutative/associative = shard-combinable,
+    so it builds with ONE map-side-combining shuffle and merges across
+    partitions/streams like every other sketch here; the probe side
+    never shuffles — the whole filter rides as one broadcast MAP row
+    and membership is four element_at + bit tests per key inside
+    codegen. That is exactly the runtime-filter shape (DPP/Bloom
+    pushdown) engines use to prune a fact scan before an expensive
+    join. No reference module (cdc-mysql has no sketches); extends the
+    brief's curation/analytics surface."""
+    M, K, WORD = 32768, 4, 63
+
+    def h60(df):
+        return F.conv(
+            F.substring(F.md5(F.col("k").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    bk = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("k")
+    ).distinct()
+    bh = bk.select("k", h60(bk).alias("hv"))
+    pos = bh.select(
+        F.explode(
+            F.array(*[(F.shiftright("hv", 11 * i) % M) for i in range(K)])
+        ).alias("p")
+    )
+    flt = (
+        pos.select(
+            F.expr(f"p DIV {WORD}").alias("w"),
+            (F.col("p") % WORD).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        # column-valued shift amounts need expr: the F.shiftleft python
+        # signature only takes an int literal
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), b)")).alias("mask"))
+    )
+    fmap = flt.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("fm")
+    )
+    pk = li.select(F.col("l_orderkey").alias("k")).distinct()
+    ph = pk.select("k", h60(pk).alias("hv"))
+    probed = ph.crossJoin(F.broadcast(fmap))
+    hit = F.lit(True)
+    for i in range(K):
+        hit = hit & (
+            F.expr(
+                f"(shiftright(coalesce(element_at(fm,"
+                f" (shiftright(hv, {11 * i}) % {M}) DIV {WORD}),"
+                f" CAST(0 AS BIGINT)),"
+                f" CAST((shiftright(hv, {11 * i}) % {M}) % {WORD} AS INT)) & 1) = 1"
+            )
+        )
+    cand = probed.select("k", hit.alias("cand"))
+    counts = cand.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("cand").cast("long")).alias("n_candidates"),
+    )
+    n_build = bk.agg(F.count(F.lit(1)).alias("n_build"))
+    n_true = pk.join(bk, "k", "semi").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        n_build.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "n_build",
+            "n_probe",
+            "n_candidates",
+            "n_true",
+            (F.col("n_candidates") - F.col("n_true")).alias("n_false_pos"),
+        )
+    )
