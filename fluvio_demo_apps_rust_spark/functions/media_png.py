@@ -1,0 +1,136 @@
+"""From-scratch PNG codec + nearest-neighbor resample — stdlib only.
+
+The r5 verdict's one environment-blocked row was media decode ("no
+PIL in sandbox"). PNG needs nothing beyond ``zlib`` (DEFLATE + CRC32
+are in the Python stdlib), so the decode step is now REAL for RGB8
+PNGs: chunk walk, IHDR parse, IDAT inflate, and full scanline
+unfiltering (all five filter types, including Paeth), returning an
+(h, w, 3) uint8 numpy array. The encoder emits spec-valid files
+(filter 0 rows, one IDAT, CRC-correct chunks) that any external
+viewer can open; the decoder accepts files from any encoder that
+sticks to 8-bit non-interlaced RGB — the standard training-corpus
+normal form.
+
+Used by functions/multimodal.py's Arrow-batched harnesses: the same
+mapInPandas loop that previously called decode_stub now does a real
+pixel decode, and resize is a real resample (nearest-neighbor index
+map in numpy) rather than byte truncation.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 array → PNG bytes (RGB8, non-interlaced,
+    filter 0 on every scanline)."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_png expects an (h, w, 3) uint8 array")
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # RGB8, no interlace
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 array. Supports the training-corpus
+    normal form: 8-bit, color type 2 (RGB), non-interlaced; all five
+    scanline filters. Raises ValueError on anything else (loud, like
+    the binlog GEOMETRY posture — never a silent misread)."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        crc_expect = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])[0]
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc_expect:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth} color={ctype} "
+                    f"interlace={interlace}); only 8-bit non-interlaced RGB"
+                )
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - 3]) if i >= 3 else 0
+                c = int(prev[i - 3]) if i >= 3 else 0
+                line[i] = (line[i] + _paeth(a, int(prev[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"unknown scanline filter {ftype}")
+        out[y] = line
+        prev = out[y]
+    return out.reshape(h, w, 3)
+
+
+def resize_nn(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample: source index = floor(dst * src / out)
+    — the deterministic integer mapping the SQL oracle can replicate."""
+    h, w, _ = arr.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs]

@@ -3,11 +3,16 @@ columns with typed metadata.
 
 The Spark-side machinery is real — BinaryType columns, metadata
 structs, Arrow-batched ``mapInPandas`` feature extraction with bounded
-batch sizes — while the actual media decode is STUBBED (no
-image/audio libraries in this environment): ``decode_stub`` derives
-deterministic fake features from the bytes, and ``decode_real`` raises
-NotImplementedError where a PIL/ffmpeg call would go. Generalizes the
-reference's Blob value (values.rs:16 — "TODO: add binary support").
+batch sizes. Media decode is REAL for PNG (round 6): the stdlib-only
+codec in functions/media_png.py gives ``synth_png`` /
+``decode_png_features`` / ``png_resize_features`` a genuine
+encode→decode→resample→re-encode pipeline with zero external
+dependencies, oracle-gated by closed-form pixel sums. Formats that
+genuinely need external libraries keep the harness pair:
+``decode_stub`` (deterministic fake features, same batch shape) and
+``decode_real`` (PIL path, raises NotImplementedError in this
+sandbox). Generalizes the reference's Blob value (values.rs:16 —
+"TODO: add binary support").
 
 Scale posture: blobs stay in executor memory one Arrow batch at a
 time (cap via spark.sql.execution.arrow.maxRecordsPerBatch); feature
@@ -179,3 +184,102 @@ def resize_stub(df: DataFrame, blob_col: str = "blob", target_bytes: int = 64) -
             )
 
     return df.select("doc_id", blob_col).mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL media decode (round 6): PNG needs nothing beyond stdlib zlib,
+# so the decode step is no longer environment-stubbed for the
+# training-corpus normal form (8-bit non-interlaced RGB). See
+# functions/media_png.py for the from-scratch codec.
+
+PNG_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, pixel_sum bigint, byte_len bigint"
+)
+
+
+def synth_png(df: DataFrame) -> DataFrame:
+    """Deterministic REAL PNG per document: width/height derive from
+    doc_id and pixel i is (doc_id*31 + i) % 256 — closed forms a SQL
+    oracle can recompute, while the bytes themselves are spec-valid
+    PNG (CRC'd chunks, DEFLATE IDAT) any external decoder opens."""
+    import numpy as np
+
+    from .media_png import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 24 + 8, d % 16 + 8
+                arr = (
+                    (d * 31 + np.arange(h * w * 3)) % 256
+                ).astype(np.uint8).reshape(h, w, 3)
+                blobs.append(encode_png(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    # testdata parquet is ONE row group per file — repartition before
+    # the per-row-heavy codec chain so encode/decode parallelize
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select("doc_id")
+        .repartition(par, "doc_id")
+        .mapInPandas(gen, schema="doc_id bigint, blob binary")
+    )
+
+
+def decode_png_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """REAL decode: chunk walk, IHDR, IDAT inflate, unfilter — then
+    emit geometry + the exact pixel sum (BIGINT; no floats)."""
+    from .media_png import decode_png
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):
+                arr = decode_png(bytes(b))
+                rows.append(
+                    (
+                        int(doc_id),
+                        arr.shape[1],
+                        arr.shape[0],
+                        int(arr.sum(dtype="int64")),
+                        len(bytes(b)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "pixel_sum", "byte_len"]
+            )
+            rows = []
+
+    return df.select("doc_id", blob_col).mapInPandas(
+        extract, schema=PNG_FEATURES_SCHEMA
+    )
+
+
+def png_resize_features(
+    df: DataFrame, blob_col: str = "blob", out_w: int = 16, out_h: int = 16
+) -> DataFrame:
+    """Decode → nearest-neighbor resample → RE-ENCODE → decode again,
+    emitting the resized pixel sum: the full codec round trip inside
+    one Arrow batch loop, with the output verifiable from the
+    source-index closed form ((y*h) DIV out_h, (x*w) DIV out_w)."""
+    from .media_png import decode_png, encode_png, resize_nn
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):
+                small = resize_nn(decode_png(bytes(b)), out_w, out_h)
+                again = decode_png(encode_png(small))
+                rows.append(
+                    (int(doc_id), out_w, out_h, int(again.sum(dtype="int64")))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_w", "out_h", "resized_sum"]
+            )
+            rows = []
+
+    return df.select("doc_id", blob_col).mapInPandas(
+        work, schema="doc_id bigint, out_w int, out_h int, resized_sum bigint"
+    )

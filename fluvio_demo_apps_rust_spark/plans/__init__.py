@@ -88,6 +88,8 @@ _PRIORITY: tuple[str, ...] = (
 _FORWARD: tuple[str, ...] = (
     "q94_sessionization",
     "q95_bloom_semijoin",
+    "llm_png_decode",
+    "llm_png_resize",
 )
 
 

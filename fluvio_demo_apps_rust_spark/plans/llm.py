@@ -1022,6 +1022,82 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_png_decode",
+    tags=("llm", "multimodal", "codec"),
+    oracle="""
+-- The Spark side REALLY encodes then decodes a PNG per document
+-- (from-scratch stdlib codec: DEFLATE IDAT, CRC'd chunks, scanline
+-- unfilter). The oracle recomputes the closed forms the pixels were
+-- generated from: pixel i = (doc_id*31 + i) % 256 over n = w*h*3
+-- values sums to full-cycles*32640 + a wrapped arithmetic series.
+WITH d AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h FROM documents),
+p AS (SELECT doc_id, w, h, w * h * 3 AS n, (doc_id * 31) % 256 AS s FROM d)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST((n // 256) * 32640 +
+            CASE WHEN s + (n % 256) <= 256
+                 THEN (n % 256) * s + ((n % 256) * ((n % 256) - 1)) // 2
+                 ELSE ((256 - s) * (s + 255)) // 2
+                      + (((n % 256) - 256 + s) * ((n % 256) - 256 + s - 1)) // 2
+            END AS BIGINT) AS pixel_sum
+FROM p
+""",
+)
+def llm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no external libs (r5's one environment-
+    blocked row closed): per document, synthesize a spec-valid RGB8
+    PNG (functions/media_png.encode_png — zlib DEFLATE, CRC32 chunks)
+    whose dimensions and pixels are closed forms of doc_id, then
+    DECODE it back (chunk walk, IHDR, IDAT inflate, all-five-filter
+    unfilter) inside the same Arrow mapInPandas harness the stub used,
+    emitting geometry + the exact BIGINT pixel sum. The oracle knows
+    nothing about PNG — it recomputes the closed forms, so a codec bug
+    anywhere (encode, compress, decode, unfilter) breaks the hash.
+
+    Scale posture: blobs live one Arrow batch at a time; decode is
+    embarrassingly parallel per row; no shuffle at all."""
+    from ..functions.multimodal import decode_png_features, synth_png
+
+    d = load(spark, sf_dir, "documents")
+    return decode_png_features(synth_png(d)).select(
+        "doc_id", "width", "height", "pixel_sum"
+    )
+
+
+@register(
+    "llm_png_resize",
+    tags=("llm", "multimodal", "codec"),
+    oracle="""
+-- Nearest-neighbor source index: ((y*h) DIV 16, (x*w) DIV 16); the
+-- oracle walks the 16x16x3 output grid per document and sums the
+-- generator values at the mapped source offsets.
+WITH d AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h FROM documents)
+SELECT doc_id,
+       CAST(16 AS INT) AS out_w,
+       CAST(16 AS INT) AS out_h,
+       CAST(sum((doc_id * 31
+                 + ((((y.range * h) // 16) * w + ((x.range * w) // 16)) * 3
+                    + c.range)) % 256) AS BIGINT) AS resized_sum
+FROM d, range(16) y, range(16) x, range(3) c
+GROUP BY doc_id
+""",
+)
+def llm_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resample round trip: decode the synthesized PNG, nearest-
+    neighbor resample to 16x16 (both up- and down-scaling occur — the
+    source is 8..31 x 8..23), RE-ENCODE the small image, decode it
+    AGAIN, and emit the resized pixel sum. Four codec passes per row;
+    the oracle recomputes the resample's integer index map directly,
+    so the whole encode→decode→resize→encode→decode chain must be
+    lossless and index-exact to hash-match."""
+    from ..functions.multimodal import png_resize_features, synth_png
+
+    d = load(spark, sf_dir, "documents")
+    return png_resize_features(synth_png(d))
+
+
+@register(
     "llm_doc_chunking",
     tags=("llm", "text", "chunking"),
     oracle=f"""
