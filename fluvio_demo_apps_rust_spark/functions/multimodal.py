@@ -283,3 +283,148 @@ def png_resize_features(
     return df.select("doc_id", blob_col).mapInPandas(
         work, schema="doc_id bigint, out_w int, out_h int, resized_sum bigint"
     )
+
+
+WAV_FEATURES_SCHEMA = (
+    "doc_id bigint, n_samples bigint, sample_rate int, sum_samples bigint, energy bigint"
+)
+
+
+def synth_wav(df: DataFrame) -> DataFrame:
+    """Deterministic REAL WAV per document (PCM16 mono): n and the
+    sample generator are closed forms of doc_id the oracle recomputes;
+    the bytes are spec-valid RIFF any player opens."""
+    import numpy as np
+
+    from .media_wav import encode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 512 + 64
+                sr = 8000 + (d % 8) * 1000
+                s = (((d * 7 + np.arange(n) * 13) % 65536) - 32768).astype(np.int16)
+                blobs.append(encode_wav(s, sr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select("doc_id")
+        .repartition(par, "doc_id")
+        .mapInPandas(gen, schema="doc_id bigint, blob binary")
+    )
+
+
+def decode_wav_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """REAL RIFF parse + PCM16 decode → exact integer audio features
+    (count, rate, amplitude sum, energy = sum of squares)."""
+    import numpy as np
+
+    from .media_wav import decode_wav
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):
+                s, sr = decode_wav(bytes(b))
+                s64 = s.astype(np.int64)
+                rows.append(
+                    (int(doc_id), len(s), sr, int(s64.sum()), int((s64 * s64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "sum_samples", "energy"],
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(
+        extract, schema=WAV_FEATURES_SCHEMA
+    )
+
+
+# --- simple video container: b"FVID" + u32 n_frames, then per frame
+# u32 byte length + a REAL PNG payload. Container walk + per-frame
+# image decode is the actual video-frame-extraction shape (an ffmpeg
+# demuxer drops into the same loop).
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_w int, frame_h int, frame_pixel_sum bigint"
+)
+
+
+def synth_video(df: DataFrame) -> DataFrame:
+    """doc_id % 4 + 2 frames of 8x8 RGB; frame k pixel i is
+    (doc_id*31 + k*77 + i) % 256 — closed forms for the oracle."""
+    import struct as _struct
+
+    import numpy as np
+
+    from .media_png import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = d % 4 + 2
+                frames = []
+                for f in range(k):
+                    arr = (
+                        (d * 31 + f * 77 + np.arange(8 * 8 * 3)) % 256
+                    ).astype(np.uint8).reshape(8, 8, 3)
+                    frames.append(encode_png(arr))
+                blob = b"FVID" + _struct.pack("<I", k) + b"".join(
+                    _struct.pack("<I", len(p)) + p for p in frames
+                )
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select("doc_id")
+        .repartition(par, "doc_id")
+        .mapInPandas(gen, schema="doc_id bigint, blob binary")
+    )
+
+
+def video_frame_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Walk the container, REALLY decode every PNG frame, emit one row
+    per frame — the row-multiplying frame-sample harness with an
+    actual image decode inside."""
+    import struct as _struct
+
+    from .media_png import decode_png
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):
+                b = bytes(b)
+                if b[:4] != b"FVID":
+                    raise ValueError("not an FVID container")
+                (k,) = _struct.unpack("<I", b[4:8])
+                pos = 8
+                for f in range(k):
+                    (ln,) = _struct.unpack("<I", b[pos : pos + 4])
+                    arr = decode_png(b[pos + 4 : pos + 4 + ln])
+                    rows.append(
+                        (
+                            int(doc_id),
+                            f,
+                            arr.shape[1],
+                            arr.shape[0],
+                            int(arr.sum(dtype="int64")),
+                        )
+                    )
+                    pos += 4 + ln
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "frame_w", "frame_h", "frame_pixel_sum",
+                ],
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(
+        extract, schema=VIDEO_FRAME_SCHEMA
+    )

@@ -90,6 +90,8 @@ _FORWARD: tuple[str, ...] = (
     "q95_bloom_semijoin",
     "llm_png_decode",
     "llm_png_resize",
+    "llm_wav_decode",
+    "llm_video_frames",
 )
 
 

@@ -1098,6 +1098,73 @@ def llm_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_wav_decode",
+    tags=("llm", "multimodal", "codec", "audio"),
+    oracle="""
+-- Spark really writes then parses a RIFF/WAV PCM16 file per document
+-- (functions/media_wav.py); the oracle recomputes the sample
+-- generator s_i = (doc_id*7 + 13i) % 65536 - 32768 over the range.
+WITH d AS (SELECT doc_id, doc_id % 512 + 64 AS n,
+                  8000 + (doc_id % 8) * 1000 AS sr FROM documents)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(sr AS INT) AS sample_rate,
+       CAST(sum(((doc_id * 7 + r.range * 13) % 65536) - 32768) AS BIGINT) AS sum_samples,
+       CAST(sum((((doc_id * 7 + r.range * 13) % 65536) - 32768)
+                * (((doc_id * 7 + r.range * 13) % 65536) - 32768)) AS BIGINT) AS energy
+FROM d, range(576) r
+WHERE r.range < n
+GROUP BY doc_id, n, sr
+""",
+)
+def llm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, stdlib only: synthesize a spec-valid
+    RIFF/WAV PCM16 file per document (sample count, rate, and every
+    sample are closed forms of doc_id), parse it back with the
+    from-scratch chunk walker, and emit exact integer audio features
+    (count / rate / amplitude sum / energy = Σ s² — all BIGINT, no
+    floats). A writer or reader bug anywhere breaks the hash."""
+    from ..functions.multimodal import decode_wav_features, synth_wav
+
+    d = load(spark, sf_dir, "documents")
+    return decode_wav_features(synth_wav(d))
+
+
+@register(
+    "llm_video_frames",
+    tags=("llm", "multimodal", "codec", "video"),
+    oracle="""
+-- Container walk + per-frame REAL PNG decode: doc_id %% 4 + 2 frames
+-- of 8x8 RGB; frame k's pixels start at s = (doc_id*31 + 77k) %% 256
+-- and the 192-value wrapped arithmetic series has a closed form.
+WITH d AS (SELECT doc_id, doc_id % 4 + 2 AS k FROM documents),
+fr AS (SELECT doc_id, r.range AS f, ((doc_id * 31 + r.range * 77) % 256) AS s
+       FROM d, range(5) r WHERE r.range < k)
+SELECT doc_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(8 AS INT) AS frame_w,
+       CAST(8 AS INT) AS frame_h,
+       CAST(CASE WHEN s + 192 <= 256 THEN 192 * s + (192 * 191) // 2
+                 ELSE ((256 - s) * (s + 255)) // 2
+                      + ((192 - 256 + s) * (192 - 256 + s - 1)) // 2
+            END AS BIGINT) AS frame_pixel_sum
+FROM fr
+""",
+)
+def llm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame extraction: each document carries a simple
+    length-prefixed container (FVID header + per-frame u32 length +
+    an actual PNG payload); the extractor walks the container and
+    REALLY decodes every frame inside the row-multiplying mapInPandas
+    harness — the shape an ffmpeg demuxer drops into. One output row
+    per frame, pixel sums gated against the generator closed form."""
+    from ..functions.multimodal import synth_video, video_frame_features
+
+    d = load(spark, sf_dir, "documents")
+    return video_frame_features(synth_video(d))
+
+
+@register(
     "llm_doc_chunking",
     tags=("llm", "text", "chunking"),
     oracle=f"""
