@@ -92,6 +92,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_png_resize",
     "llm_wav_decode",
     "llm_video_frames",
+    "cdc_update_storm",
 )
 
 

@@ -262,6 +262,87 @@ def cdc_mixed_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("o_orderkey", "o_orderstatus")
 
 
+@register(
+    "cdc_update_storm",
+    tags=("cdc", "apply", "update", "scale"),
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'F' THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+FROM orders
+""",
+)
+def cdc_update_storm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-dominATED stream at data scale (drives the r6 update-run
+    coalescing through the driver gate): bulk adds, then one UPDATE
+    event PER 'F' order flipping its status to 'X'. The update events
+    have pairwise-distinct full-row before-images and no chaining, so
+    the kernel's conflict check passes and the whole storm applies as
+    ONE batched join — one run summary, one distributed hash check,
+    one `<=>` join — instead of the pre-r6 per-event sequential fold
+    (O(#updates) driver round-trips). Result must equal the source
+    with every 'F' flipped."""
+    o = load(spark, sf_dir, "orders")
+    n = 1 << 40
+    ddl = spark.createDataFrame(
+        [
+            (
+                '{"uri":"flv://mysql-srv1/cdcdb","sequence":0,'
+                '"bn_file":{"fileName":"binlog.000001","offset":4},'
+                '"operation":{"Query":"CREATE TABLE orders_u (o_orderkey BIGINT, '
+                'o_orderstatus VARCHAR(1))"}}',
+            )
+        ],
+        "value string",
+    )
+    key_cell = F.to_json(F.struct(F.col("o_orderkey").alias("SignedInteger")))
+
+    def head(seq: F.Column) -> F.Column:
+        return F.concat(
+            F.lit('{"uri":"flv://mysql-srv1/cdcdb/orders_u","sequence":'),
+            seq.cast("string"),
+            F.lit(',"bn_file":{"fileName":"binlog.000001","offset":'),
+            seq.cast("string"),
+            F.lit('},"columns":["o_orderkey","o_orderstatus"],"operation":'),
+        )
+
+    add_ev = F.concat(
+        head(F.col("o_orderkey") + 1),
+        F.lit('{"Add":{"rows":[{"cols":['),
+        key_cell,
+        F.lit(","),
+        F.to_json(F.struct(F.col("o_orderstatus").alias("String"))),
+        F.lit("]}]}}}"),
+    )
+    upd_ev = F.concat(
+        head(F.col("o_orderkey") + 1 + F.lit(n)),
+        F.lit('{"Update":{"rows":[{"before_cols":['),
+        key_cell,
+        F.lit(',{"String":"F"}],"after_cols":['),
+        key_cell,
+        F.lit(',{"String":"X"}]}]}}}'),
+    )
+    par = spark.sparkContext.defaultParallelism
+    rendered = (
+        o.repartition(par)
+        .select(
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        add_ev,
+                        F.when(F.col("o_orderstatus") == "F", upd_ev),
+                    )
+                )
+            ).alias("value")
+        )
+    )
+    from ..codec import parse_events
+
+    events = parse_events(ddl.unionByName(rendered))
+    state = apply_changes(spark, events)
+    t = state.table("cdcdb", "orders_u")
+    return t.select("o_orderkey", "o_orderstatus")
+
+
 # The stats operator folds the deterministic PET_EVENTS fixture, so the
 # final update-mode state is expressible as a batch aggregate over the
 # same wire JSON: count events / sum row-images / max sequence per
