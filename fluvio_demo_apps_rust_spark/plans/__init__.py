@@ -93,6 +93,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_wav_decode",
     "llm_video_frames",
     "cdc_update_storm",
+    "cdc_incremental_agg",
 )
 
 
