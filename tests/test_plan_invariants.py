@@ -84,6 +84,71 @@ def test_no_rowwise_python_and_no_cartesian(spark, name, spec):
     assert not bad, f"{name} has corpus-scale global-order window(s): {bad}"
 
 
+# Forced-broadcast lint (the q05/q21/naive-bayes defect class, r5
+# verdict #4/#5): an F.broadcast() hint whose subtree scans an
+# SF-LINEAR table with no Aggregate/Limit reduction below pins an
+# eventual OOM at scale where no hint would have let AQE decide.
+# Marker column → table (Relation simpleString shows columns, not paths).
+_SF_MARKERS = {
+    "s_suppkey": "supplier", "p_partkey": "part", "c_custkey": "customer",
+    "o_orderkey": "orders", "l_orderkey": "lineitem", "event_id": "events",
+    "doc_id": "documents", "vec_id": "embeddings",
+}
+# Sanctioned stand-ins: frames that are FIXED-SIZE in a real deployment
+# but derive from an SF-linear table in this test corpus. Each entry is
+# (query, table) with the justification; anything NOT listed fails.
+_BROADCAST_ALLOW = {
+    # ANN probe sets: the queries being searched — a workload parameter,
+    # not corpus data; testdata fakes them by sampling embeddings
+    ("llm_ann_topk", "embeddings"),
+    ("llm_ann_lsh", "embeddings"),
+    ("llm_ann_ivf", "embeddings"),
+    ("llm_ann_recall", "embeddings"),
+    # decontamination benchmark: a fixed held-out suite in reality,
+    # faked here as every-50th document's shingle set
+    ("llm_contamination", "documents"),
+}
+
+
+def _forced_sf_linear_broadcasts(df) -> list[str]:
+    flags = []
+    root = df._jdf.queryExecution().analyzed()
+    for node in _walk(root):
+        if node.getClass().getSimpleName() != "ResolvedHint":
+            continue
+        if "broadcast" not in node.simpleString(100).lower():
+            continue
+        sub = list(_walk(node))
+        if any(d.getClass().getSimpleName() in _WINDOW_REDUCERS for d in sub[1:]):
+            continue  # aggregated below the hint → bounded
+        for d in sub:
+            if d.getClass().getSimpleName() == "LogicalRelation":
+                cols = d.simpleString(300)
+                flags.extend(
+                    t for m, t in _SF_MARKERS.items() if m + "#" in cols
+                )
+    return flags
+
+
+@pytest.mark.parametrize(
+    "name,spec",
+    [(n, s) for n, s in sorted(REGISTRY.items())
+     if not ({"streaming", "cdc"} & set(s.tags))],
+    ids=lambda v: v if isinstance(v, str) else "",
+)
+def test_no_forced_broadcast_of_sf_linear_tables(spark, name, spec):
+    df = spec.fn(spark, SF_SMOKE)
+    bad = [
+        t for t in _forced_sf_linear_broadcasts(df)
+        if (name, t) not in _BROADCAST_ALLOW
+    ]
+    assert not bad, (
+        f"{name} forces a broadcast of SF-linear table(s) {sorted(set(bad))} "
+        "with no reduction below the hint — delete the hint (AQE decides) "
+        "or add a justified _BROADCAST_ALLOW entry"
+    )
+
+
 def test_global_window_detector_fires(spark):
     """Negative control: the detector must flag the exact defect class
     it pins (a bare Window.orderBy over a scan) and must NOT flag the
