@@ -42,12 +42,18 @@ _PRIORITY: tuple[str, ...] = (
     "q68_large_orders",
     # re-confirmation fill: queries whose PLANS change this round
     # (single-partition-window fixes, broadcast-hint removals — r5
-    # verdict #3/#4) must be re-sampled against unchanged oracles
+    # verdict #3/#4 — and the r6 update-run-coalescing apply kernel)
+    # must be re-sampled against unchanged oracles
     "q43_rank_family",
     "q90_histogram_quantiles",
     "llm_vocab_coverage",
     "q05_nation_volume",
     "q21_part_brand_stats",
+    "llm_naive_bayes",
+    "cdc_pet_replay",
+    "cdc_orders_roundtrip",
+    "cdc_mixed_workload",
+    "cdc_scd2",
     # top-risk novel kernels (newest first) as remaining fill
     "llm_winnow_fingerprint",
     "llm_winnow_pairs",
