@@ -108,18 +108,18 @@ def decode_png(data: bytes) -> np.ndarray:
             pass
         elif ftype == 1:  # Sub
             for i in range(3, stride):
-                line[i] = (line[i] + line[i - 3]) & 0xFF
+                line[i] = (int(line[i]) + int(line[i - 3])) & 0xFF
         elif ftype == 2:  # Up
             line = (line + prev) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
                 a = line[i - 3] if i >= 3 else 0
-                line[i] = (line[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+                line[i] = (int(line[i]) + ((int(a) + int(prev[i])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
                 a = int(line[i - 3]) if i >= 3 else 0
                 c = int(prev[i - 3]) if i >= 3 else 0
-                line[i] = (line[i] + _paeth(a, int(prev[i]), c)) & 0xFF
+                line[i] = (int(line[i]) + _paeth(a, int(prev[i]), c)) & 0xFF
         else:
             raise ValueError(f"unknown scanline filter {ftype}")
         out[y] = line

@@ -428,3 +428,35 @@ def video_frame_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     return df.select("doc_id", blob_col).mapInPandas(
         extract, schema=VIDEO_FRAME_SCHEMA
     )
+
+
+def ahash_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Perceptual average-hash (aHash) per image — the imagededup-style
+    near-dup key: REAL decode, nearest-neighbor resample to 8x8,
+    integer grayscale ((r+g+b) DIV 3), threshold each cell against the
+    integer mean ((sum of 64 grays) DIV 64), emit the 64 bits row-major
+    as a '0'/'1' string (string, not BIGINT, so bit 63 can never
+    overflow signed 64-bit on either engine). All-integer arithmetic —
+    a SQL oracle walking the closed-form pixel generator reproduces the
+    hash bit for bit."""
+    import numpy as np
+
+    from .media_png import decode_png, resize_nn
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):
+                small = resize_nn(decode_png(bytes(b)), 8, 8).astype(np.int64)
+                gray = small.sum(axis=2) // 3  # (8, 8) ints
+                m = int(gray.sum()) // 64
+                bits = "".join(
+                    "1" if int(v) > m else "0" for v in gray.reshape(-1)
+                )
+                rows.append((int(doc_id), bits, m))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash", "gray_mean"])
+            rows = []
+
+    return df.select("doc_id", blob_col).mapInPandas(
+        work, schema="doc_id bigint, ahash string, gray_mean bigint"
+    )

@@ -100,6 +100,9 @@ _FORWARD: tuple[str, ...] = (
     "llm_video_frames",
     "cdc_update_storm",
     "cdc_incremental_agg",
+    "llm_substring_dedup",
+    "q96_stream_countmin",
+    "llm_image_ahash",
 )
 
 

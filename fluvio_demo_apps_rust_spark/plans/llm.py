@@ -2487,3 +2487,164 @@ def llm_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(shared_fps * 1000000) DIV least(na, nb)").alias("overlap_micro"),
         )
     )
+
+
+_SSD_K = 30  # duplicated-span window width (chars)
+
+
+@register(
+    "llm_substring_dedup",
+    tags=("llm", "dedup", "substring", "span"),
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN length(text) >= {_SSD_K} THEN
+           list_transform(range(1, length(text) - {_SSD_K} + 2),
+             i -> ('0x' || substr(md5(substr(text, i, {_SSD_K})), 1, 15))::BIGINT)
+         ELSE [] END) AS ghash
+  FROM documents),
+per AS (
+  SELECT doc_id, ghash, CAST(count(*) AS BIGINT) AS k_local
+  FROM g GROUP BY doc_id, ghash),
+tot AS (
+  SELECT ghash, CAST(sum(k_local) AS BIGINT) AS k_tot
+  FROM per GROUP BY ghash),
+dup AS (
+  SELECT per.doc_id, CAST(sum(per.k_local) AS BIGINT) AS n_dup
+  FROM per JOIN tot ON tot.ghash = per.ghash
+  WHERE tot.k_tot >= 2 GROUP BY per.doc_id)
+SELECT d.doc_id,
+       CAST(greatest(length(d.text) - {_SSD_K} + 1, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(dup.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       CAST(CASE WHEN length(d.text) >= {_SSD_K}
+                 THEN (COALESCE(dup.n_dup, 0) * 10000)
+                      // (length(d.text) - {_SSD_K} + 1)
+                 ELSE 0 END AS BIGINT) AS dup_bp
+FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+""",
+)
+def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    operator, window form): every {_SSD_K}-char window whose exact text
+    occurs >= 2 times ANYWHERE in the corpus (other docs or a repeat
+    within the same doc) is a duplicated span; per doc we report the
+    window count, the duplicated-window count, and the duplicated
+    fraction in exact basis points ((n_dup*10000) DIV n_windows) — the
+    trim-decision input a suffix-array pipeline computes, re-expressed
+    as a corpus-wide k-gram frequency join that Spark can shuffle.
+
+    Complements the near-dup family: winnowing samples fingerprints
+    (probabilistic span evidence), this counts EVERY window exactly —
+    the operator you run to cut verbatim boilerplate/licence blocks
+    before training.
+
+    Scale posture: grams are 60-bit md5 BIGINTs (both engines hash the
+    identical substring bytes, so even a collision cannot diverge the
+    gate); per-doc gram multiplicity is pre-aggregated BEFORE the
+    corpus-wide frequency shuffle (map-side combine on (doc, gram)),
+    so the wide shuffle carries one row per DISTINCT gram per doc, not
+    one per occurrence; the dup-gram join is an equi-join on the gram
+    key (never all-pairs); the final per-doc rollup is a second
+    bounded shuffle. Row-heavy gram build is spread off the testdata's
+    single row group with an explicit repartition first."""
+    d = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    k = _SSD_K
+    n_win = F.greatest(F.length("text") - F.lit(k - 1), F.lit(0)).cast("long")
+    grams = F.when(
+        F.length("text") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - F.lit(k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring(F.col("text"), i, F.lit(k))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    g = d.repartition(par).select("doc_id", F.explode(grams).alias("ghash"))
+    per = g.groupBy("doc_id", "ghash").agg(F.count(F.lit(1)).alias("k_local"))
+    tot = per.groupBy("ghash").agg(F.sum("k_local").alias("k_tot"))
+    dup = (
+        per.join(tot.filter(F.col("k_tot") >= 2), "ghash")
+        .groupBy("doc_id")
+        .agg(F.sum("k_local").cast("long").alias("n_dup"))
+    )
+    return (
+        d.select("doc_id", n_win.alias("n_windows"))
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.expr("(coalesce(n_dup, 0L) * 10000) DIV n_windows"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_bp"),
+        )
+    )
+
+
+@register(
+    "llm_image_ahash",
+    tags=("llm", "multimodal", "dedup", "perceptual"),
+    oracle="""
+-- The Spark side really encodes a PNG per document, decodes it,
+-- resamples to 8x8, grayscales, and thresholds against the mean
+-- (functions/multimodal.ahash_features). The oracle knows nothing
+-- about PNG: it recomputes the generator value at each nearest-
+-- neighbor source index ((y*h) DIV 8, (x*w) DIV 8), grayscales the
+-- three consecutive generator values, and rebuilds the same 64-bit
+-- string. A codec, resample, or threshold bug anywhere flips bits.
+WITH d AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h FROM documents),
+g AS (
+  SELECT doc_id, y.range AS y, x.range AS x,
+         ((doc_id * 31 + (((y.range * h) // 8) * w + ((x.range * w) // 8)) * 3) % 256
+          + (doc_id * 31 + (((y.range * h) // 8) * w + ((x.range * w) // 8)) * 3 + 1) % 256
+          + (doc_id * 31 + (((y.range * h) // 8) * w + ((x.range * w) // 8)) * 3 + 2) % 256
+         ) // 3 AS gray
+  FROM d, range(8) y, range(8) x),
+m AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) // 64 AS gray_mean FROM g GROUP BY doc_id),
+hsh AS (
+  SELECT g.doc_id,
+         string_agg(CASE WHEN g.gray > m.gray_mean THEN '1' ELSE '0' END,
+                    '' ORDER BY g.y, g.x) AS ahash,
+         CAST(any_value(m.gray_mean) AS BIGINT) AS gray_mean
+  FROM g JOIN m ON m.doc_id = g.doc_id
+  GROUP BY g.doc_id)
+SELECT doc_id, ahash, gray_mean,
+       CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS cluster_n
+FROM hsh
+""",
+)
+def llm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (average-hash): the image-modality
+    member of the dedup family — synthesize a spec-valid PNG per
+    document (closed-form pixels), REAL-decode it, 8x8 nearest-
+    neighbor resample, integer grayscale, threshold against the mean,
+    and key docs by the 64-bit hash; ``cluster_n`` counts hash-mates
+    (the generator's dimension/phase period makes true perceptual
+    clusters appear once the corpus outgrows it). This is the standard
+    pre-training image-dedup key (imagededup/aHash) with every step
+    exact-integer so the hash gate is bit-for-bit.
+
+    Scale posture: decode/hash is embarrassingly parallel Arrow
+    mapInPandas (blobs never shuffle); the only shuffle is the 64-char
+    hash key for cluster counting — the same one-key-shuffle shape as
+    exact dedup. At 100 TB the hash is the shard key; the window is
+    partitioned by it (never global)."""
+    from ..functions.multimodal import ahash_features, synth_png
+
+    d = load(spark, sf_dir, "documents")
+    hashed = ahash_features(synth_png(d))
+    w = Window.partitionBy("ahash")
+    return hashed.select(
+        "doc_id",
+        "ahash",
+        "gray_mean",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_n"),
+    )

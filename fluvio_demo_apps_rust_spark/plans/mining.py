@@ -2131,3 +2131,100 @@ def q95_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_candidates") - F.col("n_true")).alias("n_false_pos"),
         )
     )
+
+
+@register(
+    "q96_stream_countmin",
+    tags=("sketch", "countmin", "streaming", "stateful"),
+    oracle="""
+WITH occ AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, user_id),
+seeds AS (SELECT unnest(generate_series(0, 3)) AS seed),
+cells AS (
+  SELECT event_type, seed,
+         ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                             || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 256 AS bucket,
+         c
+  FROM occ CROSS JOIN seeds),
+sk AS (
+  SELECT event_type, seed, bucket, CAST(sum(c) AS BIGINT) AS cnt
+  FROM cells GROUP BY event_type, seed, bucket),
+grid AS (
+  SELECT et.event_type, s.seed, b.bucket
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN seeds s
+  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket) b),
+full_sk AS (
+  SELECT g.event_type, g.seed, g.bucket,
+         CAST(COALESCE(sk.cnt, 0) AS BIGINT) AS cnt
+  FROM grid g LEFT JOIN sk
+    ON sk.event_type = g.event_type AND sk.seed = g.seed AND sk.bucket = g.bucket),
+dig AS (
+  SELECT event_type,
+         md5(string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY seed, bucket))
+           AS sketch_digest
+  FROM full_sk GROUP BY event_type),
+probe AS (
+  SELECT f.event_type, CAST(min(f.cnt) AS BIGINT) AS est_user1
+  FROM full_sk f
+  JOIN (SELECT seed,
+               ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':1'), 1, 15))::BIGINT
+                 % 256 AS bucket
+        FROM seeds) p
+    ON p.seed = f.seed AND p.bucket = f.bucket
+  GROUP BY f.event_type),
+n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type)
+SELECT n.event_type, n.n_events, d.sketch_digest, p.est_user1
+FROM n
+JOIN dig d ON d.event_type = n.event_type
+JOIN probe p ON p.event_type = n.event_type
+""",
+)
+def q96_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run of a mergeable count-min frequency
+    sketch: events streamed file-source -> ``countmin_stream``
+    (applyInPandasWithState keeping a 4x256 exact-BIGINT counter grid +
+    row counter per event type, availableNow trigger, memory sink).
+    The frequency-estimation twin of q91's streaming HLL: counter
+    updates are SUMS, so folding rows through checkpointed microbatch
+    state lands on the identical grid a batch fold produces — the
+    oracle rebuilds the full grid (zeros included) in SQL with the same
+    md5 bucket hash and gates BOTH the order-canonical grid digest and
+    a point estimate (user_id 1's min-over-rows count, the CM query
+    path). Everything is integer/md5 arithmetic — no transcendental
+    residual at all in this one.
+
+    Scale posture: state is 8 KiB + one BIGINT per key forever; each
+    microbatch shuffles only (event_type, user_id) pairs; restart
+    safety pinned by tests/test_streaming_sketch.py (same checkpoint
+    machinery as q91)."""
+    import uuid
+
+    from ..streaming.sketches import countmin_stream
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = "q96_stream_countmin_" + uuid.uuid4().hex[:8]
+    q = (
+        countmin_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""SELECT event_type, max(n_events) AS n_events,
+                   max_by(sketch_digest, n_events) AS sketch_digest,
+                   max_by(est_user1, n_events) AS est_user1
+            FROM {name} GROUP BY event_type"""
+    )

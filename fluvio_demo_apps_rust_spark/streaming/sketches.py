@@ -116,3 +116,88 @@ def hll_distinct_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min: the frequency-sketch twin of the HLL stream above.
+
+_CM_DEPTH = 4
+_CM_WIDTH = 256
+
+CM_OUT_SCHEMA = (
+    "event_type string, n_events bigint, sketch_digest string, est_user1 bigint"
+)
+_CM_STATE_SCHEMA = "counters binary, n_events bigint"
+
+
+def _cm_bucket(seed: int, value) -> int:
+    """Bucket hash, identical to the batch count-min / DuckDB oracle
+    text: first 15 hex chars of md5('seed:value') mod width."""
+    h = hashlib.md5(f"{seed}:{value}".encode()).hexdigest()[:15]
+    return int(h, 16) % _CM_WIDTH
+
+_CM_PROBE_BUCKETS = [_cm_bucket(s, 1) for s in range(_CM_DEPTH)]
+
+
+def _cm_fold(counters: np.ndarray, ids: np.ndarray) -> None:
+    """Add this batch's occurrence counts into the (depth, width) grid.
+    Additive, so shard/batch order cannot change the final state."""
+    uids, cnts = np.unique(ids, return_counts=True)
+    for uid, c in zip(uids, cnts):
+        for s in range(_CM_DEPTH):
+            counters[s, _cm_bucket(s, int(uid))] += int(c)
+
+
+def cm_digest(counters: np.ndarray) -> str:
+    """Order-canonical digest of the full grid (zeros included), the
+    same md5-over-'c0,c1,...' string the oracle builds with
+    string_agg(cnt, ',' ORDER BY seed, bucket)."""
+    return hashlib.md5(
+        ",".join(str(int(x)) for x in counters.reshape(-1)).encode()
+    ).hexdigest()
+
+
+def _cm_update(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        blob, n_events = state.get
+        counters = np.frombuffer(blob, dtype="<i8").reshape(_CM_DEPTH, _CM_WIDTH).copy()
+    else:
+        counters = np.zeros((_CM_DEPTH, _CM_WIDTH), dtype="<i8")
+        n_events = 0
+    for pdf in pdfs:
+        n_events += len(pdf)
+        if len(pdf):
+            _cm_fold(counters, pdf["user_id"].to_numpy())
+    state.update((counters.astype("<i8").tobytes(), n_events))
+    est1 = min(int(counters[s, _CM_PROBE_BUCKETS[s]]) for s in range(_CM_DEPTH))
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": key[0],
+                "n_events": n_events,
+                "sketch_digest": cm_digest(counters),
+                "est_user1": est1,
+            }
+        ]
+    )
+
+
+def countmin_stream(events: DataFrame) -> DataFrame:
+    """Running count-min frequency sketch per event type over a
+    streaming events frame (columns ``event_type``, ``user_id``): a
+    4x256 exact-BIGINT counter grid per key as applyInPandasWithState
+    state. Counter updates are SUMS — fully mergeable/order-
+    insensitive, so streaming state after the last microbatch is
+    bit-identical to a batch fold (the q91 argument, additively).
+    Emits the grid digest plus the probe estimate for user_id 1 each
+    batch — use ``outputMode("update")``. State: 8 KiB + a BIGINT per
+    key, forever, no matter the stream length."""
+    return events.select("event_type", "user_id").groupBy("event_type").applyInPandasWithState(
+        _cm_update,
+        outputStructType=CM_OUT_SCHEMA,
+        stateStructType=_CM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

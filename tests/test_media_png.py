@@ -103,3 +103,36 @@ def test_resize_nn_matches_index_formula():
     for y in range(6):
         for x in range(5):
             assert np.array_equal(out[y, x], arr[(y * 10) // 6, (x * 14) // 5])
+
+
+def test_ahash_bits_match_brute_force():
+    """ahash_features' integer pipeline (decode -> 8x8 NN resample ->
+    (r+g+b) DIV 3 -> mean threshold) against an independent recompute
+    straight from the generator closed forms."""
+    import numpy as np
+
+    from fluvio_demo_apps_rust_spark.functions.media_png import (
+        decode_png,
+        encode_png,
+        resize_nn,
+    )
+
+    for d in (0, 7, 123, 767):
+        w, h = d % 24 + 8, d % 16 + 8
+        arr = ((d * 31 + np.arange(h * w * 3)) % 256).astype(np.uint8).reshape(h, w, 3)
+        # the harness path
+        small = resize_nn(decode_png(encode_png(arr)), 8, 8).astype(np.int64)
+        gray = small.sum(axis=2) // 3
+        m = int(gray.sum()) // 64
+        got = "".join("1" if int(v) > m else "0" for v in gray.reshape(-1))
+        # closed-form recompute (the oracle's arithmetic)
+        bits = []
+        grays = []
+        for y in range(8):
+            for x in range(8):
+                base = ((y * h) // 8 * w + (x * w) // 8) * 3
+                g = sum((d * 31 + base + c) % 256 for c in range(3)) // 3
+                grays.append(g)
+        mm = sum(grays) // 64
+        exp = "".join("1" if g > mm else "0" for g in grays)
+        assert got == exp and m == mm, d
