@@ -460,3 +460,83 @@ def ahash_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     return df.select("doc_id", blob_col).mapInPandas(
         work, schema="doc_id bigint, ahash string, gray_mean bigint"
     )
+
+
+AUDIO_FP_FRAME = 64  # samples per fingerprint frame
+
+
+def audio_fingerprint_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Audio fingerprint (chromaprint-style, integer form): REAL WAV
+    decode, frame the PCM16 stream into 64-sample frames (tail partial
+    frame dropped), exact per-frame energy (sum of squares, BIGINT),
+    then one bit per frame transition — energy rising vs previous
+    frame. The '0'/'1' string is the dedup/retrieval key for the audio
+    modality (the same role aHash plays for images). All-integer, so a
+    SQL oracle recomputes it from the sample generator closed forms."""
+    import numpy as np
+
+    from .media_wav import decode_wav
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):
+                s, _sr = decode_wav(bytes(b))
+                s64 = s.astype(np.int64)
+                nf = len(s64) // AUDIO_FP_FRAME
+                frames = s64[: nf * AUDIO_FP_FRAME].reshape(nf, AUDIO_FP_FRAME)
+                e = (frames * frames).sum(axis=1)
+                bits = "".join(
+                    "1" if int(e[i]) > int(e[i - 1]) else "0" for i in range(1, nf)
+                )
+                rows.append((int(doc_id), nf, bits))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "audio_fp"])
+            rows = []
+
+    return df.select("doc_id", blob_col).mapInPandas(
+        work, schema="doc_id bigint, n_frames bigint, audio_fp string"
+    )
+
+
+def video_phash_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Video perceptual hash: walk the FVID container, REALLY decode
+    every PNG frame, compute the per-frame average-hash bit string
+    (frames are already 8x8 — integer grayscale, mean threshold), and
+    digest the '|'-joined frame-hash sequence with md5 — the
+    temporal-order-sensitive near-dup key for the video modality.
+    All-integer per frame, so the SQL oracle rebuilds the identical
+    digest from the frame-pixel generator closed forms."""
+    import hashlib as _hashlib
+    import struct as _struct
+
+    import numpy as np
+
+    from .media_png import decode_png
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):
+                b = bytes(b)
+                if b[:4] != b"FVID":
+                    raise ValueError("not an FVID container")
+                (k,) = _struct.unpack("<I", b[4:8])
+                pos = 8
+                fbs = []
+                for _f in range(k):
+                    (ln,) = _struct.unpack("<I", b[pos : pos + 4])
+                    arr = decode_png(b[pos + 4 : pos + 4 + ln]).astype(np.int64)
+                    gray = arr.sum(axis=2) // 3
+                    m = int(gray.sum()) // (gray.shape[0] * gray.shape[1])
+                    fbs.append(
+                        "".join("1" if int(v) > m else "0" for v in gray.reshape(-1))
+                    )
+                    pos += 4 + ln
+                digest = _hashlib.md5("|".join(fbs).encode()).hexdigest()
+                rows.append((int(doc_id), k, digest))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "video_phash"])
+            rows = []
+
+    return df.select("doc_id", blob_col).mapInPandas(
+        work, schema="doc_id bigint, n_frames bigint, video_phash string"
+    )

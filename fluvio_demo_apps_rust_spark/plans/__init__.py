@@ -103,6 +103,9 @@ _FORWARD: tuple[str, ...] = (
     "llm_substring_dedup",
     "q96_stream_countmin",
     "llm_image_ahash",
+    "q97_rolling_distinct",
+    "llm_audio_fingerprint",
+    "llm_video_phash",
 )
 
 

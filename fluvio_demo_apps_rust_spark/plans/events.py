@@ -1084,3 +1084,72 @@ def q78_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select(F.col("q").alias("probe_user"), "user_id", "edit_dist", "rank")
     )
+
+
+@register(
+    "q97_rolling_distinct",
+    tags=("events", "window", "distinct", "rolling"),
+    oracle="""
+-- Trailing-7-day distinct users per observed day. COUNT(DISTINCT) over
+-- a sliding window has no streaming-agg form; the scalable shape is
+-- contribution fan-out: each (user, day) pair contributes to the 7
+-- target days it is visible in, then one exact distinct-agg per day.
+WITH ud AS (
+  SELECT DISTINCT
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day_num,
+         user_id
+  FROM events),
+days AS (SELECT DISTINCT day_num FROM ud),
+contrib AS (SELECT user_id, day_num + r.range AS tday FROM ud, range(7) r),
+w7 AS (
+  SELECT d.day_num, CAST(count(DISTINCT c.user_id) AS BIGINT) AS users_7d
+  FROM days d JOIN contrib c ON c.tday = d.day_num
+  GROUP BY d.day_num),
+w1 AS (
+  SELECT day_num, CAST(count(DISTINCT user_id) AS BIGINT) AS users_1d
+  FROM ud GROUP BY day_num)
+SELECT CAST(w7.day_num * 86400 AS BIGINT) AS day_start, w1.users_1d, w7.users_7d
+FROM w7 JOIN w1 ON w1.day_num = w7.day_num
+""",
+)
+def q97_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window COUNT DISTINCT — the retention/active-users query
+    (trailing-7-day distinct users per day) that naive plans turn into
+    a per-day range self-join over raw events. Scale shape here:
+    (1) reduce raw events to DISTINCT (user, day) pairs first (one
+    exact-distinct shuffle, linear); (2) fan each pair out to the <= 7
+    trailing days it remains visible in (explode of a 7-element
+    sequence — linear x7, NO inequality join, so no BNL/cartesian);
+    (3) one distinct-agg per target day, inner-joined to observed days
+    to discard fan-out past the horizon. Day arithmetic is pure
+    integer (epoch DIV 86400) — no timestamps emitted."""
+    e = _events(spark, sf_dir)
+    ud = e.select(
+        F.date_trunc("day", "ts").cast("long").alias("day_sec"), "user_id"
+    ).select(
+        # exact integer floor-div: the double `/` then cast could round
+        # across an integer boundary at large epochs
+        F.expr("day_sec DIV 86400").alias("day_num"),
+        "user_id",
+    ).distinct()
+    days = ud.select("day_num").distinct()
+    contrib = (
+        ud.select("user_id", "day_num", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"))
+        .select("user_id", (F.col("day_num") + F.col("i")).alias("tday"))
+    )
+    w7 = (
+        days.join(contrib, days.day_num == contrib.tday)
+        .groupBy("day_num")
+        .agg(F.countDistinct("user_id").cast("long").alias("users_7d"))
+    )
+    w1 = ud.groupBy("day_num").agg(
+        F.countDistinct("user_id").cast("long").alias("users_1d")
+    )
+    return (
+        w7.join(w1, "day_num")
+        .select(
+            (F.col("day_num") * 86400).cast("long").alias("day_start"),
+            "users_1d",
+            "users_7d",
+        )
+    )

@@ -2648,3 +2648,106 @@ def llm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gray_mean",
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_n"),
     )
+
+
+@register(
+    "llm_audio_fingerprint",
+    tags=("llm", "multimodal", "dedup", "audio", "fingerprint"),
+    oracle="""
+-- The Spark side really writes then parses RIFF/WAV PCM16 and frames
+-- the samples (functions/multimodal.audio_fingerprint_features). The
+-- oracle recomputes per-frame energies straight from the sample
+-- generator s_i = (doc_id*7 + 13i) % 65536 - 32768, then the same
+-- rising-energy transition bits.
+WITH d AS (SELECT doc_id, doc_id % 512 + 64 AS n FROM documents),
+fr AS (SELECT doc_id, n // 64 AS nf FROM d),
+e AS (
+  SELECT f.doc_id, fnum.range AS f_idx,
+         CAST(sum(((f.doc_id * 7 + (fnum.range * 64 + i.range) * 13) % 65536 - 32768)
+                * ((f.doc_id * 7 + (fnum.range * 64 + i.range) * 13) % 65536 - 32768))
+              AS BIGINT) AS energy
+  FROM fr f, range(9) fnum, range(64) i
+  WHERE fnum.range < f.nf
+  GROUP BY f.doc_id, fnum.range),
+b AS (
+  SELECT doc_id, f_idx,
+         CASE WHEN energy > lag(energy) OVER (PARTITION BY doc_id ORDER BY f_idx)
+              THEN '1' ELSE '0' END AS bit
+  FROM e),
+fp AS (
+  SELECT doc_id,
+         COALESCE(string_agg(bit, '' ORDER BY f_idx) FILTER (WHERE f_idx >= 1), '')
+           AS audio_fp
+  FROM b GROUP BY doc_id)
+SELECT d2.doc_id, CAST((d2.doc_id % 512 + 64) // 64 AS BIGINT) AS n_frames, fp.audio_fp
+FROM documents d2 JOIN fp ON fp.doc_id = d2.doc_id
+""",
+)
+def llm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality dedup/retrieval key: synthesize a spec-valid
+    PCM16 WAV per document (closed-form samples), REAL-decode it,
+    frame into 64-sample windows, exact integer per-frame energy, one
+    rising-energy bit per transition — the integer skeleton of a
+    chromaprint-style acoustic fingerprint, completing the modality
+    set (text: winnow; image: aHash; audio: this).
+
+    Scale posture: decode + framing is embarrassingly parallel Arrow
+    mapInPandas; no shuffle at all (the fingerprint is emitted
+    per-row). A codec or framing bug anywhere flips bits against the
+    closed-form oracle."""
+    from ..functions.multimodal import audio_fingerprint_features, synth_wav
+
+    d = load(spark, sf_dir, "documents")
+    return audio_fingerprint_features(synth_wav(d))
+
+
+@register(
+    "llm_video_phash",
+    tags=("llm", "multimodal", "dedup", "video", "perceptual"),
+    oracle="""
+-- The Spark side walks the FVID container and really PNG-decodes
+-- every frame (functions/multimodal.video_phash_features). The oracle
+-- rebuilds each frame's average-hash bits from the frame-pixel
+-- generator (doc_id*31 + f*77 + i) % 256 over the 8x8x3 grid and
+-- md5-digests the same '|'-joined sequence.
+WITH d AS (SELECT doc_id, doc_id % 4 + 2 AS k FROM documents),
+g AS (
+  SELECT d.doc_id, f.range AS f_idx, p.range AS p_idx,
+         ((d.doc_id * 31 + f.range * 77 + p.range * 3) % 256
+          + (d.doc_id * 31 + f.range * 77 + p.range * 3 + 1) % 256
+          + (d.doc_id * 31 + f.range * 77 + p.range * 3 + 2) % 256) // 3 AS gray
+  FROM d, range(6) f, range(64) p
+  WHERE f.range < d.k),
+m AS (
+  SELECT doc_id, f_idx, CAST(sum(gray) AS BIGINT) // 64 AS gm
+  FROM g GROUP BY doc_id, f_idx),
+bits AS (
+  SELECT g.doc_id, g.f_idx,
+         string_agg(CASE WHEN g.gray > m.gm THEN '1' ELSE '0' END,
+                    '' ORDER BY g.p_idx) AS fb
+  FROM g JOIN m ON m.doc_id = g.doc_id AND m.f_idx = g.f_idx
+  GROUP BY g.doc_id, g.f_idx),
+ph AS (
+  SELECT doc_id, md5(string_agg(fb, '|' ORDER BY f_idx)) AS video_phash
+  FROM bits GROUP BY doc_id)
+SELECT d.doc_id, CAST(d.k AS BIGINT) AS n_frames, ph.video_phash
+FROM d JOIN ph ON ph.doc_id = d.doc_id
+""",
+)
+def llm_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-modality near-dup key: synthesize an FVID container of
+    REAL PNG frames per document, decode every frame, per-frame
+    integer average-hash, md5 over the ordered frame-hash sequence —
+    temporal-order-sensitive perceptual dedup (two videos match iff
+    every frame's aHash matches in order), completing modality dedup
+    coverage (text winnow / image aHash / audio energy fingerprint /
+    video frame-hash sequence).
+
+    Scale posture: container walk + per-frame decode is the
+    frame-sample harness shape (Arrow mapInPandas, blobs never
+    shuffle); the digest collapses per-video state to 32 bytes before
+    anything leaves the partition."""
+    from ..functions.multimodal import synth_video, video_phash_features
+
+    d = load(spark, sf_dir, "documents")
+    return video_phash_features(synth_video(d))
