@@ -106,6 +106,7 @@ _FORWARD: tuple[str, ...] = (
     "q97_rolling_distinct",
     "llm_audio_fingerprint",
     "llm_video_phash",
+    "llm_ahash_pairs",
 )
 
 

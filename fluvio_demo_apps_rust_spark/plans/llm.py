@@ -2751,3 +2751,113 @@ def llm_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return video_phash_features(synth_video(d))
+
+
+@register(
+    "llm_ahash_pairs",
+    tags=("llm", "multimodal", "dedup", "perceptual", "pairs"),
+    oracle="""
+-- Hamming-banded perceptual near-dup pairs over the REAL-decode aHash
+-- (see llm_image_ahash). The oracle rebuilds the hash from the
+-- closed-form pixel generator, then runs the same band/cap/pair
+-- semantics: 4 x 16-bit bands, stop-band cap, candidate pairs sharing
+-- >= 1 surviving band, exact Hamming distance <= 6 on the full hash.
+WITH d AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h FROM documents),
+g AS (
+  SELECT doc_id, y.range AS y, x.range AS x,
+         ((doc_id * 31 + (((y.range * h) // 8) * w + ((x.range * w) // 8)) * 3) % 256
+          + (doc_id * 31 + (((y.range * h) // 8) * w + ((x.range * w) // 8)) * 3 + 1) % 256
+          + (doc_id * 31 + (((y.range * h) // 8) * w + ((x.range * w) // 8)) * 3 + 2) % 256
+         ) // 3 AS gray
+  FROM d, range(8) y, range(8) x),
+m AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) // 64 AS gray_mean FROM g GROUP BY doc_id),
+hsh AS (
+  SELECT g.doc_id,
+         string_agg(CASE WHEN g.gray > m.gray_mean THEN '1' ELSE '0' END,
+                    '' ORDER BY g.y, g.x) AS ahash
+  FROM g JOIN m ON m.doc_id = g.doc_id GROUP BY g.doc_id),
+bands AS (
+  SELECT doc_id, b.range AS band_idx,
+         substr(ahash, CAST(b.range * 16 + 1 AS INT), 16) AS band
+  FROM hsh, range(4) b),
+keep AS (SELECT band_idx, band FROM bands
+         GROUP BY band_idx, band HAVING count(*) BETWEEN 2 AND 40),
+pk AS (SELECT bands.doc_id, bands.band_idx, bands.band
+       FROM bands JOIN keep USING (band_idx, band)),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared_bands
+  FROM pk x JOIN pk y USING (band_idx, band)
+  WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+ham AS (
+  SELECT c.a, c.b, c.shared_bands,
+         CAST(len(list_filter(range(1, 65),
+                  i -> ha.ahash[CAST(i AS INT)] <> hb.ahash[CAST(i AS INT)]))
+              AS BIGINT) AS hamming
+  FROM cand c JOIN hsh ha ON ha.doc_id = c.a JOIN hsh hb ON hb.doc_id = c.b)
+SELECT a, b, shared_bands, hamming FROM ham WHERE hamming <= 6
+""",
+)
+def llm_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup PAIRS for the image modality — the
+    imagededup/PDQ-style candidate join over the average-hash: split
+    the 64-bit aHash into 4 x 16-bit bands; by pigeonhole, any pair
+    within Hamming distance 3 shares at least one identical band
+    (guaranteed recall <= 3; pairs up to the emitted threshold of 6
+    are best-effort, the standard LSH trade), so candidate generation
+    is an equi-join on (band_idx, band) — never an all-pairs scan.
+    Candidates are then verified with the exact 64-position Hamming
+    distance and cut at <= 6.
+
+    Scale shape: the same posting-list kernel as every near-dup family
+    here — explode 4 band keys per image, ONE shuffle on the band key,
+    ordered pair fan-out per bucket with a stop-band cap (a band shared
+    by > 40 images is a low-information pattern — e.g. the all-dark
+    half — whose quadratic fan-out buys no dedup signal; same valve as
+    the stop-shingle / stop-fingerprint caps), count-aggregate on
+    (a, b) for shared_bands, then a broadcast-scale join back to the
+    64-char hashes for verification. localCheckpoint truncates the
+    mapInPandas decode lineage so the hash computation runs once, not
+    once per reference (README findings #1-#3)."""
+    from ..functions.multimodal import ahash_features, synth_png
+
+    d = load(spark, sf_dir, "documents")
+    hashed = (
+        ahash_features(synth_png(d))
+        .select("doc_id", "ahash")
+        .localCheckpoint(eager=False)
+    )
+    bands = hashed.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), i -> struct("
+                "i AS band_idx, substring(ahash, i * 16 + 1, 16) AS band))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.band_idx", "s.band")
+    grouped = (
+        bands.groupBy("band_idx", "band")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds").between(2, 40))
+    )
+    pairs = grouped.select(
+        F.explode(F.expr(X.ordered_pair_fanout("ds"))).alias("p")
+    ).select("p.a", "p.b")
+    cand = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("shared_bands")
+    )
+    ha = hashed.select(F.col("doc_id").alias("a"), F.col("ahash").alias("ha"))
+    hb = hashed.select(F.col("doc_id").alias("b"), F.col("ahash").alias("hb"))
+    return (
+        cand.join(ha, "a")
+        .join(hb, "b")
+        .withColumn(
+            "hamming",
+            F.expr(
+                "aggregate(sequence(1, 64), 0L, (acc, i) -> "
+                "acc + IF(substring(ha, i, 1) = substring(hb, i, 1), 0L, 1L))"
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .select("a", "b", "shared_bands", "hamming")
+    )
