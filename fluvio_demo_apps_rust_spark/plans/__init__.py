@@ -107,6 +107,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_audio_fingerprint",
     "llm_video_phash",
     "llm_ahash_pairs",
+    "llm_multimodal_dedup_clusters",
 )
 
 
