@@ -108,6 +108,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_video_phash",
     "llm_ahash_pairs",
     "llm_multimodal_dedup_clusters",
+    "q98_approx_percentile",
 )
 
 

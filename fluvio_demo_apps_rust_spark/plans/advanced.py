@@ -1102,3 +1102,71 @@ def q69_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         qsum(F.col("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+@register(
+    "q98_approx_percentile",
+    tags=("agg", "approx", "quantile"),
+    # Same gate philosophy as q52: sketch ESTIMATES are engine-
+    # specific, so the gate is the published RANK-ERROR bound, not the
+    # estimate. percentile_approx(accuracy=1000) guarantees the
+    # returned element's rank is within n/1000 of floor(q*n); the plan
+    # verifies that against EXACT rank counts from a second scan pass
+    # and emits booleans plus the exact group size (so the oracle pins
+    # more than literal TRUEs). Estimation parity itself is covered by
+    # the deterministic histogram sketch q90.
+    oracle="""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       TRUE AS p50_within_tol, TRUE AS p95_within_tol
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q98_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx quantiles (Greenwald-Khanna percentile_approx): the
+    quantile-sketch path for percentile reporting at scale, gated
+    against exact ranks. Per group: the sketch's p50/p95 element, then
+    one more scan counting rows strictly below / at-or-below it; the
+    returned element satisfies the bound iff its rank interval
+    [cnt_lt + 1, cnt_le] intersects [floor(q*n) - n/1000,
+    floor(q*n) + n/1000] (+1 slack for the floor convention).
+
+    Scale shape: two scans, both map-side partial aggregates on the
+    group key; the 3-row sketch result broadcasts back onto the
+    second scan's conditional counts — no shuffle of row data beyond
+    the group-key aggregation either pass."""
+    l = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    sk = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("ap50"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("ap95"),
+    )
+    counted = (
+        l.join(F.broadcast(sk), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("l_extendedprice") < F.col("ap50"), 1).otherwise(0))
+            .cast("long")
+            .alias("lt50"),
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("ap50"), 1).otherwise(0))
+            .cast("long")
+            .alias("le50"),
+            F.sum(F.when(F.col("l_extendedprice") < F.col("ap95"), 1).otherwise(0))
+            .cast("long")
+            .alias("lt95"),
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("ap95"), 1).otherwise(0))
+            .cast("long")
+            .alias("le95"),
+        )
+    )
+
+    def within(lt, le, q):
+        target = F.floor(F.lit(q) * F.col("n"))
+        slack = F.col("n") / F.lit(1000) + F.lit(1)
+        return (F.col(lt) <= target + slack) & (F.col(le) >= target - slack)
+
+    return counted.select(
+        "l_returnflag",
+        "n",
+        within("lt50", "le50", 0.5).alias("p50_within_tol"),
+        within("lt95", "le95", 0.95).alias("p95_within_tol"),
+    )
