@@ -68,6 +68,15 @@ BENCH_QUERIES = [
     "llm_global_shuffle",
     "llm_train_split",
     "cdc_binlog_replay",
+    # late round-6 additions: the REAL-decode modality dedup keys
+    # (image aHash + banded pairs, cross-modality cluster resolution)
+    # — Python-decode compute-bound like winnow; note the DuckDB
+    # oracles compute CLOSED FORMS, not decodes, so the per-query
+    # ratio for these is documented as not apples-to-apples in
+    # BASELINE.md. Totals before late-r6 exclude these three.
+    "llm_image_ahash",
+    "llm_ahash_pairs",
+    "llm_multimodal_dedup_clusters",
 ]
 
 # Per-family subtotals so cross-round regressions (CDC vs dedup vs ANN)
@@ -108,6 +117,9 @@ FAMILY = {
     "llm_global_shuffle": "curation",
     "llm_train_split": "curation",
     "cdc_binlog_replay": "cdc",
+    "llm_image_ahash": "multimodal",
+    "llm_ahash_pairs": "multimodal",
+    "llm_multimodal_dedup_clusters": "multimodal",
 }
 
 
