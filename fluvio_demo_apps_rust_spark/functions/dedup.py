@@ -221,6 +221,51 @@ def lsh_bucket_pairs(
     return lsh_candidate_pairs(buckets, id_col)
 
 
+def incremental_minhash_triage(
+    df: DataFrame, is_new: Column, bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Triage a new-crawl increment against a frozen corpus snapshot
+    using MinHash-LSH band buckets: each increment row (``is_new``
+    true — must be a pure function of ``id_col`` so it can be applied
+    map-side on the bucket stream with no join) gets 'dup_snapshot'
+    (shares >=1 band bucket with a snapshot doc), 'dup_batch'
+    (collides only with a smaller-id increment doc), or 'admit'. The
+    snapshot side is NEVER self-joined — the snapshot check is a
+    (band, bucket) left-semi join and within-batch pairs run the
+    linear posting-list kernel on the increment alone, so per-batch
+    cost is independent of corpus-pair count."""
+    buckets = lsh_band_buckets_wide(
+        minhash_wide(df, id_col=id_col), bands=bands
+    ).withColumn("is_new", is_new)
+    inc = buckets.filter(F.col("is_new")).select(id_col, "band", "bucket")
+    snap = buckets.filter(~F.col("is_new")).select("band", "bucket")
+    dup_snap = (
+        inc.join(snap, ["band", "bucket"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("hit_snap", F.lit(True))
+    )
+    dup_batch = (
+        lsh_candidate_pairs(inc, id_col)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+        .withColumn("hit_batch", F.lit(True))
+    )
+    return (
+        df.select(id_col)
+        .filter(is_new)
+        .join(dup_snap, id_col, "left")
+        .join(dup_batch, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("hit_snap"), "dup_snapshot")
+            .when(F.col("hit_batch"), "dup_batch")
+            .otherwise("admit")
+            .alias("status"),
+        )
+    )
+
+
 def simhash60(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash over distinct tokens: per bit j, the sign of
     Σ ±1 over token hashes' bit j.

@@ -109,6 +109,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_ahash_pairs",
     "llm_multimodal_dedup_clusters",
     "q98_approx_percentile",
+    "llm_incremental_minhash",
 )
 
 

@@ -2960,3 +2960,79 @@ def llm_multimodal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
     star = keys.join(hubs, "mkey").filter(F.col("doc_id") != F.col("hub"))
     pairs = star.select(F.col("hub").alias("a"), F.col("doc_id").alias("b")).distinct()
     return X.connected_components(pairs, d)
+
+
+@register(
+    "llm_incremental_minhash",
+    tags=("llm", "dedup", "minhash", "lsh", "incremental"),
+    oracle=f"""
+WITH {_MINHASH_CTE},
+buckets AS (
+  SELECT doc_id, j % 4 AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY j)) AS bucket
+  FROM mh GROUP BY doc_id, band),
+tagged AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('crawl:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 100 >= 80 AS is_new
+  FROM documents),
+inc AS (
+  SELECT b.doc_id, b.band, b.bucket
+  FROM buckets b JOIN tagged t ON b.doc_id = t.doc_id WHERE t.is_new),
+snap AS (
+  SELECT b.band, b.bucket
+  FROM buckets b JOIN tagged t ON b.doc_id = t.doc_id WHERE NOT t.is_new),
+dup_snap AS (
+  SELECT DISTINCT i.doc_id
+  FROM inc i JOIN snap s ON i.band = s.band AND i.bucket = s.bucket),
+dup_batch AS (
+  SELECT DISTINCT x.doc_id
+  FROM inc x JOIN inc y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE y.doc_id < x.doc_id)
+SELECT t.doc_id,
+       CASE WHEN ds.doc_id IS NOT NULL THEN 'dup_snapshot'
+            WHEN db.doc_id IS NOT NULL THEN 'dup_batch'
+            ELSE 'admit' END AS status
+FROM tagged t
+LEFT JOIN dup_snap ds ON t.doc_id = ds.doc_id
+LEFT JOIN dup_batch db ON t.doc_id = db.doc_id
+WHERE t.is_new
+""",
+)
+def llm_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup: a new-crawl increment is admitted
+    against a frozen corpus snapshot — the production shape of MinHash
+    dedup once a corpus is live (contrast llm_incremental_dedup, the
+    exact-hash variant, and llm_dedup_clusters, the full-corpus batch
+    resolve). The increment is split off deterministically (salted md5
+    of doc_id, 'crawl:' salt — same reproducibility primitive as
+    llm_train_split), and each new document gets a triage status:
+    'dup_snapshot' (shares >=1 LSH band bucket with the snapshot),
+    'dup_batch' (not in the snapshot, but collides with a smaller-id
+    document inside the same crawl batch), else 'admit'.
+
+    100 TB shape: the snapshot's band buckets are computed ONCE and
+    stored (re-derived in-plan here only so the oracle can see them);
+    per crawl batch, ONLY the increment is shingled/banded fresh. The
+    snapshot check is a (band, bucket) semi-join — shuffle volume is
+    O(increment buckets) + the snapshot bucket keys, AQE broadcasts
+    the increment side when the batch is small, and the snapshot is
+    NEVER self-joined, so per-batch cost is independent of the number
+    of historical pairs. Within-batch collisions reuse the linear
+    posting-list pair kernel (lsh_candidate_pairs) on the increment
+    alone. Mirrors the reference's at-least-once ingest gate
+    (cdc-mysql/src/consumer.rs dedup-by-offset) lifted to content
+    identity."""
+    d = load(spark, sf_dir, "documents")
+    is_new = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("crawl:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        >= 80
+    )
+    return X.incremental_minhash_triage(d, is_new, bands=4)
