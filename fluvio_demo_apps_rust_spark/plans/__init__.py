@@ -110,6 +110,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_multimodal_dedup_clusters",
     "q98_approx_percentile",
     "llm_incremental_minhash",
+    "llm_source_overlap",
 )
 
 

@@ -3036,3 +3036,87 @@ def llm_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         >= 80
     )
     return X.incremental_minhash_triage(d, is_new, bands=4)
+
+
+@register(
+    "llm_source_overlap",
+    tags=("llm", "dedup", "provenance", "overlap"),
+    oracle=f"""
+WITH t AS (SELECT source, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 for i in generate_series(1, len(t) - 2)]) AS s
+  FROM t),
+sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT i.src_a, i.src_b, i.n_common,
+       za.n AS n_a, zb.n AS n_b,
+       floor(i.n_common / CAST(za.n + zb.n - i.n_common AS DOUBLE) * 1000000 + 0.5)
+           / 1000000.0 AS jaccard,
+       floor(i.n_common / CAST(least(za.n, zb.n) AS DOUBLE) * 1000000 + 0.5)
+           / 1000000.0 AS containment
+FROM inter i
+JOIN sz za ON za.source = i.src_a
+JOIN sz zb ON zb.source = i.src_b
+""",
+)
+def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus overlap matrix — the provenance question a
+    curation pipeline answers before mixing sources ("is source B just
+    a re-crawl of source A?"): per source pair, the intersection size,
+    Jaccard similarity, and containment of their distinct 3-word
+    shingle SETS. Per-pair doc dedup (llm_minhash_lsh_pairs) finds the
+    individual duplicates; this finds the SOURCE-level relationships
+    that drive mixture weights and source drops.
+
+    100 TB shape: one tokenize+explode pass, a (source, shingle)
+    distinct keyed by shingle, then an equi-join of the shingle-keyed
+    posting stream with itself — pair rows exist only for shingles
+    shared by >=2 sources and per-shingle fan-out is bounded by
+    S*(S-1)/2 for S sources (source count, NOT corpus size; a
+    stop-shingle cap like lsh_candidate_pairs' max_bucket applies when
+    S is large). Per-source sizes are an S-row broadcast. No window,
+    no cartesian; everything aggregates map-side first."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select("source", F.explode(X.word_shingles()).alias("s"))
+        .distinct()
+    )
+    sz = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            fround(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            fround(
+                F.col("n_common") / F.least("n_a", "n_b").cast("double"), 6
+            ).alias("containment"),
+        )
+    )
