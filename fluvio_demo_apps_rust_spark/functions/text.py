@@ -278,6 +278,84 @@ def unigram_surprise(
     )
 
 
+def bigram_surprise(
+    df, id_col: str = "doc_id", text_col: str = "text", lam: float = 0.9
+):
+    """Interpolated-bigram-LM surprise score — the CCNet-style
+    perplexity filter one model order up from :func:`unigram_surprise`:
+    train bigram + unigram counts on the corpus itself, score each
+    document by the mean -log2 of the Jelinek-Mercer-interpolated
+    conditional ``p(v|u) = lam*c2(u,v)/c1(u) + (1-lam)*c1(v)/T``
+    (c1(u) approximates the bigram-history mass — standard when
+    boundary tokens aren't materialized; interpolation keeps p > 0 for
+    every in-vocabulary continuation). Repetitive/boilerplate text
+    scores LOW bits, gibberish word salad scores high — a sharper
+    band-pass than the unigram model because it sees word ORDER.
+
+    Returns (id, n_bigrams, bits_per_bigram): bits quantized via
+    per-bigram nano-BIGINT scores summed exactly (sum < 2^53), so the
+    only cross-engine risk is the documented 1-ulp log2 divergence at
+    a 1e-9 quantize boundary (same residual as llm_naive_bayes).
+
+    Scale posture: bigram + unigram model aggregates are
+    VOCABULARY-sized shuffles, the score join is (u,v)-keyed against
+    the model (AQE broadcasts small models), the one-row total rides
+    in broadcast, and the final aggregate is per-doc. No window, no
+    all-pairs, linear in token volume."""
+    from .dedup import _spread
+
+    toks_df = _spread(df, id_col).select(
+        F.col(id_col), tokens(text_col).alias("toks")
+    )
+    b = (
+        toks_df.filter(F.size("toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i-1] AS u, toks[i] AS v))"
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, "bg.u", "bg.v")
+    )
+    uni = (
+        toks_df.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("tot"))
+    c2 = b.groupBy("u", "v").agg(F.count(F.lit(1)).alias("c2"))
+    cu = uni.select(F.col("w").alias("u"), F.col("c").alias("cu"))
+    cv = uni.select(F.col("w").alias("v"), F.col("c").alias("cv"))
+    p = F.lit(lam) * (F.col("c2") / F.col("cu").cast("double")) + F.lit(
+        1.0 - lam
+    ) * (F.col("cv") / F.col("tot"))
+    scored = (
+        b.join(c2, ["u", "v"])
+        .join(cu, "u")
+        .join(cv, "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            F.floor(-F.log2(p) * F.lit(1000000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("nlog"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.floor(
+                F.sum("nlog") / F.count(F.lit(1)).cast("double") / F.lit(100000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("bits_per_bigram"),
+    )
+
+
 def dsir_importance(
     df,
     id_col: str = "doc_id",

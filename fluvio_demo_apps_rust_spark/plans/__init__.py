@@ -111,6 +111,7 @@ _FORWARD: tuple[str, ...] = (
     "q98_approx_percentile",
     "llm_incremental_minhash",
     "llm_source_overlap",
+    "llm_bigram_lm",
 )
 
 

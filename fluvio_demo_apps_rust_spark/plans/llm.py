@@ -3120,3 +3120,47 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@register(
+    "llm_bigram_lm",
+    tags=("llm", "text", "quality", "lm"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bgs AS (
+  SELECT doc_id,
+         unnest([struct_pack(u := t[i], v := t[i+1])
+                 for i in generate_series(1, len(t) - 1)]) AS bg
+  FROM t WHERE len(t) >= 2),
+b AS (SELECT doc_id, bg.u AS u, bg.v AS v FROM bgs),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS w FROM t) GROUP BY w),
+tot AS (SELECT sum(c)::DOUBLE AS tot FROM uni),
+c2 AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY u, v),
+scored AS (
+  SELECT b.doc_id,
+         CAST(floor(
+           -log2(0.9 * (c2.c2 / cu.c::DOUBLE) + 0.1 * (cv.c / tot.tot))
+           * 1000000000.0 + 0.5) AS BIGINT) AS nlog
+  FROM b
+  JOIN c2 USING (u, v)
+  JOIN uni cu ON cu.w = b.u
+  JOIN uni cv ON cv.w = b.v
+  CROSS JOIN tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       floor(sum(nlog) / CAST(count(*) AS DOUBLE) / 100000.0 + 0.5) / 10000.0
+           AS bits_per_bigram
+FROM scored GROUP BY doc_id
+""",
+)
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM surprise (Jelinek-Mercer lam=0.9) — the
+    perplexity-proxy quality filter one model order above
+    llm_unigram_surprise: sees word ORDER, so shuffled word salad that
+    fools the unigram filter scores high here. Per-bigram scores are
+    nano-quantized BIGINTs summed exactly; the residual cross-engine
+    risk is the documented 1-ulp log2 class (llm_naive_bayes
+    docstring). Model aggregates are vocabulary-sized, the score join
+    is (u,v)-keyed, no window — linear in token volume."""
+    return TX.bigram_surprise(load(spark, sf_dir, "documents"))
