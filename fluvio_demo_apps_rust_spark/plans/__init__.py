@@ -112,6 +112,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_incremental_minhash",
     "llm_source_overlap",
     "llm_bigram_lm",
+    "q99_stream_outer_join",
 )
 
 

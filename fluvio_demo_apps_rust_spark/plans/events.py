@@ -1153,3 +1153,117 @@ def q97_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "users_7d",
         )
     )
+
+
+@register(
+    "q99_stream_outer_join",
+    tags=("events", "streaming", "join", "watermark", "outer"),
+    # Same deterministic two-stream fixture as q70 plus the NEGATIVE
+    # space: impressions with no click inside the horizon emit with
+    # NULL click once the watermark passes l.ts + horizon. Two flush
+    # files (minutes 600 / 1200, sentinel users >= 9000) drive the
+    # watermark forward across microbatches so every REAL impression's
+    # outer verdict is decided before the stream drains; the sentinels
+    # themselves are filtered from the output so the result is
+    # identical whether or not the engine runs a final no-data batch.
+    oracle="""
+WITH i AS (SELECT unnest(generate_series(0, 99)) AS n),
+imp AS (SELECT n AS imp_id,
+               TIMESTAMP '2024-01-01 00:00:00' + n * INTERVAL '1 minute' AS ts,
+               CAST(n % 5 AS BIGINT) AS user_id
+        FROM i),
+clk AS (SELECT 1000 + n AS click_id,
+               TIMESTAMP '2024-01-01 00:00:00'
+               + (n + (n % 15)) * INTERVAL '1 minute' AS ts,
+               CAST(n % 5 AS BIGINT) AS user_id
+        FROM i)
+SELECT imp.imp_id, clk.click_id, imp.user_id,
+       CAST((epoch(clk.ts) - epoch(imp.ts)) / 60 AS BIGINT) AS delta_min
+FROM imp LEFT JOIN clk
+  ON imp.user_id = clk.user_id
+ AND clk.ts >= imp.ts
+ AND clk.ts <= imp.ts + INTERVAL '10 minutes'
+""",
+)
+def q99_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real stream-stream LEFT OUTER interval join: q70's attribution
+    join plus its negative space — un-clicked impressions emit with
+    NULL click columns when the watermark passes their horizon (state
+    EVICTION produces rows here, not just frees memory; outer results
+    surface on later microbatches, never at end-of-input). Flush
+    events on both streams advance the min-of-sources watermark so
+    every real impression is decided in-stream; driven availableNow
+    with one file per trigger so eviction demonstrably crosses
+    microbatch boundaries."""
+    import os
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from ..streaming.analytics import interval_join
+
+    base = Path(tempfile.mkdtemp(prefix="q99_stream_"))
+    imp_dir, clk_dir = base / "imp", base / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    imps, clks = [], []
+    for n in range(100):
+        h, m = divmod(n, 60)
+        imps.append(
+            f'{{"imp_id": {n}, "ts": "2024-01-01 {h:02d}:{m:02d}:00", '
+            f'"user_id": {n % 5}}}'
+        )
+        cm = n + (n % 15)
+        ch, cmm = divmod(cm, 60)
+        clks.append(
+            f'{{"click_id": {1000 + n}, "ts": "2024-01-01 {ch:02d}:{cmm:02d}:00", '
+            f'"user_id": {n % 5}}}'
+        )
+    files = []
+    for d, name, lines in ((imp_dir, "f1.jsonl", imps), (clk_dir, "f1.jsonl", clks)):
+        p = d / name
+        p.write_text("\n".join(lines) + "\n")
+        files.append((p, 1_700_000_000))
+    for k, minute in ((2, 600), (3, 1200)):
+        h, m = divmod(minute, 60)
+        pi = imp_dir / f"f{k}.jsonl"
+        pi.write_text(
+            f'{{"imp_id": {9000 + k}, "ts": "2024-01-01 {h:02d}:{m:02d}:00", '
+            f'"user_id": {9000 + k}}}\n'
+        )
+        pc = clk_dir / f"f{k}.jsonl"
+        pc.write_text(
+            f'{{"click_id": {9900 + k}, "ts": "2024-01-01 {h:02d}:{m:02d}:00", '
+            f'"user_id": {9500 + k}}}\n'
+        )
+        files += [(pi, 1_700_000_000 + 100 * k), (pc, 1_700_000_000 + 100 * k)]
+    for p, ts in files:
+        os.utime(p, (ts, ts))
+    left = spark.readStream.schema("imp_id long, ts timestamp, user_id long").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(imp_dir))
+    right = spark.readStream.schema(
+        "click_id long, ts timestamp, user_id long"
+    ).option("maxFilesPerTrigger", 1).json(str(clk_dir))
+    joined = interval_join(
+        left, right, horizon="10 minutes", watermark="1 minute", how="leftOuter"
+    ).select(
+        F.col("imp_id"),
+        F.col("click_id"),
+        F.col("l.user_id").alias("user_id"),
+        ((F.col("r.ts").cast("long") - F.col("l.ts").cast("long")) / 60)
+        .cast("long")
+        .alias("delta_min"),
+    )
+    name = "q99_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT imp_id, click_id, user_id, delta_min FROM {name} "
+        f"WHERE imp_id < 1000"
+    )

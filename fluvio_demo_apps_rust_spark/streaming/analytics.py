@@ -104,16 +104,24 @@ def interval_join(
     right: DataFrame,
     horizon: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join within a time interval (the
-    ad-attribution shape: a right-stream event joins every left-stream
-    event of the same user it follows within ``horizon``).
+    """Stream-stream join within a time interval (the ad-attribution
+    shape: a right-stream event joins every left-stream event of the
+    same user it follows within ``horizon``).
 
     Both sides are watermarked and the join carries a two-sided
     event-time range constraint — the combination Structured Streaming
     REQUIRES to bound join state: each side buffers only rows younger
     than (watermark + horizon); older state is evicted. Without the
     range condition the state store grows forever.
+
+    ``how='leftOuter'`` adds the attribution NEGATIVE space: a left
+    row that found no match is emitted with NULL right columns — but
+    only once the watermark passes ``l.ts + horizon`` (until then a
+    match could still arrive), i.e. outer results trail the stream by
+    watermark delay + horizon and surface on a LATER microbatch's
+    state eviction, not at end-of-input.
 
     Scale posture: state is partitioned by the equi-join key (user),
     scaling horizontally with executors; per-key buffered state is
@@ -128,6 +136,7 @@ def interval_join(
             "AND r.ts >= l.ts "
             f"AND r.ts <= l.ts + interval {horizon}"
         ),
+        how,
     )
 
 
