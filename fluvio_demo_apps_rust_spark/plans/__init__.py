@@ -15,76 +15,71 @@ from . import llm  # noqa: F401
 from . import advanced  # noqa: F401
 from . import mining  # noqa: F401
 
-# Driver-sampling rotation — ROUND 6 ACTIVE. The correctness driver
+# Driver-sampling rotation — ROUND 7 ACTIVE. The correctness driver
 # samples the FIRST ~50 registered queries; rounds 1-3 sampled the
 # relational/events/cdc prefix, r4 the llm/mining/sketch rotation,
-# r5 the staged never-sampled set (48/50 green). This head is the
-# complete never-driver-green set per VERDICT r5 #2: q52 (formerly
-# oracle=None, now bound-gated) + q57 (formerly raw-array output, now
-# stringified) + the two r5 binary-binlog queries + q59–q68 — followed
-# by NEW round-6 queries, then the top-risk novel families as
-# re-confirmation fill for the rest of the ~50 sample.
+# r5 the staged never-sampled set, r6 the never-driver-green 14 plus
+# plan-changed re-confirmations (50/50 green — every registered query
+# has now been driver-green at least once). This head is VERDICT r6
+# task #1: the 41 queries last driver-sampled in rounds 1-3, whose
+# shared kernels (apply update-run coalescing, codec, text helpers)
+# changed under them since their last green row — followed by NEW
+# round-7 queries (_FORWARD), then plan-changed / top-risk r6
+# re-confirmations as fill.
 _PRIORITY: tuple[str, ...] = (
-    # the 14-name never-driver-green set — MUST be sampled this round
-    "q52_approx_distinct",
-    "q57_array_ops",
-    "cdc_binlog_real_pet",
+    # the 41 stale names (last sampled r1-r3) — MUST be sampled
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q04_semi_join",
+    "q06_revenue_delta",
+    "q07_anti_join",
+    "q08_left_join_agg",
+    "q09_having",
+    "q10_set_ops",
+    "q11_topk_per_group",
+    "q12_running_total",
+    "q13_lag_gap",
+    "q14_rollup",
+    "q15_cube",
+    "q16_grouping_sets",
+    "q17_global_topk",
+    "q18_distinct_count",
+    "q19_scalar_funcs",
+    "q20_case_agg",
+    "q22_order_lineitem_stats",
+    "q23_datetime_funcs",
+    "q30_events_tumbling",
+    "q31_events_sliding",
+    "q32_events_session",
+    "q33_events_dedup",
+    "q34_events_json_props",
+    "q35_events_rate",
+    "q36_events_gapfill",
+    "q37_stream_windowed",
+    "q38_stream_dedup",
+    "q39_stream_late_data",
+    "q71_events_funnel",
+    "q72_events_cohort",
+    "q73_stream_session",
+    "q74_stream_stateful",
+    "q75_events_anomaly",
+    "q76_events_transitions",
+    "q78_trajectory_similarity",
+    "cdc_replica_join",
+    "cdc_scd2_asof",
+    "cdc_stream_stats",
+    "llm_dedup_exact",
+    # plan-changed this round (source-overlap cap, bigram-lm constant,
+    # q97 floor-div, typed-replay GEOMETRY) + top-risk r6 kernels
+    "llm_source_overlap",
+    "llm_bigram_lm",
+    "q97_rolling_distinct",
     "cdc_binlog_typed_replay",
-    "q59_profit_rollup",
-    "q60_min_cost_supplier",
-    "q61_waiting_suppliers",
-    "q62_idle_rich_customers",
-    "q63_binational_volume",
-    "q64_market_share",
-    "q65_value_windows",
-    "q66_shipmode_buckets",
-    "q67_order_count_histogram",
-    "q68_large_orders",
-    # re-confirmation fill: queries whose PLANS change this round
-    # (single-partition-window fixes, broadcast-hint removals — r5
-    # verdict #3/#4 — and the r6 update-run-coalescing apply kernel)
-    # must be re-sampled against unchanged oracles
-    "q43_rank_family",
-    "q90_histogram_quantiles",
-    "llm_vocab_coverage",
-    "q05_nation_volume",
-    "q21_part_brand_stats",
-    "llm_naive_bayes",
-    "cdc_pet_replay",
-    "cdc_orders_roundtrip",
-    "cdc_mixed_workload",
-    "cdc_scd2",
-    # top-risk novel kernels (newest first) as remaining fill
-    "llm_winnow_fingerprint",
-    "llm_winnow_pairs",
-    "q92_hll_setops",
-    "q93_hll_rollup",
-    "q91_stream_hll",
-    "q89_hll_distinct",
-    "llm_train_split",
-    "llm_global_shuffle",
-    "llm_epoch_upsample",
-    "llm_stream_incremental_dedup",
-    "llm_multimodal_meta",
-    "llm_multimodal_frames",
-    "llm_multimodal_resize",
-    "llm_naive_bayes",
-    "llm_quality_lr",
-    "llm_vocab_entropy",
-    "llm_gram_matrix",
-    "llm_knn_classify",
-    "llm_dedup_keep_best",
-    "llm_corpus_report",
-    "llm_sentiment",
-    "q50_asof_join",
-    "q51_range_join",
-    "q55_skew_salted_agg",
-    "q69_skew_salted_join",
-    "q79_pagerank",
-    "q83_graph_triangles",
-    "q84_market_basket",
-    "q86_ewma_smoothing",
-    "cdc_binlog_replay",
+    "q94_sessionization",
+    "llm_substring_dedup",
+    "llm_incremental_minhash",
+    "llm_simhash",
+    "llm_multimodal_dedup_clusters",
 )
 
 # Names of queries EXPECTED to be registered later this round (the
@@ -92,27 +87,15 @@ _PRIORITY: tuple[str, ...] = (
 # after they land they should sort ahead of already-green names).
 # Unlike _PRIORITY, missing names here are skipped, not fatal.
 _FORWARD: tuple[str, ...] = (
-    "q94_sessionization",
-    "q95_bloom_semijoin",
-    "llm_png_decode",
-    "llm_png_resize",
-    "llm_wav_decode",
-    "llm_video_frames",
-    "cdc_update_storm",
-    "cdc_incremental_agg",
-    "llm_substring_dedup",
-    "q96_stream_countmin",
-    "llm_image_ahash",
-    "q97_rolling_distinct",
-    "llm_audio_fingerprint",
-    "llm_video_phash",
-    "llm_ahash_pairs",
-    "llm_multimodal_dedup_clusters",
-    "q98_approx_percentile",
-    "llm_incremental_minhash",
-    "llm_source_overlap",
-    "llm_bigram_lm",
-    "q99_stream_outer_join",
+    "cdc_binlog_geometry",
+    "llm_crossdedup_transfer",
+    "llm_minhash_ann_hybrid",
+    "q100_stream_chained_agg",
+    "llm_rouge_overlap",
+    "llm_udf_tokenize_arrow",
+    "llm_langid_confusion",
+    "llm_quality_ablation",
+    "llm_dedup_audit",
 )
 
 
@@ -120,8 +103,8 @@ def _rotate_registry() -> None:
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     if missing:  # fail loudly: a typo here silently demotes a query
         raise ValueError(f"_PRIORITY names not in REGISTRY: {missing}")
-    head = [n for n in _PRIORITY[:14]] + [n for n in _FORWARD if n in REGISTRY]
-    head += [n for n in _PRIORITY[14:] if n not in head]
+    head = [n for n in _PRIORITY[:41]] + [n for n in _FORWARD if n in REGISTRY]
+    head += [n for n in _PRIORITY[41:] if n not in head]
     prioritized = set(head)
     ordered = head + [n for n in REGISTRY if n not in prioritized]
     snapshot = {n: REGISTRY[n] for n in ordered}
