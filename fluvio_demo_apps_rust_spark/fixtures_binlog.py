@@ -17,7 +17,7 @@ import zlib
 SERVER_ID = 1
 T_VARCHAR, T_STRING, T_DATE = 0x0F, 0xFE, 0x0A
 T_YEAR, T_TIMESTAMP2, T_DATETIME2, T_TIME2 = 0x0D, 0x11, 0x12, 0x13
-T_JSON, T_NEWDECIMAL, T_ENUM, T_SET = 0xF5, 0xF6, 0xF7, 0xF8
+T_JSON, T_NEWDECIMAL, T_ENUM, T_SET, T_GEOMETRY = 0xF5, 0xF6, 0xF7, 0xF8, 0xFF
 _DIG2BYTES = (0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
 _FSP_BYTES = (0, 1, 1, 2, 2, 3, 3)
 
@@ -171,8 +171,8 @@ class BinlogWriter:
                     meta += bytes([T_STRING, m])
             elif ty == T_NEWDECIMAL:
                 meta += bytes([m >> 8, m & 0xFF])  # (precision, scale)
-            elif ty in (T_JSON, T_TIMESTAMP2, T_DATETIME2, T_TIME2):
-                meta += bytes([m])
+            elif ty in (T_JSON, T_TIMESTAMP2, T_DATETIME2, T_TIME2, T_GEOMETRY):
+                meta += bytes([m])  # GEOMETRY meta = length-prefix width
         body = (
             table_id.to_bytes(6, "little")
             + struct.pack("<H", 1)
@@ -243,6 +243,8 @@ class BinlogWriter:
                 elif tag == "json":
                     blob = _enc_jsonb(v[1])
                     payload += struct.pack("<I", len(blob)) + blob
+                elif tag == "geom":  # 4-byte length prefix, SRID+WKB body
+                    payload += struct.pack("<I", len(v[1])) + v[1]
                 else:
                     raise ValueError(f"unknown row-value tag {tag!r}")
             else:
@@ -276,9 +278,17 @@ PET_BINLOG_COLUMNS = {
 TYPED_BINLOG_COLUMNS = {
     ("typedb", "alltypes"): [
         "id", "label", "grade", "born_year", "appt_dt", "appt_time",
-        "updated_at", "balance", "tags", "perks", "delta",
+        "updated_at", "balance", "tags", "perks", "delta", "loc",
     ]
 }
+
+# GEOMETRY fixture value: SRID 0 + WKB POINT(1.5 -2.25), little-endian —
+# the exact byte layout MySQL stores (4-byte SRID then standard WKB).
+GEOM_POINT_WKB = (
+    (0).to_bytes(4, "little")                      # SRID
+    + b"\x01" + (1).to_bytes(4, "little")          # LE byte order, type=Point
+    + struct.pack("<d", 1.5) + struct.pack("<d", -2.25)
+)
 
 
 def typed_binlog_bytes() -> bytes:
@@ -286,8 +296,9 @@ def typed_binlog_bytes() -> bytes:
     type the reference decodes (values.rs:9-45): ENUM, YEAR, DATETIME2,
     TIME2, TIMESTAMP2, NEWDECIMAL, JSON (+ VARCHAR/DATE covered by the
     pet scenario), plus SET (bitmask via T_STRING real-type metadata)
-    and a NEGATIVE fsp>0 TIME2 (pins the combined offset-binary negate:
-    the fractional bytes participate in the borrow)."""
+    a NEGATIVE fsp>0 TIME2 (pins the combined offset-binary negate:
+    the fractional bytes participate in the borrow), and GEOMETRY
+    (length-prefixed SRID+WKB → opaque Blob)."""
     w = BinlogWriter()
     w.query("typedb", "CREATE DATABASE typedb")
     w.query(
@@ -296,16 +307,16 @@ def typed_binlog_bytes() -> bytes:
         "grade ENUM('a','b','c'), born_year YEAR, appt_dt DATETIME(2), "
         "appt_time TIME(2), updated_at TIMESTAMP(2), "
         "balance DECIMAL(12,4), tags JSON, "
-        "perks SET('x','y','z'), delta TIME(2))",
+        "perks SET('x','y','z'), delta TIME(2), loc GEOMETRY)",
     )
     types = [
         0x03, T_VARCHAR, T_STRING, T_YEAR, T_DATETIME2,
         T_TIME2, T_TIMESTAMP2, T_NEWDECIMAL, T_JSON,
-        T_STRING, T_TIME2,
+        T_STRING, T_TIME2, T_GEOMETRY,
     ]
     metas = [
         0, 20, (T_ENUM << 8) | 1, 0, 2, 2, 2, (12 << 8) | 4, 4,
-        (T_SET << 8) | 1, 2,
+        (T_SET << 8) | 1, 2, 4,
     ]
     row1 = [
         ("int4", 7), "widget", ("enum", 2, 1), ("year", 1999),
@@ -316,13 +327,14 @@ def typed_binlog_bytes() -> bytes:
         ("json", {"a": 2, "b": [True, None, "x"], "c": -1.5}),
         ("set", 0b101, 1),  # {'x','z'} — bits 0 and 2
         ("time2", -10, 30, 30, 250000, 2),  # -10:30:30.25
+        ("geom", GEOM_POINT_WKB),  # SRID+WKB carried opaque as Blob
     ]
     row2 = list(row1)
     row2[7] = ("dec", "0.0000", 12, 4)
     w.table_map(200, "typedb", "alltypes", types, metas)
-    w.rows(0x1E, 200, 11, [row1])
+    w.rows(0x1E, 200, 12, [row1])
     w.table_map(200, "typedb", "alltypes", types, metas)
-    w.rows(0x1F, 200, 11, [(row1, row2)])
+    w.rows(0x1F, 200, 12, [(row1, row2)])
     return bytes(w.buf)
 
 

@@ -151,19 +151,23 @@ def cdc_binlog_real_pet(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT * FROM (VALUES (
   7, 'widget', '2', 1999,
   '2024-03-30 21:31:30.12', '21:31:30.500000', '2018-04-28 03:15:22.25',
-  '0.0000', '{"a":2,"b":[true,null,"x"],"c":-1.5}', '5', '10:30:30.250000'
+  '0.0000', '{"a":2,"b":[true,null,"x"],"c":-1.5}', '5', '10:30:30.250000',
+  'AAAAAAEBAAAAAAAAAAAA+D8AAAAAAAACwA=='
 )) t(id, label, grade, born_year, appt_dt, appt_time, updated_at, balance, tags,
-     perks, delta)
+     perks, delta, loc)
 """,
 )
 def cdc_binlog_typed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full §1.4 value-type surface through the BINARY path: ENUM, YEAR,
     DATETIME2(fsp), TIME2(fsp), TIMESTAMP2(fsp), NEWDECIMAL, JSON,
-    SET (bitmask → '5' = {'x','z'}) and a NEGATIVE TIME2(2) (combined
+    SET (bitmask → '5' = {'x','z'}), a NEGATIVE TIME2(2) (combined
     offset-binary negate; sign dropped = reference Value::Time parity)
-    column decode (reference Value set: src/messages/values.rs:9-45),
-    then codec canonicalization, DDL-registry typing and K2/K3 apply —
-    the INSERT's balance is overwritten by the UPDATE. Timestamps are
+    and GEOMETRY (0xff: length-prefixed SRID+WKB carried opaque as
+    Blob, reference parity values.rs:16; lands as BinaryType via the
+    DDL GEOMETRY mapping, emitted base64) column decode (reference
+    Value set: src/messages/values.rs:9-45), then codec
+    canonicalization, DDL-registry typing and K2/K3 apply — the
+    INSERT's balance is overwritten by the UPDATE. Timestamps are
     emitted as strings (session tz pinned UTC), DECIMAL via its exact
     Spark decimal(12,4) rendering."""
     from ..fixtures_binlog import TYPED_BINLOG_COLUMNS, typed_binlog_bytes
@@ -187,6 +191,7 @@ def cdc_binlog_typed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tags",
         "perks",
         "delta",
+        F.base64("loc").alias("loc"),
     )
 
 

@@ -202,6 +202,10 @@ _MYSQL_TO_SPARK: list[tuple[tuple[str, ...], T.DataType]] = [
     (("time",), T.StringType()),     # no Spark TIME type; canonical HH:MM:SS.ffffff
     (("year",), T.IntegerType()),
     (("blob", "binary", "varbinary", "tinyblob", "mediumblob", "longblob"), T.BinaryType()),
+    # GEOMETRY family: carried as opaque SRID+WKB bytes (reference
+    # parity — mysql_binlog hands geometry through as Value::Blob)
+    (("geometry", "point", "linestring", "polygon", "geometrycollection",
+      "multipoint", "multilinestring", "multipolygon"), T.BinaryType()),
     (("json",), T.StringType()),
     (("bool", "boolean"), T.BooleanType()),
 ]

@@ -377,11 +377,15 @@ def _read_value(t: int, meta: int, data: bytes, pos: int) -> tuple[dict | str, i
         pos += meta
         return {"String": data[pos : pos + n].decode("utf-8", "replace")}, pos + n
     if t == T_GEOMETRY:
-        # Deliberately NOT decoded: WKB payloads have no Value variant in
-        # the reference's §1.4 set and no canonical text form here. Loud
-        # rejection (strict mode raises; lenient mode skips the event
-        # with this message) beats a silent misread of the length prefix.
-        raise BinlogError("unsupported column type GEOMETRY (0xff): WKB decode not implemented")
+        # Length-prefixed like BLOB (meta = prefix byte width); payload
+        # is 4-byte SRID + WKB. Carried through OPAQUE as Blob —
+        # reference parity: its mysql_binlog crate hands GEOMETRY bytes
+        # straight to Value::Blob (cdc-mysql/src/messages/values.rs:16),
+        # so the wire form is the Blob base64 canonical, and the typed
+        # apply lands it as BinaryType via the DDL GEOMETRY mapping.
+        n = int.from_bytes(data[pos : pos + meta], "little")
+        pos += meta
+        return {"Blob": list(data[pos : pos + n])}, pos + n
     raise BinlogError(f"unsupported column type {t:#x}")
 
 

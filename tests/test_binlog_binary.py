@@ -99,8 +99,8 @@ def test_corrupt_crc_raises():
 
 def test_unsupported_type_strict_vs_lenient():
     w = BinlogWriter()
-    w.query("db1", "CREATE TABLE t (g GEOMETRY)")
-    w.table_map(7, "db1", "t", [0xFF], [0])  # MYSQL_TYPE_GEOMETRY
+    w.query("db1", "CREATE TABLE t (g BIT(8))")
+    w.table_map(7, "db1", "t", [0x10], [0])  # MYSQL_TYPE_BIT — unsupported
     w.rows(0x1E, 7, 1, [["x"]])
     with pytest.raises(BinlogError):
         parse_binlog_bytes(bytes(w.buf), strict=True)
@@ -228,6 +228,7 @@ def test_real_fixture_000002_timezone_load():
 
 def test_typed_roundtrip_all_value_types():
     from fluvio_demo_apps_rust_spark.fixtures_binlog import (
+        GEOM_POINT_WKB,
         TYPED_BINLOG_COLUMNS,
         typed_binlog_bytes,
     )
@@ -262,20 +263,26 @@ def test_typed_roundtrip_all_value_types():
         # has no sign field).
         {"Time": {"hours": 10, "minutes": 30, "seconds": 30,
                   "subseconds": 250000}},
+        # GEOMETRY: SRID+WKB bytes carried opaque as Blob
+        {"Blob": list(GEOM_POINT_WKB)},
     ]
     after = objs[3]["operation"]["Update"]["rows"][0]["after_cols"]
     assert after[7] == {"Decimal": "0.0000"}  # negative-zero never emitted
 
 
-def test_geometry_rejected_loudly():
+def test_geometry_decodes_as_opaque_blob():
+    # GEOMETRY (0xff): meta = length-prefix width; payload = SRID+WKB,
+    # carried through opaque as Blob (reference values.rs:16 parity).
+    from fluvio_demo_apps_rust_spark.fixtures_binlog import GEOM_POINT_WKB
     from fluvio_demo_apps_rust_spark.sources.binlog_binary import (
         T_GEOMETRY,
-        BinlogError,
         _read_value,
     )
 
-    with pytest.raises(BinlogError, match="GEOMETRY"):
-        _read_value(T_GEOMETRY, 4, b"\x00" * 16, 0)
+    data = len(GEOM_POINT_WKB).to_bytes(4, "little") + GEOM_POINT_WKB + b"\xab"
+    v, pos = _read_value(T_GEOMETRY, 4, data, 0)
+    assert v == {"Blob": list(GEOM_POINT_WKB)}
+    assert pos == 4 + len(GEOM_POINT_WKB)  # trailing byte untouched
 
 
 @pytest.mark.parametrize(
