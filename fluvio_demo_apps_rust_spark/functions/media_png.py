@@ -26,6 +26,37 @@ import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
+try:  # capability gate: native decode when the environment has it
+    from PIL import Image as _PILImage
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def decode_png_auto(data: bytes) -> "np.ndarray":
+    """Capability-gated pixel decode: PIL (native zlib/libpng — GB/s
+    class) when importable, else :func:`decode_png` (pure-Python
+    unfilter ≈ tens of MB/s per core). Both return the identical
+    (h, w, 3) uint8 array for valid 8-bit RGB PNGs (parity pinned by
+    tests/test_media_png.py's skipif test), so every downstream
+    feature (aHash, resize, frame walk) is decoder-independent — ONLY
+    the throughput changes. 100 TB posture: the Arrow mapInPandas
+    harness shape is already right (partition-parallel, batch-columnar
+    in, decode per blob); at a real image-corpus scale the pure-Python
+    bound (~tens of MB/s/core ≈ 1 PB-day per 1000 32-core executors)
+    makes THIS function the knob — install Pillow on the executors and
+    the same plan runs at native speed with zero query changes.
+    Encoding stays on :func:`encode_png` everywhere bytes feed hashes
+    or oracles: encoder output is NOT canonical across libraries, and
+    fixture blobs must stay bit-deterministic."""
+    if _HAS_PIL:
+        import io
+
+        with _PILImage.open(io.BytesIO(data)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    return decode_png(data)
+
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
     return (

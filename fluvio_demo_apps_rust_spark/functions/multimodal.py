@@ -231,13 +231,13 @@ def synth_png(df: DataFrame) -> DataFrame:
 def decode_png_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     """REAL decode: chunk walk, IHDR, IDAT inflate, unfilter — then
     emit geometry + the exact pixel sum (BIGINT; no floats)."""
-    from .media_png import decode_png
+    from .media_png import decode_png_auto
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for pdf in batches:
             for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):
-                arr = decode_png(bytes(b))
+                arr = decode_png_auto(bytes(b))
                 rows.append(
                     (
                         int(doc_id),
@@ -264,14 +264,14 @@ def png_resize_features(
     emitting the resized pixel sum: the full codec round trip inside
     one Arrow batch loop, with the output verifiable from the
     source-index closed form ((y*h) DIV out_h, (x*w) DIV out_w)."""
-    from .media_png import decode_png, encode_png, resize_nn
+    from .media_png import decode_png_auto, encode_png, resize_nn
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for pdf in batches:
             for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):
-                small = resize_nn(decode_png(bytes(b)), out_w, out_h)
-                again = decode_png(encode_png(small))
+                small = resize_nn(decode_png_auto(bytes(b)), out_w, out_h)
+                again = decode_png_auto(encode_png(small))
                 rows.append(
                     (int(doc_id), out_w, out_h, int(again.sum(dtype="int64")))
                 )
@@ -394,7 +394,7 @@ def video_frame_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     actual image decode inside."""
     import struct as _struct
 
-    from .media_png import decode_png
+    from .media_png import decode_png_auto
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -407,7 +407,7 @@ def video_frame_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
                 pos = 8
                 for f in range(k):
                     (ln,) = _struct.unpack("<I", b[pos : pos + 4])
-                    arr = decode_png(b[pos + 4 : pos + 4 + ln])
+                    arr = decode_png_auto(b[pos + 4 : pos + 4 + ln])
                     rows.append(
                         (
                             int(doc_id),
@@ -441,13 +441,13 @@ def ahash_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     hash bit for bit."""
     import numpy as np
 
-    from .media_png import decode_png, resize_nn
+    from .media_png import decode_png_auto, resize_nn
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for pdf in batches:
             for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):
-                small = resize_nn(decode_png(bytes(b)), 8, 8).astype(np.int64)
+                small = resize_nn(decode_png_auto(bytes(b)), 8, 8).astype(np.int64)
                 gray = small.sum(axis=2) // 3  # (8, 8) ints
                 m = int(gray.sum()) // 64
                 bits = "".join(
@@ -511,7 +511,7 @@ def video_phash_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 
     import numpy as np
 
-    from .media_png import decode_png
+    from .media_png import decode_png_auto
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
@@ -525,7 +525,7 @@ def video_phash_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
                 fbs = []
                 for _f in range(k):
                     (ln,) = _struct.unpack("<I", b[pos : pos + 4])
-                    arr = decode_png(b[pos + 4 : pos + 4 + ln]).astype(np.int64)
+                    arr = decode_png_auto(b[pos + 4 : pos + 4 + ln]).astype(np.int64)
                     gray = arr.sum(axis=2) // 3
                     m = int(gray.sum()) // (gray.shape[0] * gray.shape[1])
                     fbs.append(

@@ -136,3 +136,55 @@ def test_ahash_bits_match_brute_force():
         mm = sum(grays) // 64
         exp = "".join("1" if g > mm else "0" for g in grays)
         assert got == exp and m == mm, d
+
+
+# ---------------------------------------------------------------------------
+# Native-vs-stdlib decoder parity (capability-gated: skips without PIL)
+# ---------------------------------------------------------------------------
+
+try:
+    import PIL  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def test_decode_png_auto_falls_back_without_pil():
+    from fluvio_demo_apps_rust_spark.functions import media_png as mp
+
+    arr = _rand(9, 13, 42)
+    got = mp.decode_png_auto(mp.encode_png(arr))
+    assert (got == arr).all()
+    if not _HAS_PIL:
+        assert mp._HAS_PIL is False  # fallback path actually exercised
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed in sandbox")
+def test_native_decode_matches_stdlib_codec():
+    """PIL and the stdlib codec must return the IDENTICAL pixel array
+    in both directions: PIL decoding our encoder's bytes, and our
+    decoder reading PIL's bytes — the guarantee that lets
+    decode_png_auto swap decoders by capability with zero effect on
+    any oracle-gated feature downstream."""
+    import io
+
+    from PIL import Image
+
+    from fluvio_demo_apps_rust_spark.functions.media_png import (
+        decode_png,
+        decode_png_auto,
+        encode_png,
+    )
+
+    for seed, (h, w) in ((1, (9, 13)), (2, (1, 1)), (3, (16, 300))):
+        arr = _rand(h, w, seed)
+        ours = encode_png(arr)
+        # direction 1: native decode of stdlib-encoded bytes
+        with Image.open(io.BytesIO(ours)) as im:
+            assert (np.asarray(im.convert("RGB")) == arr).all()
+        assert (decode_png_auto(ours) == arr).all()
+        # direction 2: stdlib decode of native-encoded bytes
+        buf = io.BytesIO()
+        Image.fromarray(arr, "RGB").save(buf, format="PNG")
+        assert (decode_png(buf.getvalue()) == arr).all()
