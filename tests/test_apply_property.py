@@ -107,3 +107,119 @@ def test_local_kernel_matches_naive_replay(spark, data):
         key=lambda t: (t[0] is None, t[0], t[1] is None, t[1]),
     )
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Multi-db DDL interleave (r6 verdict #8): the broadcast-barrier path at
+# its edges — DDL at IDENTICAL sequences in different dbs (per-db DDL
+# lists must not cross-contaminate), db=NULL Query events (dbk probes
+# coalesce(db,'') — they must be inert for every real db's barrier),
+# and a mid-stream ALTER ADD COLUMN per db (ncols run split + T3
+# enrichment of pre-alter rows with NULL).
+# ---------------------------------------------------------------------------
+
+DBS = ("da", "dbx")
+
+
+def _event2(seq: int, db: str | None, payload, cols=None) -> str:
+    uri = "flv://srv" if db is None else f"flv://srv/{db}"
+    if cols is not None:
+        uri += "/t"
+    obj = {
+        "uri": uri,
+        "sequence": seq,
+        "bn_file": {"fileName": "binlog.000001", "offset": seq},
+        "operation": payload,
+    }
+    if cols is not None:
+        obj["columns"] = cols
+    return json.dumps(obj)
+
+
+@st.composite
+def multidb_stream(draw):
+    """(events-json, {db: sorted-final-rows}) — two dbs with interleaved
+    row events, per-db mid-stream ALTER, one shared-sequence DDL pair,
+    and no-db Query noise."""
+    model = {d: {"w": 2, "rows": []} for d in DBS}
+    # DDL at IDENTICAL sequences across dbs: both CREATE TABLEs at seq 0
+    events = [
+        _event2(0, d, {"Query": "CREATE TABLE t (k INT, v INT)"}) for d in DBS
+    ]
+    seq = 0
+    n_ops = draw(st.integers(min_value=2, max_value=10))
+    for _ in range(n_ops):
+        seq += 1
+        twin = draw(st.booleans())  # same sequence value in BOTH dbs
+        targets = DBS if twin else (draw(st.sampled_from(DBS)),)
+        for d in targets:
+            m = model[d]
+            kind = draw(
+                st.sampled_from(["add", "add", "update", "delete", "alter", "nodb"])
+            )
+            if kind == "nodb":
+                # db=NULL Query: coalesce(db,'') key — must be INERT for
+                # both real dbs' barriers and skipped by the registry
+                events.append(_event2(seq, None, {"Query": "CREATE DATABASE mystery"}))
+                continue
+            if kind == "alter" and m["w"] == 2:
+                m["w"] = 3
+                m["rows"] = [r + (None,) for r in m["rows"]]
+                events.append(
+                    _event2(seq, d, {"Query": "ALTER TABLE t ADD COLUMN c INT"})
+                )
+                continue
+            w = m["w"]
+            cols = ["k", "v", "c"][:w]
+            rnd = st.tuples(*([val] * w))
+            if kind == "add" or not m["rows"] or kind == "alter":
+                rows = draw(st.lists(rnd, min_size=1, max_size=3))
+                m["rows"].extend(rows)
+                payload = {"Add": {"rows": [{"cols": [_cell(x) for x in r]} for r in rows]}}
+            elif kind == "update":
+                before = draw(st.sampled_from(m["rows"] + [draw(rnd)]))
+                after = draw(rnd)
+                payload = {"Update": {"rows": [{
+                    "before_cols": [_cell(x) for x in before],
+                    "after_cols": [_cell(x) for x in after],
+                }]}}
+                m["rows"] = [after if r == before else r for r in m["rows"]]
+            else:
+                target = draw(st.sampled_from(m["rows"] + [draw(rnd)]))
+                payload = {"Delete": {"rows": [{"cols": [_cell(x) for x in target]}]}}
+                m["rows"] = [r for r in m["rows"] if r != target]
+            events.append(_event2(seq, d, payload, cols))
+
+    def key(t):
+        return tuple((x is None, x) for x in t)
+
+    return events, {d: sorted(m["rows"], key=key) for d, m in model.items()}
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(multidb_stream())
+def test_multidb_ddl_interleave(spark, data):
+    from fluvio_demo_apps_rust_spark.operators.apply import apply_events_local
+
+    events_json, expected = data
+
+    def key(t):
+        return tuple((x is None, x) for x in t)
+
+    # distributed kernel (broadcast DDL barrier under test)
+    state = apply_changes(spark, read_events_from_strings(spark, events_json))
+    for d in DBS:
+        got = sorted((tuple(r) for r in state.table(d, "t").collect()), key=key)
+        assert got == expected[d], f"distributed kernel diverged for db {d}"
+    state.release()
+
+    # driver-local fast path must land on the identical fixpoint
+    local = apply_events_local(spark, events_json)
+    for d in DBS:
+        got = sorted((tuple(r) for r in local.table(d, "t").collect()), key=key)
+        assert got == expected[d], f"local kernel diverged for db {d}"
