@@ -77,6 +77,17 @@ BENCH_QUERIES = [
     "llm_image_ahash",
     "llm_ahash_pairs",
     "llm_multimodal_dedup_clusters",
+    # round 7 additions (r6 verdict #4): the heavy late-r6 kernels that
+    # had no bench row — substring-gram corpus-frequency shuffle,
+    # streaming sessionization (applyInPandasWithState), snapshot-vs-
+    # increment MinHash triage, capped source-overlap posting fan-out,
+    # and the real FVID-walk video phash. Totals before r7 exclude
+    # these five, compare per-query/per-family.
+    "llm_substring_dedup",
+    "q94_sessionization",
+    "llm_incremental_minhash",
+    "llm_source_overlap",
+    "llm_video_phash",
 ]
 
 # Per-family subtotals so cross-round regressions (CDC vs dedup vs ANN)
@@ -120,6 +131,11 @@ FAMILY = {
     "llm_image_ahash": "multimodal",
     "llm_ahash_pairs": "multimodal",
     "llm_multimodal_dedup_clusters": "multimodal",
+    "llm_substring_dedup": "dedup",
+    "q94_sessionization": "events",
+    "llm_incremental_minhash": "dedup",
+    "llm_source_overlap": "dedup",
+    "llm_video_phash": "multimodal",
 }
 
 
