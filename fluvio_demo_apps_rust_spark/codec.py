@@ -39,6 +39,20 @@ from pyspark.sql import types as T
 from .schemas import CHANGE_EVENT_SCHEMA, ROW_IMAGE_SCHEMA, value_to_canonical
 
 _FIELDS = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
+
+
+def b64_nochunk(col: F.Column) -> F.Column:
+    """Canonical (RFC 4648, unchunked) base64 of a binary column.
+
+    Spark's ``base64`` expression MIME-chunks its output — a CR+LF
+    every 76 chars, i.e. for any payload over 57 bytes — while the
+    Python canonical (schemas.py, ``base64.b64encode``) never does.
+    Every JVM-side blob encode MUST go through this wrapper or wire
+    JSON silently diverges between the Arrow and JVM codec paths for
+    blobs > 57 bytes (found by the 61-byte LINESTRING fixture in
+    cdc_binlog_geometry; pinned by test_codec_property's >57-byte
+    blobs)."""
+    return F.regexp_replace(F.base64(col), "[\\r\\n]", "")
 ROW_IMAGE_SCHEMA_ARRAY = T.ArrayType(ROW_IMAGE_SCHEMA)
 
 
@@ -240,7 +254,7 @@ def _canon_cell(c: F.Column) -> F.Column:
     # Vec<u8> → base64, fully JVM-side: ints → zero-padded hex → binary.
     blob = F.when(
         F.try_variant_get(c, "$.Blob", "variant").isNotNull(),
-        F.base64(
+        b64_nochunk(
             F.to_binary(
                 F.array_join(
                     F.transform(
@@ -331,7 +345,7 @@ def _canon_cell_json(c: F.Column) -> F.Column:
         lp(F.coalesce(ts_s["subsecond"], F.lit(0)), 6),
     )
     # Vec<u8> → base64, fully JVM-side: ints → zero-padded hex → binary.
-    blob_c = F.base64(
+    blob_c = b64_nochunk(
         F.to_binary(
             F.array_join(
                 F.transform(

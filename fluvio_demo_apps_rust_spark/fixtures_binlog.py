@@ -356,6 +356,55 @@ def real_pet_binlog_bytes() -> bytes:
         return f.read()
 
 
+GEO_BINLOG_COLUMNS = {("geodb", "places"): ["id", "name", "loc"]}
+
+
+def _wkb_point(x: float, y: float, srid: int = 0) -> bytes:
+    return (
+        srid.to_bytes(4, "little")
+        + b"\x01" + (1).to_bytes(4, "little")
+        + struct.pack("<dd", x, y)
+    )
+
+
+def _wkb_linestring(pts: list[tuple[float, float]], srid: int = 4326) -> bytes:
+    b = (
+        srid.to_bytes(4, "little")
+        + b"\x01" + (2).to_bytes(4, "little")
+        + struct.pack("<I", len(pts))
+    )
+    for x, y in pts:
+        b += struct.pack("<dd", x, y)
+    return b
+
+
+def geo_binlog_bytes() -> bytes:
+    """GEOMETRY-focused scenario: a POINT (SRID 0), a LINESTRING
+    (SRID 4326, 3 vertices), and a NULL geometry, plus an UPDATE that
+    moves the point — pins the opaque SRID+WKB Blob carry for
+    multi-row events, nullability, and full-row update matching over a
+    binary column."""
+    w = BinlogWriter()
+    w.query("geodb", "CREATE DATABASE geodb")
+    w.query(
+        "geodb",
+        "CREATE TABLE places (id INT, name VARCHAR(20), loc GEOMETRY)",
+    )
+    types = [0x03, T_VARCHAR, T_GEOMETRY]
+    metas = [0, 20, 4]
+    p1 = ("geom", _wkb_point(3.0, 4.5))
+    row1 = [("int4", 1), "origin", p1]
+    row2 = [("int4", 2), "trail", ("geom", _wkb_linestring([(0.0, 0.0), (1.0, 1.0), (2.0, 0.5)]))]
+    row3 = [("int4", 3), "nowhere", None]
+    w.table_map(300, "geodb", "places", types, metas)
+    w.rows(0x1E, 300, 3, [row1, row2, row3])
+    # move the point: full-row match on (id, name, 25-byte blob)
+    moved = [("int4", 1), "origin", ("geom", _wkb_point(1.5, -2.25))]
+    w.table_map(300, "geodb", "places", types, metas)
+    w.rows(0x1F, 300, 3, [(row1, moved)])
+    return bytes(w.buf)
+
+
 def pet_binlog_bytes() -> bytes:
     """The nine-event pet scenario as binlog-v4 bytes (CRC32 on)."""
     d = lambda y, m, dd: ("date", y, m, dd)  # noqa: E731

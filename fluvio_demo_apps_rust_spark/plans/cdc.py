@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..codec import b64_nochunk
 from ..fixtures import PET_EVENTS
 from ..operators.apply import apply_changes
 from .base import fround, load, qsum, register
@@ -191,7 +192,47 @@ def cdc_binlog_typed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tags",
         "perks",
         "delta",
-        F.base64("loc").alias("loc"),
+        b64_nochunk(F.col("loc")).alias("loc"),
+    )
+
+
+@register(
+    "cdc_binlog_geometry",
+    tags=("cdc", "binlog", "binary", "geometry"),
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 'origin', 'AAAAAAEBAAAAAAAAAAAA+D8AAAAAAAACwA==', 25),
+  (2, 'trail',
+   '5hAAAAECAAAAAwAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAADwPwAAAAAAAPA/AAAAAAAAAEAAAAAAAADgPw==',
+   61),
+  (3, 'nowhere', NULL, NULL)
+) t(id, name, loc, loc_bytes)
+""",
+)
+def cdc_binlog_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRY through the full binary CDC path (§1.4's last cell,
+    r7): a POINT (SRID 0), a LINESTRING (SRID 4326), and a NULL
+    geometry decoded from binlog-v4 bytes as opaque SRID+WKB Blobs
+    (reference parity: mysql_binlog → Value::Blob, values.rs:16), then
+    codec base64 canonicalization, DDL GEOMETRY→BinaryType landing,
+    and a full-row UPDATE that matches on the 25-byte blob value
+    (null-safe row matching over a binary column). Emits base64 text
+    and octet length — never raw binary — so the hash gate is
+    deterministic."""
+    from ..fixtures_binlog import GEO_BINLOG_COLUMNS, geo_binlog_bytes
+    from ..operators.apply import apply_events_local
+    from ..sources.binlog_binary import parse_binlog_bytes
+
+    events = parse_binlog_bytes(
+        geo_binlog_bytes(), columns_by_table=GEO_BINLOG_COLUMNS
+    )
+    state = apply_events_local(spark, events)
+    t = state.table("geodb", "places")
+    return t.select(
+        "id",
+        "name",
+        b64_nochunk(F.col("loc")).alias("loc"),
+        F.octet_length("loc").cast("int").alias("loc_bytes"),
     )
 
 

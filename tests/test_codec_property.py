@@ -50,7 +50,9 @@ value = st.one_of(
         lambda t, us: {"Timestamp": {"unix_time": t, "subsecond": us}},
         st.integers(0, 2**31 - 1), st.integers(0, 999999),
     ),
-    st.builds(lambda b: {"Blob": b}, st.lists(st.integers(0, 255), max_size=16)),
+    # sizes straddle 57: Spark's base64 MIME-chunks (CR+LF per 76 output
+    # chars) above that, so >57-byte blobs pin codec.b64_nochunk
+    st.builds(lambda b: {"Blob": b}, st.lists(st.integers(0, 255), max_size=80)),
     st.builds(
         lambda kv: {"Json": dict(kv)},
         st.lists(st.tuples(_text, st.integers(-100, 100)), max_size=4),
@@ -69,6 +71,30 @@ def add_event(draw):
         "columns": names,
         "operation": {"Add": {"rows": [{"cols": cols}]}},
     }
+
+
+def test_decoder_parity_large_blob(spark):
+    """Deterministic pin for the >57-byte blob MIME-chunk bug: Spark's
+    ``base64`` inserts CR+LF every 76 output chars, so any blob over 57
+    bytes diverged between the JVM and Arrow codec paths until
+    codec.b64_nochunk (r7). 64 bytes crosses the chunk boundary."""
+    blob = list(range(64))
+    ev = {
+        "uri": "flv://srv/propdb/t",
+        "sequence": 7,
+        "bn_file": {"fileName": "binlog.000001", "offset": 4},
+        "columns": ["c0"],
+        "operation": {"Add": {"rows": [{"cols": [{"Blob": blob}]}]}},
+    }
+    raw = spark.createDataFrame(
+        [(json.dumps(ev, separators=(",", ":")),)], "value string"
+    )
+    a = parse_events(raw, jvm=False).collect()
+    b = parse_events(raw, jvm=True).collect()
+    assert a == b
+    got = a[0].rows[0].after[0]
+    assert got == value_to_canonical({"Blob": blob})
+    assert "\r" not in got and "\n" not in got
 
 
 @pytest.mark.slow
