@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "llm_incremental_minhash",
     "llm_source_overlap",
     "llm_video_phash",
+    # round 8 addition: URL/host-canonicalization dedup (the web-
+    # pipeline first stage) — all-codegen string canonicalization +
+    # one hash-aggregate shuffle. Totals before r8 exclude it.
+    "llm_url_dedup",
 ]
 
 # Per-family subtotals so cross-round regressions (CDC vs dedup vs ANN)
@@ -136,6 +140,7 @@ FAMILY = {
     "llm_incremental_minhash": "dedup",
     "llm_source_overlap": "dedup",
     "llm_video_phash": "multimodal",
+    "llm_url_dedup": "dedup",
 }
 
 

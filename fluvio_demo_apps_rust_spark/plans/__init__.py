@@ -15,96 +15,88 @@ from . import llm  # noqa: F401
 from . import advanced  # noqa: F401
 from . import mining  # noqa: F401
 
-# Driver-sampling rotation — ROUND 7 ACTIVE. The correctness driver
+# Driver-sampling rotation — ROUND 8 ACTIVE. The correctness driver
 # samples the FIRST ~50 registered queries; rounds 1-3 sampled the
 # relational/events/cdc prefix, r4 the llm/mining/sketch rotation,
 # r5 the staged never-sampled set, r6 the never-driver-green 14 plus
-# plan-changed re-confirmations (50/50 green — every registered query
-# has now been driver-green at least once). This head is VERDICT r6
-# task #1: the 41 queries last driver-sampled in rounds 1-3, whose
-# shared kernels (apply update-run coalescing, codec, text helpers)
-# changed under them since their last green row — followed by NEW
-# round-7 queries (_FORWARD), then plan-changed / top-risk r6
-# re-confirmations as fill.
+# plan-changed re-confirmations, r7 the 41 r1-3-stale names plus
+# plan-changed fills (50/50 green). This head is VERDICT r7 task #1:
+# the new-this-round llm_url_dedup first, then the 49 queries last
+# driver-sampled in round 4 (the llm/mining/ANN/sketch family), whose
+# shared kernels (codec b64_nochunk, text helpers, plan caps) changed
+# under them since — 1 + 49 = the 50-query sample EXACTLY, so nothing
+# is displaced past the boundary (r7 ADVICE head-arithmetic nit).
+# Further round-8 queries land in _FORWARD (positions 51+): locally
+# gated this round, rotated into the head next round.
 _PRIORITY: tuple[str, ...] = (
-    # the 41 stale names (last sampled r1-r3) — MUST be sampled
-    "q01_pricing_summary",
-    "q03_top_revenue_orders",
-    "q04_semi_join",
-    "q06_revenue_delta",
-    "q07_anti_join",
-    "q08_left_join_agg",
-    "q09_having",
-    "q10_set_ops",
-    "q11_topk_per_group",
-    "q12_running_total",
-    "q13_lag_gap",
-    "q14_rollup",
-    "q15_cube",
-    "q16_grouping_sets",
-    "q17_global_topk",
-    "q18_distinct_count",
-    "q19_scalar_funcs",
-    "q20_case_agg",
-    "q22_order_lineitem_stats",
-    "q23_datetime_funcs",
-    "q30_events_tumbling",
-    "q31_events_sliding",
-    "q32_events_session",
-    "q33_events_dedup",
-    "q34_events_json_props",
-    "q35_events_rate",
-    "q36_events_gapfill",
-    "q37_stream_windowed",
-    "q38_stream_dedup",
-    "q39_stream_late_data",
-    "q71_events_funnel",
-    "q72_events_cohort",
-    "q73_stream_session",
-    "q74_stream_stateful",
-    "q75_events_anomaly",
-    "q76_events_transitions",
-    "q78_trajectory_similarity",
-    "cdc_replica_join",
-    "cdc_scd2_asof",
-    "cdc_stream_stats",
-    "llm_dedup_exact",
-    # plan-changed this round (source-overlap cap, bigram-lm constant,
-    # q97 floor-div, typed-replay GEOMETRY) + top-risk r6 kernels
-    "llm_source_overlap",
-    "llm_bigram_lm",
-    "q97_rolling_distinct",
-    "cdc_binlog_typed_replay",
-    "q94_sessionization",
-    "llm_substring_dedup",
-    "llm_incremental_minhash",
-    "llm_simhash",
-    "llm_multimodal_dedup_clusters",
+    # new this round — must get a driver row in its landing round
+    "llm_url_dedup",
+    # the 49 stale names (last sampled r4) — MUST be sampled
+    "cdc_binlog_replay",
+    "llm_ann_ivf",
+    "llm_ann_ivf_pq",
+    "llm_ann_lsh",
+    "llm_ann_pq",
+    "llm_ann_pq_recall",
+    "llm_ann_recall",
+    "llm_ann_topk",
+    "llm_bm25_topk",
+    "llm_bpe_merge_counts",
+    "llm_c4_clean",
+    "llm_chunk_dedup",
+    "llm_containment_dedup",
+    "llm_contamination",
+    "llm_countmin_heavyhitters",
+    "llm_curation_pipeline",
+    "llm_dedup_clusters",
+    "llm_dedup_fuzzy_verify",
+    "llm_dedup_ngram_jaccard",
+    "llm_doc_chunking",
+    "llm_doc_repetition",
+    "llm_domain_mixture",
+    "llm_dsir_importance",
+    "llm_embedding_neardup",
+    "llm_fingerprint",
+    "llm_gopher_rules",
+    "llm_incremental_dedup",
+    "llm_kmeans",
+    "llm_langid",
+    "llm_line_boilerplate",
+    "llm_minhash_jaccard_est",
+    "llm_minhash_lsh_pairs",
+    "llm_minhash_signature",
+    "llm_pii_scrub",
+    "llm_pretrain_prep",
+    "llm_semdedup",
+    "llm_sequence_pack",
+    "llm_simhash_pairs",
+    "llm_stratified_sample",
+    "llm_surprise_buckets",
+    "llm_text_quality",
+    "llm_tfidf_topterms",
+    "llm_token_stats",
+    "llm_unigram_surprise",
+    "q70_stream_interval_join",
+    "q77_ts_similarity",
+    "q82_kmv_distinct",
+    "q87_ams_join_size",
+    "q88_kmv_setops",
 )
 
-# Names of queries EXPECTED to be registered later this round (the
-# driver may snapshot the registry at round start, but if it samples
-# after they land they should sort ahead of already-green names).
+# Names of queries EXPECTED to be registered later this round. They
+# sort directly AFTER the mandatory 50-name head (not inside it), so
+# they cannot displace a stale name past the sample boundary; they get
+# the full local gate this round and rotate into the head next round.
 # Unlike _PRIORITY, missing names here are skipped, not fatal.
-_FORWARD: tuple[str, ...] = (
-    "cdc_binlog_geometry",
-    "llm_crossdedup_transfer",
-    "llm_minhash_ann_hybrid",
-    "q100_stream_chained_agg",
-    "llm_rouge_overlap",
-    "llm_udf_tokenize_arrow",
-    "llm_langid_confusion",
-    "llm_quality_ablation",
-    "llm_dedup_audit",
-)
+_FORWARD: tuple[str, ...] = ()
 
 
 def _rotate_registry() -> None:
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     if missing:  # fail loudly: a typo here silently demotes a query
         raise ValueError(f"_PRIORITY names not in REGISTRY: {missing}")
-    head = [n for n in _PRIORITY[:41]] + [n for n in _FORWARD if n in REGISTRY]
-    head += [n for n in _PRIORITY[41:] if n not in head]
+    head = list(dict.fromkeys(_PRIORITY))
+    head += [n for n in _FORWARD if n in REGISTRY and n not in head]
     prioritized = set(head)
     ordered = head + [n for n in REGISTRY if n not in prioritized]
     snapshot = {n: REGISTRY[n] for n in ordered}

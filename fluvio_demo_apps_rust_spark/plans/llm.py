@@ -3197,3 +3197,54 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring). Model aggregates are vocabulary-sized, the score join
     is (u,v)-keyed, no window — linear in token volume."""
     return TX.bigram_surprise(load(spark, sf_dir, "documents"))
+
+
+from ..functions import web as W  # noqa: E402  (registration-order: round-8 block)
+
+_URL_CANON_CTE = W.ORACLE_CANONICALIZE.format(url=f"({W.ORACLE_SYNTH_URL})")
+
+
+@register(
+    "llm_url_dedup",
+    headline=True,
+    tags=("llm", "dedup", "web"),
+    oracle=f"""
+WITH canon AS (
+{_URL_CANON_CTE}
+)
+SELECT canonical_url,
+       regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+       CAST(count(*) AS BIGINT) AS cnt,
+       min(doc_id) AS keep_id
+FROM canon
+GROUP BY canonical_url, host
+""",
+)
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/host-canonicalization dedup — the standard FIRST stage of a
+    web-crawl training-data pipeline (before any content hashing):
+    lowercase scheme+host, strip the default port, drop fragments and
+    tracking params (utm_*/ref/fbclid/gclid), sort surviving params,
+    then exact-dup on the canonical URL with per-host provenance.
+    Everything up to the groupBy is row-local whole-stage-codegen
+    string expressions; the ONE shuffle is on the canonical URL — at
+    100 TB this is a plain hash-aggregate with map-side combine, no
+    window, no join. The testdata has no URL column, so a
+    deterministic messy URL is derived per row (functions/web.py
+    synth_url) identically on both engines; the canonicalizer is the
+    logic under the hash gate."""
+    docs = load(spark, sf_dir, "documents")
+    url = W.synth_url(F.col("doc_id"), F.col("source"))
+    canon = docs.select(
+        F.col("doc_id"), W.canonicalize_url(url).alias("canonical_url")
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("keep_id"))
+        .select(
+            "canonical_url",
+            W.url_host(F.col("canonical_url")).alias("host"),
+            "cnt",
+            "keep_id",
+        )
+    )
