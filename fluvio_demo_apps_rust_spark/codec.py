@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 from .schemas import CHANGE_EVENT_SCHEMA, ROW_IMAGE_SCHEMA, value_to_canonical
 
 _FIELDS = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
+ROW_IMAGE_SCHEMA_ARRAY = T.ArrayType(ROW_IMAGE_SCHEMA)
 
 
 def b64_nochunk(col: F.Column) -> F.Column:
@@ -53,7 +54,6 @@ def b64_nochunk(col: F.Column) -> F.Column:
     cdc_binlog_geometry; pinned by test_codec_property's >57-byte
     blobs)."""
     return F.regexp_replace(F.base64(col), "[\\r\\n]", "")
-ROW_IMAGE_SCHEMA_ARRAY = T.ArrayType(ROW_IMAGE_SCHEMA)
 
 
 def parse_uri(uri: str) -> tuple[str | None, str | None, str | None]:

@@ -243,8 +243,12 @@ class BinlogWriter:
                 elif tag == "json":
                     blob = _enc_jsonb(v[1])
                     payload += struct.pack("<I", len(blob)) + blob
-                elif tag == "geom":  # 4-byte length prefix, SRID+WKB body
-                    payload += struct.pack("<I", len(v[1])) + v[1]
+                elif tag == "geom":
+                    # length prefix (width = table_map meta, default 4)
+                    # + SRID+WKB body; ('geom', bytes[, width]) lets
+                    # property tests exercise meta widths 1-4
+                    width = v[2] if len(v) > 2 else 4
+                    payload += len(v[1]).to_bytes(width, "little") + v[1]
                 else:
                     raise ValueError(f"unknown row-value tag {tag!r}")
             else:

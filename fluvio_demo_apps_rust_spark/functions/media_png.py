@@ -34,6 +34,28 @@ except ImportError:
     _HAS_PIL = False
 
 
+class UnsupportedImageFormatError(ValueError):
+    """A known non-PNG image format reached the stdlib-only decoder.
+
+    Raised INSTEAD of a confusing "bad PNG signature" error so a mixed
+    JPEG/WebP/GIF corpus fails loudly with the actual format named and
+    the remedy stated (install Pillow on the executors), never silently
+    mis-parsed as PNG."""
+
+
+def sniff_image_format(data: bytes) -> str:
+    """Magic-byte sniff: 'png' | 'jpeg' | 'webp' | 'gif' | 'unknown'."""
+    if data[:8] == _SIG:
+        return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    return "unknown"
+
+
 def decode_png_auto(data: bytes) -> "np.ndarray":
     """Capability-gated pixel decode: PIL (native zlib/libpng — GB/s
     class) when importable, else :func:`decode_png` (pure-Python
@@ -49,12 +71,28 @@ def decode_png_auto(data: bytes) -> "np.ndarray":
     the same plan runs at native speed with zero query changes.
     Encoding stays on :func:`encode_png` everywhere bytes feed hashes
     or oracles: encoder output is NOT canonical across libraries, and
-    fixture blobs must stay bit-deterministic."""
+    fixture blobs must stay bit-deterministic.
+
+    Sniff-dispatch (r8): the magic bytes are checked FIRST, so a mixed
+    JPEG/WebP/GIF corpus never silently assumes PNG — non-PNG formats
+    decode via PIL when importable and raise
+    :class:`UnsupportedImageFormatError` (naming the sniffed format)
+    otherwise; unknown magic raises ValueError either way."""
+    fmt = sniff_image_format(data)
+    if fmt == "unknown":
+        raise ValueError(
+            f"unrecognized image magic bytes {data[:8].hex()!r} — not PNG/JPEG/WebP/GIF"
+        )
     if _HAS_PIL:
         import io
 
         with _PILImage.open(io.BytesIO(data)) as im:
             return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    if fmt != "png":
+        raise UnsupportedImageFormatError(
+            f"{fmt} blob reached the stdlib-only decoder (PNG-only); "
+            "install Pillow on the executors to decode mixed-format corpora"
+        )
     return decode_png(data)
 
 

@@ -188,3 +188,65 @@ def test_native_decode_matches_stdlib_codec():
         buf = io.BytesIO()
         Image.fromarray(arr, "RGB").save(buf, format="PNG")
         assert (decode_png(buf.getvalue()) == arr).all()
+
+
+# --- r8: magic-byte sniff dispatch (mixed-format corpora) -----------------
+
+
+def test_sniff_image_format():
+    from fluvio_demo_apps_rust_spark.functions.media_png import (
+        encode_png,
+        sniff_image_format,
+    )
+
+    png = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    assert sniff_image_format(png) == "png"
+    assert sniff_image_format(b"\xff\xd8\xff\xe0" + b"\x00" * 16) == "jpeg"
+    assert sniff_image_format(b"RIFF\x10\x00\x00\x00WEBPVP8 ") == "webp"
+    assert sniff_image_format(b"GIF89a" + b"\x00" * 8) == "gif"
+    assert sniff_image_format(b"GIF87a" + b"\x00" * 8) == "gif"
+    assert sniff_image_format(b"\x00\x01\x02\x03\x04\x05\x06\x07") == "unknown"
+    assert sniff_image_format(b"") == "unknown"
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="stdlib-only reject path needs no PIL")
+def test_non_png_rejected_loudly_without_pil():
+    """A JPEG blob must raise the FORMAT-NAMING error, not 'bad PNG
+    signature' — a mixed corpus never silently assumes PNG."""
+    from fluvio_demo_apps_rust_spark.functions.media_png import (
+        UnsupportedImageFormatError,
+        decode_png_auto,
+    )
+
+    jpeg_header = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01" + b"\x00" * 32
+    with pytest.raises(UnsupportedImageFormatError, match="jpeg"):
+        decode_png_auto(jpeg_header)
+    with pytest.raises(UnsupportedImageFormatError, match="webp"):
+        decode_png_auto(b"RIFF\x10\x00\x00\x00WEBPVP8 " + b"\x00" * 8)
+
+
+def test_unknown_magic_rejected_either_way():
+    from fluvio_demo_apps_rust_spark.functions.media_png import decode_png_auto
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_png_auto(b"\x00\x01\x02\x03\x04\x05\x06\x07\x08")
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed in sandbox")
+def test_jpeg_decodes_via_pil_dispatch():
+    """With PIL present, a real JPEG round-trips through the same
+    decode_png_auto entry point a mixed corpus would hit."""
+    import io
+
+    from PIL import Image
+
+    from fluvio_demo_apps_rust_spark.functions.media_png import decode_png_auto
+
+    arr = (np.indices((16, 16)).sum(axis=0) % 256).astype(np.uint8)
+    rgb = np.stack([arr, arr, arr], axis=-1)
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="JPEG", quality=95)
+    out = decode_png_auto(buf.getvalue())
+    assert out.shape == (16, 16, 3) and out.dtype == np.uint8
+    # JPEG is lossy: assert closeness, not identity
+    assert np.abs(out.astype(int) - rgb.astype(int)).mean() < 8
