@@ -88,7 +88,16 @@ _PRIORITY: tuple[str, ...] = (
 # they cannot displace a stale name past the sample boundary; they get
 # the full local gate this round and rotate into the head next round.
 # Unlike _PRIORITY, missing names here are skipped, not fatal.
-_FORWARD: tuple[str, ...] = ()
+_FORWARD: tuple[str, ...] = (
+    "llm_langid_confusion",
+    "llm_dedup_audit",
+    "llm_quality_ablation",
+    "llm_rouge_overlap",
+    "llm_crossdedup_transfer",
+    "llm_udf_tokenize_arrow",
+    "llm_minhash_ann_hybrid",
+    "q100_stream_chained_agg",
+)
 
 
 def _rotate_registry() -> None:

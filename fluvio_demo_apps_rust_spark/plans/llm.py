@@ -3257,3 +3257,280 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep_id",
         )
     )
+
+
+_LANGID_CTE = f"""
+t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+h AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, t -> t IN ('the','a','and','of','to')))        AS en_hits,
+         len(list_filter(toks, t -> t IN ('der','und','die','das','nicht')))  AS de_hits,
+         len(list_filter(toks, t -> t IN ('le','la','et','les','des')))       AS fr_hits,
+         len(list_filter(toks, t -> t IN ('el','los','las','una','por')))     AS es_hits,
+         len(list_filter(toks, t -> t IN ('de5','shi4','bu4','le5','wo3')))   AS zh_hits
+  FROM t),
+p AS (
+  SELECT doc_id, lang,
+         CASE WHEN en_hits >= greatest(de_hits, fr_hits, es_hits, zh_hits) THEN 'en'
+              WHEN de_hits >= greatest(fr_hits, es_hits, zh_hits) THEN 'de'
+              WHEN fr_hits >= greatest(es_hits, zh_hits) THEN 'fr'
+              WHEN es_hits >= zh_hits THEN 'es'
+              ELSE 'zh' END AS pred_lang
+  FROM h)
+"""
+
+
+@register(
+    "llm_langid_confusion",
+    tags=("llm", "text", "langid", "eval"),
+    oracle=f"""
+WITH {_LANGID_CTE},
+cm AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2)
+SELECT lang, pred_lang, n,
+       floor(n::DOUBLE / (sum(n) OVER (PARTITION BY lang))::DOUBLE * 1000000 + 0.5)
+           / 1000000.0 AS recall_frac,
+       floor(n::DOUBLE / (sum(n) OVER (PARTITION BY pred_lang))::DOUBLE * 1000000 + 0.5)
+           / 1000000.0 AS precision_frac
+FROM cm
+""",
+)
+def llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the EVALUATION face of llm_langid:
+    declared corpus `lang` (truth) x stopword-marker prediction, with
+    per-cell recall (n / truth-row total) and precision (n / predicted-
+    column total). The operator a curation pipeline runs before
+    trusting a cheap classifier to route 100 TB: which language pairs
+    does the heuristic confuse, and at what rate?
+
+    100 TB shape: the per-doc prediction is row-local codegen (five
+    filter-count expressions); the confusion matrix is ONE hash
+    aggregate keyed (lang, pred_lang) with map-side combine — at most
+    |langs|^2 rows — and the windows run over that tiny aggregate, not
+    the corpus. Fractions are floor-quantized to 6 dp on both engines
+    (repo round standard)."""
+    d = load(spark, sf_dir, "documents")
+    pred = d.select("lang", *TX.langid_columns()).select("lang", "pred_lang")
+    cm = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    w_truth = Window.partitionBy("lang")
+    w_pred = Window.partitionBy("pred_lang")
+    return cm.select(
+        "lang",
+        "pred_lang",
+        "n",
+        fround(F.col("n").cast("double") / F.sum("n").over(w_truth).cast("double"), 6).alias(
+            "recall_frac"
+        ),
+        fround(F.col("n").cast("double") / F.sum("n").over(w_pred).cast("double"), 6).alias(
+            "precision_frac"
+        ),
+    )
+
+
+@register(
+    "llm_dedup_audit",
+    tags=("llm", "dedup", "audit"),
+    oracle=f"""
+WITH keys AS (
+  SELECT 'exact' AS kind, md5(text) AS k FROM documents
+  UNION ALL
+  SELECT 'norm', md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) FROM documents
+  UNION ALL
+  SELECT 'prefix', md5(substr(text, 1, 200)) FROM documents
+  UNION ALL
+  SELECT 'fp', md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) FROM documents
+),
+c AS (SELECT kind, k, CAST(count(*) AS BIGINT) AS sz FROM keys GROUP BY 1, 2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT kind, sz AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(sz - 1) AS BIGINT) AS dup_docs,
+       floor(sum(sz)::DOUBLE / tot.n::DOUBLE * 1000000 + 0.5) / 1000000.0 AS pct_docs
+FROM c CROSS JOIN tot
+GROUP BY kind, sz, tot.n
+""",
+)
+def llm_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-stage AUDIT — the report a pipeline owner reads before
+    choosing which dedup granularity to deploy: cluster-size histogram
+    at four key granularities (exact text hash, whitespace-normalized
+    hash, 200-char-prefix hash, sorted-distinct-token fingerprint),
+    with docs/dup-docs/corpus share per (kind, size) bucket. Exact and
+    normalized answer "is byte-dedup enough?"; prefix catches
+    truncation/continuation families; the token-set fingerprint is the
+    bag-of-words upper bound on near-dup yield.
+
+    100 TB shape: ONE corpus scan fans out 4 (kind, key) rows per doc
+    via explode (row-local md5s, no UDF), one hash aggregate on
+    (kind, key) with map-side combine, then a second aggregate over
+    the cluster-size table (|kinds| x |sizes| rows) joined to a
+    1-row broadcast total. No window over the corpus, no join of
+    SF-linear tables."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    kinds = F.array(
+        F.struct(F.lit("exact").alias("kind"), F.md5("text").alias("k")),
+        F.struct(
+            F.lit("norm").alias("kind"),
+            F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("k"),
+        ),
+        F.struct(
+            F.lit("prefix").alias("kind"),
+            F.md5(F.substring(F.col("text"), 1, 200)).alias("k"),
+        ),
+        F.struct(
+            F.lit("fp").alias("kind"),
+            F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("k"),
+        ),
+    )
+    keys = d.select(F.explode(kinds).alias("e")).select("e.kind", "e.k")
+    clusters = keys.groupBy("kind", "k").agg(F.count("*").alias("sz"))
+    total = d.count()  # one scalar; cheap count-star scan
+    return (
+        clusters.groupBy("kind", F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+            F.sum(F.col("sz") - F.lit(1)).alias("dup_docs"),
+        )
+        .select(
+            "kind",
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            "dup_docs",
+            fround(F.col("n_docs").cast("double") / F.lit(float(total)), 6).alias("pct_docs"),
+        )
+    )
+
+
+@register(
+    "llm_quality_ablation",
+    tags=("llm", "text", "quality", "eval"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, lang,
+         len(toks) AS n_words,
+         floor((len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+               / len(toks)::DOUBLE) * 10000 + 0.5) / 10000.0 AS stop_ratio,
+         floor((len(list_distinct(toks)) / len(toks)::DOUBLE) * 10000 + 0.5) / 10000.0 AS distinct_ratio,
+         len(list_filter(toks, t -> t IN ('the','a','and','of','to')))        AS en_hits,
+         len(list_filter(toks, t -> t IN ('der','und','die','das','nicht')))  AS de_hits,
+         len(list_filter(toks, t -> t IN ('le','la','et','les','des')))       AS fr_hits,
+         len(list_filter(toks, t -> t IN ('el','los','las','una','por')))     AS es_hits,
+         len(list_filter(toks, t -> t IN ('de5','shi4','bu4','le5','wo3')))   AS zh_hits
+  FROM t),
+flags AS (
+  SELECT doc_id,
+         n_words >= 40 AS f_len,
+         stop_ratio >= 0.05 AS f_stop,
+         distinct_ratio >= 0.45 AS f_distinct,
+         (CASE WHEN en_hits >= greatest(de_hits, fr_hits, es_hits, zh_hits) THEN 'en'
+               WHEN de_hits >= greatest(fr_hits, es_hits, zh_hits) THEN 'de'
+               WHEN fr_hits >= greatest(es_hits, zh_hits) THEN 'fr'
+               WHEN es_hits >= zh_hits THEN 'es'
+               ELSE 'zh' END) = lang AS f_langid
+  FROM m),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS p_len,
+         CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS p_stop,
+         CAST(sum(CASE WHEN f_distinct THEN 1 ELSE 0 END) AS BIGINT) AS p_distinct,
+         CAST(sum(CASE WHEN f_langid THEN 1 ELSE 0 END) AS BIGINT) AS p_langid,
+         CAST(sum(CASE WHEN NOT f_len AND f_stop AND f_distinct AND f_langid THEN 1 ELSE 0 END) AS BIGINT) AS u_len,
+         CAST(sum(CASE WHEN f_len AND NOT f_stop AND f_distinct AND f_langid THEN 1 ELSE 0 END) AS BIGINT) AS u_stop,
+         CAST(sum(CASE WHEN f_len AND f_stop AND NOT f_distinct AND f_langid THEN 1 ELSE 0 END) AS BIGINT) AS u_distinct,
+         CAST(sum(CASE WHEN f_len AND f_stop AND f_distinct AND NOT f_langid THEN 1 ELSE 0 END) AS BIGINT) AS u_langid,
+         CAST(sum(CASE WHEN f_len AND f_stop AND f_distinct AND f_langid THEN 1 ELSE 0 END) AS BIGINT) AS p_all
+  FROM flags)
+SELECT f.filter_name, a.n AS n_docs,
+       CASE f.filter_name WHEN 'len' THEN p_len WHEN 'stop' THEN p_stop
+            WHEN 'distinct' THEN p_distinct WHEN 'langid' THEN p_langid
+            ELSE p_all END AS n_pass,
+       floor(CASE f.filter_name WHEN 'len' THEN p_len WHEN 'stop' THEN p_stop
+                  WHEN 'distinct' THEN p_distinct WHEN 'langid' THEN p_langid
+                  ELSE p_all END::DOUBLE / a.n::DOUBLE * 1000000 + 0.5) / 1000000.0 AS pass_frac,
+       CASE f.filter_name WHEN 'len' THEN u_len WHEN 'stop' THEN u_stop
+            WHEN 'distinct' THEN u_distinct WHEN 'langid' THEN u_langid
+            ELSE CAST(0 AS BIGINT) END AS unique_kills
+FROM a CROSS JOIN (
+  SELECT unnest(['len','stop','distinct','langid','ALL']) AS filter_name) f
+""",
+)
+def llm_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ABLATION — the readout that decides a curation
+    stack: per filter (length floor n_words >= 40, stopword-density
+    floor stop_ratio >= 0.05 "is it prose", lexical-diversity floor
+    distinct_ratio >= 0.45 "not repetition spam", langid-agrees-with-
+    declared-lang), how many docs pass, the pass fraction, and the
+    filter's UNIQUE KILLS (docs it alone rejects while the other three
+    pass) — plus the ALL row (conjunction survivors). High unique
+    kills = the filter carries independent signal; near-zero =
+    redundant at this corpus mix. Thresholds sit at this corpus's
+    quartiles so every filter discriminates (the composite
+    Gopher/C4 gates from llm_gopher_rules/llm_c4_clean pass nothing
+    on the short single-line synthetic docs — their per-doc metric
+    faces stay the standalone queries).
+
+    100 TB shape: every flag is a row-local codegen predicate (the
+    frounded ratios shared with llm_text_quality, independently
+    hash-green), computed in ONE corpus scan; the ablation is a single
+    global aggregate (map-side partial, 1 row) exploded into 5 labeled
+    rows. No join, no window, no second scan."""
+    d = load(spark, sf_dir, "documents")
+    q = TX.quality_columns()  # n_tokens, distinct_ratio, stop_ratio, ...
+    flags = d.select(
+        (q[0] >= 40).alias("f_len"),
+        (q[2] >= 0.05).alias("f_stop"),
+        (q[1] >= 0.45).alias("f_distinct"),
+        (TX.langid_columns()[-1] == F.col("lang")).alias("f_langid"),
+    )
+    i = lambda c: F.col(c).cast("long")  # noqa: E731
+    agg = flags.agg(
+        F.count("*").alias("n"),
+        F.sum(i("f_len")).alias("p_len"),
+        F.sum(i("f_stop")).alias("p_stop"),
+        F.sum(i("f_distinct")).alias("p_distinct"),
+        F.sum(i("f_langid")).alias("p_langid"),
+        F.sum((~F.col("f_len") & F.col("f_stop") & F.col("f_distinct") & F.col("f_langid")).cast("long")).alias("u_len"),
+        F.sum((F.col("f_len") & ~F.col("f_stop") & F.col("f_distinct") & F.col("f_langid")).cast("long")).alias("u_stop"),
+        F.sum((F.col("f_len") & F.col("f_stop") & ~F.col("f_distinct") & F.col("f_langid")).cast("long")).alias("u_distinct"),
+        F.sum((F.col("f_len") & F.col("f_stop") & F.col("f_distinct") & ~F.col("f_langid")).cast("long")).alias("u_langid"),
+        F.sum((F.col("f_len") & F.col("f_stop") & F.col("f_distinct") & F.col("f_langid")).cast("long")).alias("p_all"),
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("filter_name"),
+                        F.col("n").alias("n_docs"),
+                        F.col(p).alias("n_pass"),
+                        F.col(u).cast("long").alias("unique_kills"),
+                    )
+                    for name, p, u in [
+                        ("len", "p_len", "u_len"),
+                        ("stop", "p_stop", "u_stop"),
+                        ("distinct", "p_distinct", "u_distinct"),
+                        ("langid", "p_langid", "u_langid"),
+                    ]
+                ],
+                F.struct(
+                    F.lit("ALL").alias("filter_name"),
+                    F.col("n").alias("n_docs"),
+                    F.col("p_all").alias("n_pass"),
+                    F.lit(0).cast("long").alias("unique_kills"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.filter_name", "e.n_docs", "e.n_pass", "e.unique_kills")
+    return rows.select(
+        "filter_name",
+        "n_docs",
+        "n_pass",
+        fround(F.col("n_pass").cast("double") / F.col("n_docs").cast("double"), 6).alias(
+            "pass_frac"
+        ),
+        "unique_kills",
+    )
