@@ -1275,3 +1275,105 @@ def q99_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT imp_id, click_id, user_id, delta_min FROM {name} "
         f"WHERE imp_id < 1000"
     )
+
+
+@register(
+    "q100_stream_chained_agg",
+    tags=("events", "streaming", "watermark", "chained"),
+    # Two CHAINED stateful aggregations in one streaming query
+    # (SPARK-40925 multiple-stateful-operator support): per-window
+    # per-user counts, then per-window user-distribution stats. The
+    # deterministic fixture makes append-mode emission expressible as
+    # batch SQL: both stages finalize on the same watermark boundary,
+    # so the oracle is the two-level GROUP BY over windows whose end
+    # <= max event time - 30 min.
+    oracle="""
+WITH raw AS (SELECT unnest(generate_series(0, 199)) AS i),
+e AS (SELECT TIMESTAMP '2024-01-01 00:00:00'
+             + (i // 50) * INTERVAL '1 hour'
+             + (i % 50) * INTERVAL '1 minute' AS ts,
+             CAST(i % 7 AS BIGINT) AS user_id,
+             CAST(i % 5 AS DOUBLE) AS value
+      FROM raw),
+wm AS (SELECT max(ts) - INTERVAL '30 minutes' AS w FROM e),
+lvl1 AS (
+  SELECT date_trunc('hour', ts) AS ws, user_id,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM e, wm
+  WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= w
+  GROUP BY 1, 2)
+SELECT CAST(ws AS VARCHAR) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cnt) AS BIGINT) AS total_events,
+       max(cnt) AS max_user_events,
+       CAST(sum(cents) AS BIGINT) / 100.0 AS total_value
+FROM lvl1
+GROUP BY ws
+""",
+)
+def q100_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming aggregations — the multi-stage
+    streaming topology (SPARK-40925, Spark 3.4+): stage 1 aggregates
+    per (1-hour window, user) counts/cents under a 30-min watermark;
+    stage 2 re-aggregates the FINALIZED windows into per-window user
+    distribution stats (n_users, total/max events, exact-cents total)
+    — all inside ONE streaming query, no intermediate sink. Append
+    mode emits a stage-2 row only when the shared watermark finalizes
+    the window on both levels; the oracle is the equivalent batch
+    two-level GROUP BY with the same max-ts - 30 min cutoff.
+
+    100 TB shape: stage 1 state is (window, user) keyed and evicted on
+    watermark; stage 2 state is per-window (|users| smaller). This is
+    the pattern that replaces the classic 'stream -> kafka -> second
+    job' hop at scale."""
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from ..streaming.analytics import read_event_stream
+
+    src = Path(tempfile.mkdtemp(prefix="q100_stream_"))
+    lines = []
+    for i in range(200):
+        h, m = divmod(i, 50)
+        lines.append(
+            f'{{"event_id": {i}, "ts": "2024-01-01 0{h}:{m % 60:02d}:00", '
+            f'"user_id": {i % 7}, "event_type": "t{i % 3}", "value": {i % 5}.0}}'
+        )
+    (src / "events.jsonl").write_text("\n".join(lines) + "\n")
+    lvl1 = (
+        read_event_stream(spark, str(src))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+        )
+    )
+    lvl2 = lvl1.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cnt").alias("total_events"),
+        F.max("cnt").alias("max_user_events"),
+        (F.sum("cents") / 100.0).alias("total_value"),
+    )
+    name = "q100_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        lvl2.select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "n_users",
+            "total_events",
+            "max_user_events",
+            "total_value",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT window_start, n_users, total_events, max_user_events, total_value "
+        f"FROM {name}"
+    )

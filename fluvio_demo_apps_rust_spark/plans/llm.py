@@ -3534,3 +3534,316 @@ def llm_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "unique_kills",
     )
+
+
+@register(
+    "llm_rouge_overlap",
+    tags=("llm", "dedup", "eval", "rouge"),
+    oracle=f"""
+WITH {_MINHASH_CTE},
+buckets AS (
+  SELECT doc_id, j % 4 AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY j)) AS bucket
+  FROM mh GROUP BY doc_id, band),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id),
+tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)]) AS g
+  FROM tk WHERE len(t) >= 2),
+bgc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2),
+sz AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bg FROM bgc GROUP BY 1),
+clip AS (
+  SELECT p.a, p.b, CAST(sum(least(ga.cnt, gb.cnt)) AS BIGINT) AS clip
+  FROM pairs p
+  JOIN bgc ga ON ga.doc_id = p.a
+  JOIN bgc gb ON gb.doc_id = p.b AND gb.g = ga.g
+  GROUP BY 1, 2),
+scored AS (
+  SELECT p.a, p.b,
+         coalesce(c.clip, 0) AS clip,
+         za.n_bg AS n_bg_a, zb.n_bg AS n_bg_b,
+         CASE WHEN coalesce(c.clip, 0) = 0 THEN 0.0
+              ELSE coalesce(c.clip, 0)::DOUBLE / za.n_bg::DOUBLE END AS prec,
+         CASE WHEN coalesce(c.clip, 0) = 0 THEN 0.0
+              ELSE coalesce(c.clip, 0)::DOUBLE / zb.n_bg::DOUBLE END AS rec
+  FROM pairs p
+  LEFT JOIN clip c ON c.a = p.a AND c.b = p.b
+  JOIN sz za ON za.doc_id = p.a
+  JOIN sz zb ON zb.doc_id = p.b)
+SELECT a, b, clip, n_bg_a, n_bg_b,
+       floor(prec * 1000000 + 0.5) / 1000000.0 AS rouge2_precision,
+       floor(rec * 1000000 + 0.5) / 1000000.0 AS rouge2_recall,
+       floor(CASE WHEN prec + rec = 0 THEN 0.0
+                  ELSE 2.0 * prec * rec / (prec + rec) END * 1000000 + 0.5)
+           / 1000000.0 AS rouge2_f1
+FROM scored
+""",
+)
+def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 overlap scoring of MinHash-LSH candidate pairs — the
+    contamination-measurement verifier: where llm_dedup_fuzzy_verify
+    answers "same document?" with set Jaccard, ROUGE-2's CLIPPED
+    bigram counts (multiplicity-aware precision/recall/F1, Lin 2004)
+    answer "how much of B is quoted inside A?" — the metric
+    benchmark-decontamination pipelines threshold on.
+
+    100 TB shape: candidate pairs come from the SAME banded LSH
+    equi-join as llm_minhash_lsh_pairs (never all-pairs); bigram
+    multisets are one explode + (doc,gram) aggregate; the clip is a
+    gram-keyed join restricted to candidate docs (pair-linear, not
+    corpus-quadratic). Precision/recall are exact integer ratios so
+    both engines divide identical doubles; F1 is derived from those
+    and floor-quantized at 6 dp."""
+    d = load(spark, sf_dir, "documents")
+    pairs = X.lsh_candidate_pairs(X.lsh_band_buckets_wide(X.minhash_wide(d), bands=4))
+    bgc = (
+        d.select(F.col("doc_id"), F.explode(TX.word_ngrams("text", 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sz = bgc.groupBy("doc_id").agg(F.sum("cnt").alias("n_bg"))
+    ga = bgc.select(F.col("doc_id").alias("a"), "g", F.col("cnt").alias("cnt_a"))
+    gb = bgc.select(F.col("doc_id").alias("b"), "g", F.col("cnt").alias("cnt_b"))
+    clip = (
+        pairs.join(ga, "a")
+        .join(gb, ["b", "g"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.least("cnt_a", "cnt_b")).alias("clip"))
+    )
+    za = sz.select(F.col("doc_id").alias("a"), F.col("n_bg").alias("n_bg_a"))
+    zb = sz.select(F.col("doc_id").alias("b"), F.col("n_bg").alias("n_bg_b"))
+    scored = (
+        pairs.join(clip, ["a", "b"], "left")
+        .join(za, "a")
+        .join(zb, "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("clip"), F.lit(0)).cast("long").alias("clip"),
+            "n_bg_a",
+            "n_bg_b",
+        )
+        .withColumn(
+            "prec",
+            F.when(F.col("clip") == 0, F.lit(0.0)).otherwise(
+                F.col("clip").cast("double") / F.col("n_bg_a").cast("double")
+            ),
+        )
+        .withColumn(
+            "rec",
+            F.when(F.col("clip") == 0, F.lit(0.0)).otherwise(
+                F.col("clip").cast("double") / F.col("n_bg_b").cast("double")
+            ),
+        )
+    )
+    return scored.select(
+        "a",
+        "b",
+        "clip",
+        "n_bg_a",
+        "n_bg_b",
+        fround(F.col("prec"), 6).alias("rouge2_precision"),
+        fround(F.col("rec"), 6).alias("rouge2_recall"),
+        fround(
+            F.when(F.col("prec") + F.col("rec") == 0, F.lit(0.0)).otherwise(
+                2.0 * F.col("prec") * F.col("rec") / (F.col("prec") + F.col("rec"))
+            ),
+            6,
+        ).alias("rouge2_f1"),
+    )
+
+
+@register(
+    "llm_crossdedup_transfer",
+    tags=("llm", "dedup", "provenance", "minhash"),
+    oracle=f"""
+WITH {_MINHASH_CTE},
+buckets AS (
+  SELECT doc_id, j % 4 AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY j)) AS bucket
+  FROM mh GROUP BY doc_id, band),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id),
+lab AS (
+  SELECT p.a, p.b, da.source AS sa, db.source AS sb
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.a
+  JOIN documents db ON db.doc_id = p.b
+  WHERE da.source <> db.source)
+SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT CASE WHEN sa < sb THEN a ELSE b END) AS BIGINT) AS n_docs_a,
+       CAST(count(DISTINCT CASE WHEN sa < sb THEN b ELSE a END) AS BIGINT) AS n_docs_b,
+       min(a) AS example_a, min(b) AS example_b
+FROM lab
+GROUP BY 1, 2
+""",
+)
+def llm_crossdedup_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup TRANSFER matrix — the document-level
+    complement to llm_source_overlap's shingle-level matrix: of the
+    MinHash-LSH candidate near-dup pairs, which ones CROSS a source
+    boundary, aggregated per (source, source) cell with distinct doc
+    counts per side and example pair ids. This is the evidence table
+    behind "drop source B, it's a re-crawl of A" and behind
+    cross-corpus decontamination (a near-dup in both a train source
+    and an eval source transfers leakage llm_contamination's exact
+    grams can miss).
+
+    100 TB shape: pairs come from the banded LSH equi-join (linear in
+    bucket occupancy, never all-pairs); the two doc_id->source lookups
+    are hash joins on the pair ids; the output aggregate is at most
+    |sources|^2 rows. No window over the corpus, no cartesian."""
+    d = load(spark, sf_dir, "documents")
+    pairs = X.lsh_candidate_pairs(X.lsh_band_buckets_wide(X.minhash_wide(d), bands=4))
+    src = d.select("doc_id", "source")
+    lab = (
+        pairs.join(src.select(F.col("doc_id").alias("a"), F.col("source").alias("sa")), "a")
+        .join(src.select(F.col("doc_id").alias("b"), F.col("source").alias("sb")), "b")
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    return (
+        lab.groupBy(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct(
+                F.when(F.col("sa") < F.col("sb"), F.col("a")).otherwise(F.col("b"))
+            ).alias("n_docs_a"),
+            F.countDistinct(
+                F.when(F.col("sa") < F.col("sb"), F.col("b")).otherwise(F.col("a"))
+            ).alias("n_docs_b"),
+            F.min("a").alias("example_a"),
+            F.min("b").alias("example_b"),
+        )
+    )
+
+
+@register(
+    "llm_minhash_ann_hybrid",
+    tags=("llm", "dedup", "minhash", "embedding", "hybrid"),
+    oracle=f"""
+WITH {_MINHASH_CTE},
+buckets AS (
+  SELECT doc_id, j % 4 AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY j)) AS bucket
+  FROM mh GROUP BY doc_id, band),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id),
+n AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM embeddings)
+SELECT p.a, p.b,
+       floor(({_dot_sql('x.embedding', 'y.embedding')} / (x.nrm * y.nrm)) * 1000000 + 0.5)
+           / 1000000.0 AS cos_sim,
+       floor(({_dot_sql('x.embedding', 'y.embedding')} / (x.nrm * y.nrm)) * 1000000 + 0.5)
+           / 1000000.0 >= 0.2 AS semantic_dup
+FROM pairs p JOIN n x ON x.vec_id = p.a JOIN n y ON y.vec_id = p.b
+""",
+)
+def llm_minhash_ann_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid text+vector near-dup: MinHash-LSH PROPOSES (lexical
+    banding over token shingles — cheap, high recall on verbatim and
+    near-verbatim copies), embedding cosine DISPOSES (the semantic
+    verdict SemDeDup thresholds on). Candidates that band together
+    lexically but score low cosine are template/boilerplate
+    collisions; high-cosine survivors are true near-dups. This closes
+    the loop between the two dedup modalities the surface already has
+    (llm_minhash_lsh_pairs, llm_embedding_neardup) the way production
+    pipelines actually compose them.
+
+    100 TB shape: the pair set is the banded LSH equi-join (linear in
+    bucket occupancy); embeddings join by id (hash joins on pair
+    endpoints, no vector shuffle beyond the pair rows); each pair
+    costs one 64-term dot. Norms are computed once per vector, not
+    per pair. Cosine is the same left-to-right fold both engines run
+    (identical doubles), floor-quantized at 6 dp BEFORE the
+    threshold compare so the boolean can't straddle."""
+    d = load(spark, sf_dir, "documents")
+    pairs = X.lsh_candidate_pairs(X.lsh_band_buckets_wide(X.minhash_wide(d), bands=4))
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", S.norm("embedding").alias("nrm")
+    )
+    ea = e.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
+    )
+    eb = e.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb_")
+    )
+    scored = (
+        pairs.join(ea, "a")
+        .join(eb, "b")
+        .select(
+            "a",
+            "b",
+            fround(S.dot("va", "vb") / (F.col("na") * F.col("nb_")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.select("a", "b", "cos_sim", (F.col("cos_sim") >= 0.2).alias("semantic_dup"))
+
+
+@register(
+    "llm_udf_tokenize_arrow",
+    tags=("llm", "text", "tokenize", "arrow"),
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+       len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS n_distinct,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       floor(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::DOUBLE
+             / strlen(text)::DOUBLE * 100.0 * 10000 + 0.5) / 10000.0 AS tokens_per_100b
+FROM documents
+""",
+)
+def llm_udf_tokenize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched TOKENIZER harness — the plumbing a real BPE/
+    SentencePiece tokenizer (a Python library, unavoidable at training
+    time) runs through at 100 TB: ``mapInPandas`` over Arrow batches,
+    one vectorized pass per batch, emitting per-doc token statistics.
+    Here the tokenizer is the repo's BPE-ish regex so DuckDB can
+    verify the ENTIRE path hash-exactly (the real tokenizer swaps into
+    the same iterator body with zero plan changes — exactly the
+    decode_png_auto capability-gate pattern).
+
+    100 TB shape: no shuffle at all — a narrow mapInPandas projection
+    after an explicit repartition (testdata parquet is one row group
+    per file; real corpora split by size). Batch-columnar in/out;
+    the only Python loop is pandas' vectorized str.findall. The
+    quantized ratio uses numpy float64 floor — the same binary
+    semantics as both engines' floor."""
+    import pandas as pd  # noqa: F401 (signature clarity)
+
+    def tok(batches):
+        import numpy as np
+        import pandas as pd
+
+        pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+        for pdf in batches:
+            toks = pdf["text"].str.findall(pat)
+            n_tokens = toks.str.len().astype("int64")
+            n_distinct = toks.map(lambda ts: len(set(ts))).astype("int64")
+            n_bytes = pdf["text"].str.encode("utf-8").str.len().astype("int64")
+            ratio = n_tokens.to_numpy(dtype=np.float64) / n_bytes.to_numpy(dtype=np.float64) * 100.0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_tokens": n_tokens,
+                    "n_distinct": n_distinct,
+                    "n_bytes": n_bytes,
+                    "tokens_per_100b": np.floor(ratio * 1e4 + 0.5) / 1e4,
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    return d.mapInPandas(
+        tok,
+        "doc_id bigint, n_tokens bigint, n_distinct bigint, n_bytes bigint, tokens_per_100b double",
+    )
