@@ -267,3 +267,75 @@ def test_interval_join_matches_within_horizon_only(spark, tmp_path):
     q.awaitTermination()
     got = {(r.imp_id, r.click_id) for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert got == {(1, 10)}
+
+
+def _chained_user_stats(events):
+    """The q100 topology: two chained stateful aggregations (window x
+    user counts, then per-window user-distribution stats) in ONE
+    streaming query — SPARK-40925 multiple stateful operators."""
+    lvl1 = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+        )
+    )
+    return (
+        lvl1.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cnt").alias("total_events"),
+            F.max("cnt").alias("max_user_events"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "n_users",
+            "total_events",
+            "max_user_events",
+        )
+    )
+
+
+def test_chained_agg_restart_checkpoint(spark, tmp_path):
+    """Chained stateful aggs survive a checkpoint restart: both levels'
+    state recovers, finalized windows are emitted exactly once, and a
+    late event can neither reopen a finalized window nor leak into
+    level-2 state."""
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+
+    # batch 1: hour-10 activity from two users + a 12:30 event that
+    # pushes the watermark to 12:00, finalizing hour 10 at BOTH levels
+    _write(src, "b1.jsonl", [
+        _ev(1, "2024-01-01 10:05:00", uid=1),
+        _ev(2, "2024-01-01 10:20:00", uid=1),
+        _ev(3, "2024-01-01 10:25:00", uid=2),
+        _ev(4, "2024-01-01 12:30:00", uid=3),
+    ])
+    run_to_parquet(_chained_user_stats(read_event_stream(spark, str(src))), str(out), str(ckpt))
+    rows = {str(r.window_start): r for r in spark.read.parquet(str(out)).collect()}
+    assert rows["2024-01-01 10:00:00"].n_users == 2
+    assert rows["2024-01-01 10:00:00"].total_events == 3
+    assert rows["2024-01-01 10:00:00"].max_user_events == 2
+    assert "2024-01-01 12:00:00" not in rows  # still open at level 1
+
+    # RESTART (same checkpoint): a late hour-10 event (behind the 12:00
+    # watermark -> dropped at level 1, so level 2 must not re-emit) and
+    # a 14:00 event advancing the watermark past 13:00, finalizing the
+    # hour-12 window through both levels.
+    _write(src, "b2.jsonl", [
+        _ev(5, "2024-01-01 10:40:00", uid=9),   # late -> dropped
+        _ev(6, "2024-01-01 14:00:00", uid=4),
+    ])
+    run_to_parquet(_chained_user_stats(read_event_stream(spark, str(src))), str(out), str(ckpt))
+    all_rows = spark.read.parquet(str(out)).collect()
+    per_window = {}
+    for r in all_rows:
+        per_window.setdefault(str(r.window_start), []).append(r)
+    # exactly-once: the finalized hour-10 row was not re-emitted/changed
+    assert len(per_window["2024-01-01 10:00:00"]) == 1
+    assert per_window["2024-01-01 10:00:00"][0].n_users == 2
+    # hour-12 finalized across the restart with only its on-time event
+    assert len(per_window["2024-01-01 12:00:00"]) == 1
+    assert per_window["2024-01-01 12:00:00"][0].n_users == 1
+    assert per_window["2024-01-01 12:00:00"][0].total_events == 1

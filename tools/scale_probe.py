@@ -87,9 +87,37 @@ QUERIES = [
     "llm_incremental_minhash",
     "llm_source_overlap",
     "llm_bigram_lm",
+    # r8 additions: the sf-dependent new queries — URL canonicalize
+    # (all-codegen strings + one hash agg), the 4-granularity dedup
+    # audit (one scan, x4 explode), ROUGE-2 over LSH candidates
+    # (gram-keyed join restricted to pairs — a quadratic fan-out would
+    # show here), the hybrid verify (pair-linear 64-term dots), and the
+    # Arrow tokenizer harness (Python worker round-trip floor).
+    "llm_url_dedup",
+    "llm_dedup_audit",
+    "llm_rouge_overlap",
+    "llm_minhash_ann_hybrid",
+    "llm_udf_tokenize_arrow",
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "docs" / "SCALING.md"
+
+# Emitted verbatim at the end of every regenerated SCALING.md — standing
+# context that must survive re-probes (this file is fully overwritten).
+STANDING_NOTES = """
+## PIL parity test status (r8)
+
+tests/test_media_png.py's `test_native_decode_matches_stdlib_codec`
+and `test_jpeg_decodes_via_pil_dispatch` are skipif-gated on Pillow.
+This build environment's policy FORBIDS package installation (no
+pip/apt — driver brief, environment section), so the attempt the r7
+verdict suggested is policy-blocked, not technically blocked: the
+tests have never executed here and "PIL == stdlib codec" remains
+asserted by construction (identical RGB8 contract) rather than by
+evidence. They are written to run unmodified in any Pillow-equipped
+CI/executor environment; the first such run is the remaining
+verification step for the native-decode 100 TB posture.
+"""
 
 
 def _time_once(spark, name: str, sf_dir: str) -> float:
@@ -140,6 +168,7 @@ def main() -> int:
         f"\nWorst ×10-step growth this run: **{worst:.1f}×** "
         "(≤10 ⇒ no superlinear plan in the probed set)."
     )
+    lines.append(STANDING_NOTES)
     OUT.write_text("\n".join(lines) + "\n")
     print(f"wrote {OUT}")
     return 0
