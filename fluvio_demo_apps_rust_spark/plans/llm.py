@@ -3241,7 +3241,15 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, no join. The testdata has no URL column, so a
     deterministic messy URL is derived per row (functions/web.py
     synth_url) identically on both engines; the canonicalizer is the
-    logic under the hash gate."""
+    logic under the hash gate.
+
+    Plan audit (docs/PLANS.md): the canonicalization chain re-inlines
+    the synth-URL CASE per reference (Catalyst CollapseProject undoes
+    projection LET-splits; HOF bodies skip CSE) — a CONSTANT-factor
+    duplication of row-local string work, not a scaling term: the
+    probe reads x0.9/x1.3 across the x10 steps (docs/SCALING.md). On a
+    real corpus the URL is a stored column, the synth CASE disappears,
+    and the duplication factor drops with it."""
     docs = load(spark, sf_dir, "documents")
     url = W.synth_url(F.col("doc_id"), F.col("source"))
     canon = docs.select(
