@@ -1,0 +1,73 @@
+"""Exact distributed order statistics by histogram narrowing.
+
+Spark's built-in ``percentile`` (q41) is exact but buffers EVERY value
+of the group in executor memory — correct at sf0.1, an OOM at 100 TB.
+The scale-correct exact answer is the classic multi-pass SELECTION
+algorithm: histogram the column into bounded bins, find the bin
+containing the k-th order statistic, recurse into that bin at finer
+granularity, and finish on an exact value-count histogram. Each pass
+is one hash aggregate over a range-FILTERED scan (the bin bounds are
+plain predicates on the raw column, so they push down to parquet);
+driver state is one bounded histogram per pass — never the data.
+
+For 2-dp money columns three passes suffice: 10k-unit bins (≤ ~100
+rows collected), 100-unit bins within the hit bin (≤ 100 rows), then
+exact cent values within a 100-unit range (≤ 10 000 rows, typically
+far fewer). At 100 TB the same code holds — pass count grows with
+value-range/precision, never with row count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _cents(col: Column) -> Column:
+    # exact for 2-dp source columns (repo quantization standard)
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+def selection_kth(df: DataFrame, col: str, k: int) -> float:
+    """Exact k-th smallest (1-based) of a 2-dp double column, by
+    three-pass histogram narrowing. Returns the value as a float with
+    the original 2-dp scale. Raises if k is out of range."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    x = F.col(col)
+    remaining = df.select(x.alias("x")).where(x.isNotNull())
+    target = k
+    # pass levels: bin width in cents (10k units, 100 units), then exact
+    for width in (1_000_000, 10_000):
+        hist = (
+            remaining.groupBy((_cents(F.col("x")) / F.lit(width)).cast("long").alias("b"))
+            .agg(F.count("*").alias("c"))
+            .collect()  # bounded: value-range / width bins, never rows
+        )
+        cum = 0
+        hit = None
+        for r in sorted(hist, key=lambda r: r.b):
+            if cum + r.c >= target:
+                hit = r.b
+                target -= cum
+                break
+            cum += r.c
+        if hit is None:
+            raise ValueError(f"k={k} exceeds row count")
+        lo, hi = hit * width, (hit + 1) * width
+        # bounds as raw-column predicates -> parquet pushdown
+        remaining = remaining.where(
+            (F.col("x") >= F.lit(lo / 100.0) - 0.005) & (F.col("x") < F.lit(hi / 100.0))
+        ).where((_cents(F.col("x")) >= lo) & (_cents(F.col("x")) < hi))
+    # final: exact value-count histogram inside a 100-unit range
+    vals = (
+        remaining.groupBy(_cents(F.col("x")).alias("v"))
+        .agg(F.count("*").alias("c"))
+        .collect()  # <= width/1 distinct cent values, bounded
+    )
+    cum = 0
+    for r in sorted(vals, key=lambda r: r.v):
+        if cum + r.c >= target:
+            return r.v / 100.0
+        cum += r.c
+    raise ValueError(f"k={k} exceeds row count")  # pragma: no cover

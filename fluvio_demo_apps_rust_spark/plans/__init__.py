@@ -97,6 +97,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_udf_tokenize_arrow",
     "llm_minhash_ann_hybrid",
     "q100_stream_chained_agg",
+    "q101_selection_median",
 )
 
 

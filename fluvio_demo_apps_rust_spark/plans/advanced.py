@@ -1170,3 +1170,40 @@ def q98_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         within("lt50", "le50", 0.5).alias("p50_within_tol"),
         within("lt95", "le95", 0.95).alias("p95_within_tol"),
     )
+
+
+@register(
+    "q101_selection_median",
+    tags=("agg", "percentile", "selection"),
+    oracle="""
+WITH s AS (SELECT o_totalprice AS x FROM orders WHERE x IS NOT NULL),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM s)
+SELECT n.n AS n,
+       (SELECT x FROM r, n WHERE rn = (n.n + 1) // 2) AS median_lo,
+       (SELECT x FROM r, n WHERE rn = n.n // 2 + 1)   AS median_hi
+FROM n
+""",
+)
+def q101_selection_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median by multi-pass histogram SELECTION — the 100 TB-safe
+    twin of q41_percentiles: Spark's built-in exact ``percentile``
+    buffers every value of the group in executor memory (fine at
+    sf0.1, an OOM against a 100 TB column), while this runs the
+    classic selection algorithm — bounded histogram, narrow to the hit
+    bin with pushdown-able raw-column range predicates, recurse one
+    level, finish on an exact value-count histogram
+    (operators/selection.py). Driver state is one bounded histogram
+    per pass, never data. Emits both middle order statistics (lower /
+    upper median) so even-count semantics are explicit and no
+    averaging of inexact doubles is needed; values are raw 2-dp money
+    (identity-safe)."""
+    from ..operators.selection import selection_kth
+
+    o = load(spark, sf_dir, "orders")
+    n = o.where(F.col("o_totalprice").isNotNull()).count()
+    lo = selection_kth(o, "o_totalprice", (n + 1) // 2)
+    hi = selection_kth(o, "o_totalprice", n // 2 + 1)
+    return spark.createDataFrame(
+        [(n, lo, hi)], "n bigint, median_lo double, median_hi double"
+    )

@@ -1,0 +1,44 @@
+"""Exact distributed selection (operators/selection.py) vs brute force."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from fluvio_demo_apps_rust_spark.operators.selection import selection_kth
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "x double")
+
+
+def test_selection_matches_sorted_indexing(spark):
+    rng = random.Random(8)
+    # 2-dp values spanning several top-level histogram bins, with ties
+    vals = [round(rng.uniform(0, 450_000), 2) for _ in range(3000)]
+    vals += [vals[17]] * 5 + [vals[400]] * 3  # forced ties
+    df = _df(spark, vals)
+    s = sorted(vals)
+    n = len(vals)
+    for k in [1, 2, n // 4, (n + 1) // 2, n // 2 + 1, n - 1, n]:
+        assert selection_kth(df, "x", k) == pytest.approx(s[k - 1], abs=1e-9), k
+
+
+def test_selection_skips_nulls_and_bounds(spark):
+    df = spark.createDataFrame(
+        [(1.25,), (None,), (3.5,), (2.0,), (None,)], "x double"
+    )
+    assert selection_kth(df, "x", 1) == 1.25
+    assert selection_kth(df, "x", 3) == 3.5
+    with pytest.raises(ValueError):
+        selection_kth(df, "x", 4)  # nulls don't count
+    with pytest.raises(ValueError):
+        selection_kth(df, "x", 0)
+
+
+def test_selection_single_bin_degenerate(spark):
+    # all values inside ONE finest-level bin (ties everywhere)
+    df = _df(spark, [7.77] * 50 + [7.78] * 50)
+    assert selection_kth(df, "x", 50) == 7.77
+    assert selection_kth(df, "x", 51) == 7.78
