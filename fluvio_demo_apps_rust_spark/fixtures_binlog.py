@@ -147,6 +147,13 @@ class BinlogWriter:
         )
         self._event(0x0F, body)
 
+    def rotate(self, next_name: str, pos: int = 4) -> None:
+        """ROTATE event (0x04): 8-byte next-position + next file name —
+        what mysqld appends before switching to the next index file
+        (S3: index rotation). Carries no row data; the reader skips it
+        (binlog_binary.py ROTATE_EVENT branch)."""
+        self._event(0x04, struct.pack("<Q", pos) + next_name.encode())
+
     def query(self, db: str, sql: str) -> None:
         d, q = db.encode(), sql.encode()
         body = struct.pack("<IIBHH", 1, 0, len(d), 0, 0) + d + b"\x00" + q
@@ -448,3 +455,54 @@ def pet_binlog_bytes() -> bytes:
         )],
     )
     return bytes(w.buf)
+
+
+def pet_rotated_binlog_files() -> list[tuple[str, bytes]]:
+    """The pet scenario SPLIT across an index rotation (S3): file
+    binlog.000001 carries the DDL + pre-ALTER row events and ends with
+    a ROTATE to binlog.000002; file 2 starts with its own FDE (every
+    binlog file does) and RE-EMITS the TABLE_MAP before its row events
+    (as mysqld does after rotation), then the ALTER + post-ALTER tail.
+    Total replay order = files by name, then offset — concatenating
+    the per-file parses equals the single-file pet_binlog_bytes parse
+    modulo fileName/offset fields (pinned by test)."""
+    d = lambda y, m, dd: ("date", y, m, dd)  # noqa: E731
+    t5 = [T_VARCHAR, T_VARCHAR, T_VARCHAR, T_STRING, T_DATE]
+    m5 = [20, 20, 20, 1, 0]
+    w1 = BinlogWriter()
+    w1.query("flvDb", "CREATE DATABASE flvDb")
+    w1.query(
+        "flvdb",
+        "CREATE TABLE pet (name VARCHAR(20), owner VARCHAR(20), "
+        "species VARCHAR(20), sex CHAR(1), birth DATE)",
+    )
+    w1.table_map(100, "flvdb", "pet", t5, m5)
+    w1.rows(0x1E, 100, 5, [["Puffball", "Diane", "hamster", "f", d(1999, 3, 30)]])
+    w1.table_map(100, "flvdb", "pet", t5, m5)
+    w1.rows(0x1E, 100, 5, [["Jack", "Peter", "dog", "m", d(1999, 3, 30)]])
+    w1.table_map(100, "flvdb", "pet", t5, m5)
+    w1.rows(
+        0x1F, 100, 5,
+        [(
+            ["Jack", "Peter", "dog", "m", d(1999, 3, 30)],
+            ["Jack", "Peter", "dog", "m", d(1989, 8, 31)],
+        )],
+    )
+    w1.rotate("binlog.000002")
+
+    w2 = BinlogWriter()
+    w2.query("flvdb", "ALTER TABLE pet ADD COLUMN last_vaccine DATE")
+    t6, m6 = t5 + [T_DATE], m5 + [0]
+    w2.table_map(101, "flvdb", "pet", t6, m6)
+    w2.rows(0x20, 101, 6, [["Puffball", "Diane", "hamster", "f", d(1999, 3, 30), None]])
+    w2.table_map(101, "flvdb", "pet", t6, m6)
+    w2.rows(0x1E, 101, 6, [["Spot", "Jane", "dog", "m", d(2010, 11, 2), None]])
+    w2.table_map(101, "flvdb", "pet", t6, m6)
+    w2.rows(
+        0x1F, 101, 6,
+        [(
+            ["Spot", "Jane", "dog", "m", d(2010, 11, 2), None],
+            ["Spot", "Jane", "dog", "m", d(2010, 11, 2), d(2020, 6, 10)],
+        )],
+    )
+    return [("binlog.000001", bytes(w1.buf)), ("binlog.000002", bytes(w2.buf))]

@@ -98,6 +98,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_minhash_ann_hybrid",
     "q100_stream_chained_agg",
     "q101_selection_median",
+    "cdc_binlog_rotation_replay",
 )
 
 

@@ -813,3 +813,65 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("cents") / 100.0, 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "cdc_binlog_rotation_replay",
+    tags=("cdc", "binlog", "binary", "rotation", "e2e"),
+    oracle="""
+SELECT * FROM (VALUES
+  ('Jack', 'Peter', 'dog', 'm', '1989-08-31', CAST(NULL AS VARCHAR)),
+  ('Spot', 'Jane',  'dog', 'm', '2010-11-02', '2020-06-10')
+) t(name, owner, species, sex, birth, last_vaccine)
+""",
+)
+def cdc_binlog_rotation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-ROTATION replay e2e (operator S3 through the DISTRIBUTED
+    parser): the pet scenario split across two rotated binlog files —
+    binlog.000001 ends with a real ROTATE event, binlog.000002 starts
+    with its own FDE and re-emits the TABLE_MAP (as mysqld does) —
+    read back via sources/binlog_binary.read_binlog_files (binaryFile
+    scan, one Arrow parse task per file: the source's natural
+    parallelism), globally ordered by (fileName, offset), then codec →
+    registry → apply. Final table must equal the single-file
+    cdc_binlog_replay golden: rotation is invisible to replay
+    semantics. The DDL in file 1 must govern row events in file 2, so
+    this also pins cross-file registry ordering.
+
+    Reference: binlog index rotation scan,
+    cdc-mysql/src/producer/binlog_manager/binlog_index.rs (S3/S4)."""
+    import json as _json
+    import tempfile
+    from pathlib import Path
+
+    from ..fixtures_binlog import PET_BINLOG_COLUMNS, pet_rotated_binlog_files
+    from ..operators.apply import apply_events_local
+    from ..sources.binlog_binary import read_binlog_files
+
+    d = Path(tempfile.mkdtemp(prefix="cdc_rotation_"))
+    for name, buf in pet_rotated_binlog_files():
+        (d / name).write_bytes(buf)
+    parsed = read_binlog_files(spark, str(d), columns_by_table=PET_BINLOG_COLUMNS)
+    # T4 re-sequencing across the rotation: per-file parses restart at
+    # sequence 0 (the reference's per-file resume state), so the
+    # producer assigns the GLOBAL dense sequence over (file id, offset)
+    # — operators/sequence.assign_sequence semantics, applied here on
+    # the driver over the 9-event bounded collect.
+    objs = sorted(
+        (_json.loads(r.value) for r in parsed.collect()),
+        key=lambda o: (o["bn_file"]["fileName"], o["bn_file"]["offset"]),
+    )
+    lines = []
+    for seq, o in enumerate(objs):
+        o["sequence"] = seq
+        lines.append(_json.dumps(o))
+    state = apply_events_local(spark, lines)
+    pet = state.table("flvdb", "pet")
+    return pet.select(
+        "name",
+        "owner",
+        "species",
+        "sex",
+        F.date_format("birth", "yyyy-MM-dd").alias("birth"),
+        F.date_format("last_vaccine", "yyyy-MM-dd").alias("last_vaccine"),
+    )
