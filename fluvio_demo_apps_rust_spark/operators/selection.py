@@ -71,3 +71,58 @@ def selection_kth(df: DataFrame, col: str, k: int) -> float:
             return r.v / 100.0
         cum += r.c
     raise ValueError(f"k={k} exceeds row count")  # pragma: no cover
+
+
+def grouped_kth(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    k_expr,
+) -> DataFrame:
+    """Exact per-group k-th order statistic, fully distributed — no
+    per-group value buffering (Spark's built-in exact ``percentile``)
+    and no driver loop: two histogram passes where every window runs
+    over per-(group, bin) AGGREGATES, never raw rows.
+
+    ``k_expr(n)`` maps the group's row count (a Column) to the wanted
+    1-based rank, e.g. ``lambda n: (n + 1) / 2`` floored for the lower
+    median. Returns (group, n, value).
+
+    Pass 1: (group, 100-unit bin) counts -> per-group running total
+    (window over the bin histogram) -> the bin holding rank k and the
+    local rank within it. Pass 2: exact cent-value counts inside ONLY
+    the hit bins (semi-join keeps the scan pruned) -> same
+    running-total trick picks the exact value. Bin widths bound every
+    per-group window to value-range/width rows regardless of data
+    size."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    x = F.col(col)
+    base = df.select(g.alias("grp"), _cents(x).alias("v")).where(x.isNotNull())
+
+    binned = base.groupBy("grp", (F.col("v") / F.lit(10_000)).cast("long").alias("b")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("grp").orderBy("b")
+    cum = binned.withColumn("cum", F.sum("c").over(w))
+    n = base.groupBy("grp").agg(F.count("*").alias("n"))
+    want = n.select("grp", "n", k_expr(F.col("n")).cast("long").alias("k"))
+    hit = (
+        cum.join(want, "grp")
+        .where((F.col("cum") >= F.col("k")) & (F.col("cum") - F.col("c") < F.col("k")))
+        .select("grp", "b", "n", (F.col("k") - (F.col("cum") - F.col("c"))).alias("r"))
+    )
+
+    fine = (
+        base.join(hit.select("grp", "b", "n", "r"), "grp")
+        .where((F.col("v") / F.lit(10_000)).cast("long") == F.col("b"))
+        .groupBy("grp", "n", "r", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    w2 = Window.partitionBy("grp").orderBy("v")
+    return (
+        fine.withColumn("cum", F.sum("c").over(w2))
+        .where((F.col("cum") >= F.col("r")) & (F.col("cum") - F.col("c") < F.col("r")))
+        .select("grp", "n", (F.col("v") / 100.0).alias("value"))
+    )

@@ -99,6 +99,7 @@ _FORWARD: tuple[str, ...] = (
     "q100_stream_chained_agg",
     "q101_selection_median",
     "cdc_binlog_rotation_replay",
+    "q102_grouped_median",
 )
 
 

@@ -1207,3 +1207,34 @@ def q101_selection_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, lo, hi)], "n bigint, median_lo double, median_hi double"
     )
+
+
+@register(
+    "q102_grouped_median",
+    tags=("agg", "percentile", "selection", "window"),
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority AS grp, o_totalprice AS x,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders WHERE o_totalprice IS NOT NULL)
+SELECT grp, CAST(n AS BIGINT) AS n, x AS value
+FROM r WHERE rn = (n + 1) // 2
+""",
+)
+def q102_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT lower median by distributed two-pass histogram
+    selection — the grouped face of q101: no per-group value buffering
+    (the built-in exact percentile's OOM shape) and no driver loop.
+    Pass 1 aggregates (group, 100-unit bin) counts and finds each
+    group's hit bin with a running total computed by a window over the
+    BIN HISTOGRAM (value-range/width rows per group, bounded at any
+    data size); pass 2 repeats at exact cent granularity inside only
+    the hit bins. The oracle sorts per group (the semantic spec); the
+    Spark plan never sorts raw rows at all — both windows run over
+    aggregates (operators/selection.py grouped_kth)."""
+    from ..operators.selection import grouped_kth
+
+    o = load(spark, sf_dir, "orders")
+    out = grouped_kth(o, "o_orderpriority", "o_totalprice", lambda n: (n + 1) / 2)
+    return out.select(F.col("grp"), F.col("n"), F.col("value"))

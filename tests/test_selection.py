@@ -42,3 +42,25 @@ def test_selection_single_bin_degenerate(spark):
     df = _df(spark, [7.77] * 50 + [7.78] * 50)
     assert selection_kth(df, "x", 50) == 7.77
     assert selection_kth(df, "x", 51) == 7.78
+
+
+def test_grouped_kth_matches_brute_force(spark):
+    import random
+
+    from fluvio_demo_apps_rust_spark.operators.selection import grouped_kth
+
+    rng = random.Random(42)
+    rows = []
+    for g in ["a", "b", "c"]:
+        for _ in range(rng.randint(30, 200)):
+            rows.append((g, round(rng.uniform(0, 300_000), 2)))
+    rows += [("a", rows[0][1])] * 4  # ties inside one group
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        r.grp: (r.n, r.value)
+        for r in grouped_kth(df, "g", "x", lambda n: (n + 1) / 2).collect()
+    }
+    for g in ["a", "b", "c"]:
+        vals = sorted(v for gg, v in rows if gg == g)
+        n = len(vals)
+        assert got[g] == (n, pytest.approx(vals[(n + 1) // 2 - 1], abs=1e-9)), g
