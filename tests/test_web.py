@@ -64,3 +64,38 @@ def test_url_dedup_keep_min_and_host(spark):
 def test_url_dedup_has_real_dup_groups(spark):
     rows = REGISTRY["llm_url_dedup"].fn(spark, SF_SMOKE).collect()
     assert any(r.cnt > 1 for r in rows), "synthetic corpus produced no dup groups"
+
+
+def test_canonicalize_idempotent_and_invariant(spark):
+    """Canonicalizer properties over a generated URL grammar, one Spark
+    job for all cases: IDEMPOTENCE (canon(canon(u)) == canon(u)),
+    no fragment/tracking params in output, lowercase scheme+host,
+    non-default ports preserved."""
+    import itertools
+
+    schemes = ["https://", "HTTPS://", "http://"]
+    hosts = ["Ex.COM", "ex.com", "WWW.Ex.Org"]
+    ports = ["", ":443", ":80", ":8080"]
+    paths = ["/a/B", "/a", ""]
+    queries = ["", "?utm_source=x", "?b=2&a=1", "?ref=t&z=9&utm_medium=m", "?a=1&a=1"]
+    frags = ["", "#f", "#a?b=1"]
+    urls = [
+        s + h + p + pa + q + f
+        for s, h, p, pa, q, f in itertools.product(schemes, hosts, ports, paths, queries, frags)
+        if pa or not p  # a port with no path keeps the ':443/' strip assumption honest
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = W.canonicalize_url(F.col("url")).alias("c1")
+    out = df.select(F.col("url"), once).select(
+        "url", "c1", W.canonicalize_url(F.col("c1")).alias("c2")
+    )
+    rows = out.collect()
+    assert len(rows) == len(urls)
+    for r in rows:
+        assert r.c1 == r.c2, f"not idempotent: {r.url!r} -> {r.c1!r} -> {r.c2!r}"
+        assert "#" not in r.c1, r.url
+        assert "utm_" not in r.c1 and "ref=" not in r.c1, r.url
+        scheme_host = r.c1.split("/")[0] + "//" + r.c1.split("/")[2] if "//" in r.c1 else r.c1
+        assert scheme_host == scheme_host.lower(), r.url
+        if ":8080" in r.url:
+            assert ":8080" in r.c1, r.url
