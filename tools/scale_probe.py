@@ -98,6 +98,11 @@ QUERIES = [
     "llm_rouge_overlap",
     "llm_minhash_ann_hybrid",
     "llm_udf_tokenize_arrow",
+    # late-r8: exact selection medians — multi-pass histograms whose
+    # driver/window state is bounded by value range, so growth should
+    # track the (repeated) scans alone
+    "q101_selection_median",
+    "q102_grouped_median",
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "docs" / "SCALING.md"
