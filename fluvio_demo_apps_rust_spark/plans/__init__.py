@@ -100,6 +100,7 @@ _FORWARD: tuple[str, ...] = (
     "q101_selection_median",
     "cdc_binlog_rotation_replay",
     "q102_grouped_median",
+    "q103_stream_static_enrich",
 )
 
 

@@ -1377,3 +1377,64 @@ def q100_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT window_start, n_users, total_events, max_user_events, total_value "
         f"FROM {name}"
     )
+
+
+@register(
+    "q103_stream_static_enrich",
+    tags=("events", "streaming", "join", "broadcast"),
+    # Stream-static joins are stateless per microbatch, and the
+    # complete-mode aggregate over the full finite replay equals the
+    # batch GROUP BY — so the oracle is the plain join+aggregate.
+    oracle="""
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+)
+def q103_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join — the dimension-lookup pattern
+    every production stream runs (enrich each event with customer
+    attributes, aggregate per segment): the events stream joins a
+    STATIC broadcast dimension (no state, no watermark — stream-static
+    joins are stateless per microbatch), then a complete-mode
+    aggregate keyed by the enriched column. The llm streaming dedup
+    uses the anti-join face of stream-static; this registers the
+    enrichment face as a first-class gated query.
+
+    100 TB shape: the dim side is broadcast once per microbatch (a
+    real deployment caches it or re-broadcasts on a dim-refresh
+    cadence); the stream side never shuffles before the join, and the
+    aggregate is |segments| rows of state. Exact-cents quantization
+    keeps the sum engine- and order-independent."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey
+    )
+    agg = enriched.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")) / 100.0).alias(
+            "total_value"
+        ),
+    )
+    name = "q103_enrich_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT mktsegment, n_events, total_value FROM {name}")
