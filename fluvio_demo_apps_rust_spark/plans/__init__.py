@@ -101,6 +101,8 @@ _FORWARD: tuple[str, ...] = (
     "cdc_binlog_rotation_replay",
     "q102_grouped_median",
     "q103_stream_static_enrich",
+    "llm_corpus_profile",
+    "q104_skew_profile",
 )
 
 

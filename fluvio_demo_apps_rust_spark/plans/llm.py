@@ -3855,3 +3855,55 @@ def llm_udf_tokenize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok,
         "doc_id bigint, n_tokens bigint, n_distinct bigint, n_bytes bigint, tokens_per_100b double",
     )
+
+
+@register(
+    "llm_corpus_profile",
+    tags=("llm", "text", "profile", "selection"),
+    oracle=f"""
+WITH t AS (SELECT source, len({_TOKS}) AS n_toks FROM documents),
+r AS (SELECT source, n_toks,
+             row_number() OVER (PARTITION BY source ORDER BY n_toks) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM t)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST(max(n_toks) AS BIGINT) AS max_tokens,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN n_toks END) AS BIGINT) AS median_tokens
+FROM r
+GROUP BY source
+""",
+)
+def llm_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus PROFILE — the first table a curation run
+    prints: doc count, total/max token counts, and the EXACT token
+    median per source computed by the distributed two-pass histogram
+    selection (operators/selection.grouped_kth on an integer column —
+    no per-group buffering, no sort of raw rows; the oracle sorts, as
+    the semantic spec). Token counts feed the mixture/packing stages,
+    so their per-source distribution is what decides sampling weights.
+
+    100 TB shape: one tokenize scan into (source, n_toks); the profile
+    aggregate is |sources| rows; the median adds two histogram passes
+    whose windows run over per-(source, bin) aggregates."""
+    from ..operators.selection import grouped_kth
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("source"), F.size(TX.tokens("text")).cast("long").alias("n_toks")
+    )
+    stats = toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.max("n_toks").alias("max_tokens"),
+    )
+    med = grouped_kth(
+        toks.select("source", F.col("n_toks").cast("double").alias("n_toks")),
+        "source",
+        "n_toks",
+        lambda n: (n + 1) / 2,
+    ).select(F.col("grp").alias("source"), F.col("value").cast("long").alias("median_tokens"))
+    return stats.join(med, "source").select(
+        "source", "n_docs", "total_tokens", "max_tokens", "median_tokens"
+    )

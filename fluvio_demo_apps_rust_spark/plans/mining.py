@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.curation import SAMPLE_BUCKETS, sample_uniform
-from .base import load, register
+from .base import fround, load, register
 
 _N_ITER = 10
 _DAMP = 0.85
@@ -2238,3 +2238,73 @@ def q96_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
                    max_by(est_user1, n_events) AS est_user1
             FROM {name} GROUP BY event_type"""
     )
+
+
+def _skew_profile(df, key_col: str, label: str):
+    """(label, n_rows, n_keys, max_key_rows, top1_share, top10_share)
+    for one join/aggregation key — all tiny aggregates over the
+    per-key count table."""
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(F.count("*").alias("c"))
+    top10 = counts.orderBy(F.desc("c")).limit(10).agg(F.sum("c").alias("t10"))
+    base = counts.agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_key_rows"),
+    )
+    return (
+        base.crossJoin(top10)
+        .select(
+            F.lit(label).alias("key_name"),
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            fround(F.col("max_key_rows").cast("double") / F.col("n_rows").cast("double"), 6).alias("top1_share"),
+            fround(F.col("t10").cast("double") / F.col("n_rows").cast("double"), 6).alias("top10_share"),
+        )
+    )
+
+
+@register(
+    "q104_skew_profile",
+    tags=("diagnostics", "skew", "agg"),
+    oracle="""
+WITH p AS (
+  SELECT 'events.user_id' AS key_name, user_id AS k FROM events
+  UNION ALL SELECT 'lineitem.l_orderkey', l_orderkey FROM lineitem
+  UNION ALL SELECT 'orders.o_custkey', o_custkey FROM orders),
+c AS (SELECT key_name, k, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+t10 AS (
+  SELECT key_name, CAST(sum(c) AS BIGINT) AS t10
+  FROM (SELECT key_name, c, row_number() OVER (PARTITION BY key_name ORDER BY c DESC) AS rn FROM c)
+  WHERE rn <= 10 GROUP BY key_name),
+b AS (SELECT key_name, CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+             max(c) AS max_key_rows
+      FROM c GROUP BY key_name)
+SELECT b.key_name, b.n_rows, b.n_keys, b.max_key_rows,
+       floor(b.max_key_rows::DOUBLE / b.n_rows::DOUBLE * 1000000 + 0.5) / 1000000.0 AS top1_share,
+       floor(t10.t10::DOUBLE / b.n_rows::DOUBLE * 1000000 + 0.5) / 1000000.0 AS top10_share
+FROM b JOIN t10 USING (key_name)
+""",
+)
+def q104_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW PROFILE — the diagnostic you run BEFORE deciding
+    to salt (q55/q69 are the treatments; this is the diagnosis): per
+    key column, row/key counts, the heaviest key's row count, and
+    top-1/top-10 key shares. A top1_share >> 1/n_keys flags the key
+    for salting or AQE skew-join; flat shares mean plain hash
+    partitioning is fine. Top-10 share is tie-safe across engines (the
+    SUM over the ten largest counts is a multiset invariant even when
+    boundary ties pick different keys).
+
+    100 TB shape: one hash aggregate per profiled key (map-side
+    combine), then constant-size aggregates over the per-key count
+    table; the top-10 is a TakeOrdered(10), never a global sort."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    od = load(spark, sf_dir, "orders").select("o_custkey")
+    out = (
+        _skew_profile(ev, "user_id", "events.user_id")
+        .unionByName(_skew_profile(li, "l_orderkey", "lineitem.l_orderkey"))
+        .unionByName(_skew_profile(od, "o_custkey", "orders.o_custkey"))
+    )
+    return out
