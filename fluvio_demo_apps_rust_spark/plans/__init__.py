@@ -103,6 +103,7 @@ _FORWARD: tuple[str, ...] = (
     "q103_stream_static_enrich",
     "llm_corpus_profile",
     "q104_skew_profile",
+    "llm_dedup_threshold_sweep",
 )
 
 

@@ -3907,3 +3907,91 @@ def llm_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(med, "source").select(
         "source", "n_docs", "total_tokens", "max_tokens", "median_tokens"
     )
+
+
+@register(
+    "llm_dedup_threshold_sweep",
+    tags=("llm", "dedup", "minhash", "tuning"),
+    oracle=f"""
+WITH {_MINHASH_CTE},
+buckets AS (
+  SELECT doc_id, j % 4 AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY j)) AS bucket
+  FROM mh GROUP BY doc_id, band),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id),
+est AS (
+  SELECT p.a, p.b,
+         sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 16.0 AS j_est
+  FROM pairs p
+  JOIN mh x ON x.doc_id = p.a
+  JOIN mh y ON y.doc_id = p.b AND y.j = x.j
+  GROUP BY p.a, p.b),
+th AS (SELECT CAST(unnest([0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS DOUBLE) AS threshold),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM est)
+SELECT th.threshold AS threshold,
+       tot.n_candidates,
+       CAST(count(CASE WHEN est.j_est >= th.threshold THEN 1 END) AS BIGINT) AS n_dup_pairs,
+       floor(count(CASE WHEN est.j_est >= th.threshold THEN 1 END)::DOUBLE
+             / tot.n_candidates::DOUBLE * 1000000 + 0.5) / 1000000.0 AS dup_frac
+FROM th CROSS JOIN tot LEFT JOIN est ON TRUE
+GROUP BY th.threshold, tot.n_candidates
+""",
+)
+def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD tuning curve — the table that decides the
+    MinHash cut-off before a corpus-wide dedup run: for each candidate
+    threshold (multiples of 1/16 + midpoints, exactly representable so
+    the >= compare cannot straddle engines), how many LSH candidate
+    pairs would be declared duplicates and what fraction of the
+    candidate set that is. Read the knee, pick the threshold, then run
+    llm_dedup_clusters at it.
+
+    100 TB shape: the expensive parts (signatures, banded candidate
+    join, 16-component agreement estimate) are the SAME linear
+    kernels as llm_minhash_jaccard_est; the sweep itself is a
+    6-row broadcast cross-tab over the per-pair estimates — one tiny
+    aggregate per threshold, no re-scan per threshold. Estimates are
+    k/16 rationals (exact doubles on both engines)."""
+    d = load(spark, sf_dir, "documents")
+    wide = X.minhash_wide(d)
+    pairs = X.lsh_candidate_pairs(X.lsh_band_buckets_wide(wide, bands=4))
+    a = wide.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(16)],
+    )
+    b = wide.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(16)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0) for j in range(16)
+    )
+    est = (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .select((matches / F.lit(16.0)).alias("j_est"))
+    )
+    ths = spark.createDataFrame(
+        [(t,) for t in (0.25, 0.375, 0.5, 0.625, 0.75, 0.875)], "threshold double"
+    )
+    tot = est.agg(F.count("*").alias("n_candidates"))
+    return (
+        ths.crossJoin(F.broadcast(tot))
+        .join(est, F.expr("true"), "left")
+        .groupBy("threshold", "n_candidates")
+        .agg(
+            F.count(F.when(F.col("j_est") >= F.col("threshold"), 1)).alias("n_dup_pairs")
+        )
+        .select(
+            "threshold",
+            "n_candidates",
+            "n_dup_pairs",
+            fround(
+                F.col("n_dup_pairs").cast("double") / F.col("n_candidates").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
