@@ -104,6 +104,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_corpus_profile",
     "q104_skew_profile",
     "llm_dedup_threshold_sweep",
+    "llm_greedy_pack_audit",
 )
 
 

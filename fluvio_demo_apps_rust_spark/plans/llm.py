@@ -3995,3 +3995,79 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+@register(
+    "llm_greedy_pack_audit",
+    tags=("llm", "curation", "packing", "stateful"),
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, least(len({_TOKS}), 2048)::BIGINT AS n,
+         (doc_id % 8)::BIGINT AS shard,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents),
+walk(shard, rn, n, pack_id, fill) AS (
+  SELECT shard, rn, n, CAST(0 AS BIGINT), n FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.n,
+         CASE WHEN w.fill + t.n > 2048 THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.fill + t.n > 2048 THEN t.n ELSE w.fill + t.n END
+  FROM walk w JOIN t ON t.shard = w.shard AND t.rn = w.rn + 1)
+SELECT shard, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS used_tokens,
+       floor(sum(n)::DOUBLE / 2048.0 * 1000000 + 0.5) / 1000000.0 AS fill_frac
+FROM walk
+GROUP BY shard, pack_id
+""",
+)
+def llm_greedy_pack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY boundary-respecting sequence packing + its padding audit —
+    the strategy llm_sequence_pack deliberately avoids (concat-then-
+    chunk splits documents at window boundaries; greedy first-fit
+    never splits a document, paying padding waste instead — the
+    trade-off most labs choose for pretraining). The fold is
+    inherently sequential (pack state resets on overflow), so at scale
+    it SHARDS: docs hash to independent shards, each shard packs its
+    own doc_id-ordered stream in one Arrow applyInPandas fold — at
+    100 TB this is one task per shard with O(shard) memory in the
+    iterator, never a global order. Output is the per-pack audit
+    (docs, used tokens, fill fraction) — the padding-waste table that
+    decides between the two packing strategies. Oracle: the same fold
+    as a per-shard recursive CTE (the semantic spec — one row per doc
+    per step; fine at oracle scale, the reason Spark shards instead)."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    docs = d.select(
+        F.col("doc_id"),
+        F.least(F.size(TX.tokens("text")).cast("long"), F.lit(2048)).alias("n"),
+        (F.col("doc_id") % 8).alias("shard"),
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        pack_ids = []
+        pid, fill = 0, 0
+        started = False
+        for n in pdf["n"]:
+            n = int(n)
+            if not started:
+                pid, fill, started = 0, n, True
+            elif fill + n > 2048:
+                pid, fill = pid + 1, n
+            else:
+                fill += n
+            pack_ids.append(pid)
+        out = pdf[["shard", "n"]].copy()
+        out["pack_id"] = pack_ids
+        return out
+
+    packed = docs.groupBy("shard").applyInPandas(
+        fold, "shard bigint, n bigint, pack_id bigint"
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("used_tokens"),
+        fround(F.sum("n").cast("double") / F.lit(2048.0), 6).alias("fill_frac"),
+    )
