@@ -103,6 +103,13 @@ QUERIES = [
     # track the (repeated) scans alone
     "q101_selection_median",
     "q102_grouped_median",
+    # closing r8: the sharded sequential fold (greedy packing) and the
+    # 6-threshold broadcast cross-tab — the fold is the one shape in
+    # the suite whose per-shard work is inherently serial, so its
+    # growth should track shard size (linear) with the Arrow round
+    # trip as the floor
+    "llm_greedy_pack_audit",
+    "llm_dedup_threshold_sweep",
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "docs" / "SCALING.md"
