@@ -250,3 +250,30 @@ def test_jpeg_decodes_via_pil_dispatch():
     assert out.shape == (16, 16, 3) and out.dtype == np.uint8
     # JPEG is lossy: assert closeness, not identity
     assert np.abs(out.astype(int) - rgb.astype(int)).mean() < 8
+
+
+def test_mixed_corpus_rejects_loudly_through_arrow_harness(spark):
+    """The sniff dispatch must surface through the mapInPandas harness:
+    a JPEG blob in a PNG-decode pipeline fails the JOB with the
+    format-naming error (PIL absent) or decodes (PIL present) — it is
+    never silently skipped or nulled."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from fluvio_demo_apps_rust_spark.functions.media_png import encode_png
+    from fluvio_demo_apps_rust_spark.functions.multimodal import decode_png_features
+
+    png = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    jpeg_header = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01" + b"\x00" * 32
+    df = spark.createDataFrame(
+        [(0, bytearray(png)), (1, bytearray(jpeg_header))], "doc_id long, blob binary"
+    )
+    out = decode_png_features(df)
+    if _HAS_PIL:
+        # dispatch would hand the JPEG to PIL; truncated header still
+        # errors — either way the job must not silently drop the row
+        with pytest.raises((PythonException, Py4JJavaError)):
+            out.collect()
+    else:
+        with pytest.raises((PythonException, Py4JJavaError), match="jpeg"):
+            out.collect()
