@@ -15,80 +15,25 @@ from . import llm  # noqa: F401
 from . import advanced  # noqa: F401
 from . import mining  # noqa: F401
 
-# Driver-sampling rotation — ROUND 8 ACTIVE. The correctness driver
+# Driver-sampling rotation — ROUND 9 ACTIVE. The correctness driver
 # samples the FIRST ~50 registered queries; rounds 1-3 sampled the
 # relational/events/cdc prefix, r4 the llm/mining/sketch rotation,
 # r5 the staged never-sampled set, r6 the never-driver-green 14 plus
-# plan-changed re-confirmations, r7 the 41 r1-3-stale names plus
-# plan-changed fills (50/50 green). This head is VERDICT r7 task #1:
-# the new-this-round llm_url_dedup first, then the 49 queries last
-# driver-sampled in round 4 (the llm/mining/ANN/sketch family), whose
-# shared kernels (codec b64_nochunk, text helpers, plan caps) changed
-# under them since — 1 + 49 = the 50-query sample EXACTLY, so nothing
-# is displaced past the boundary (r7 ADVICE head-arithmetic nit).
-# Further round-8 queries land in _FORWARD (positions 51+): locally
-# gated this round, rotated into the head next round.
+# plan-changed re-confirmations, r7 the 41 r1-3-stale names, r8 the
+# llm_url_dedup + 49 r4-stale llm/mining/ANN/sketch names (50/50
+# green). This head is VERDICT r8 task #2: the 16 round-8 _FORWARD
+# names that have never had a driver row (all green in the judge's
+# local gate), then the 34 alphabetically-first of the 39 names whose
+# latest driver sample is r5 (the oldest evidence in the book) —
+# 16 + 34 = the 50-query sample EXACTLY, so nothing is displaced past
+# the boundary. The 5 remaining r5-stale names (q83_graph_triangles,
+# q84_market_basket, q85_rfm_segmentation, q86_ewma_smoothing,
+# q89_hll_distinct) rotate in round 10. New round-9 queries land in
+# _FORWARD (positions 51+): locally gated this round, rotated into
+# the head next round.
 _PRIORITY: tuple[str, ...] = (
-    # new this round — must get a driver row in its landing round
-    "llm_url_dedup",
-    # the 49 stale names (last sampled r4) — MUST be sampled
-    "cdc_binlog_replay",
-    "llm_ann_ivf",
-    "llm_ann_ivf_pq",
-    "llm_ann_lsh",
-    "llm_ann_pq",
-    "llm_ann_pq_recall",
-    "llm_ann_recall",
-    "llm_ann_topk",
-    "llm_bm25_topk",
-    "llm_bpe_merge_counts",
-    "llm_c4_clean",
-    "llm_chunk_dedup",
-    "llm_containment_dedup",
-    "llm_contamination",
-    "llm_countmin_heavyhitters",
-    "llm_curation_pipeline",
-    "llm_dedup_clusters",
-    "llm_dedup_fuzzy_verify",
-    "llm_dedup_ngram_jaccard",
-    "llm_doc_chunking",
-    "llm_doc_repetition",
-    "llm_domain_mixture",
-    "llm_dsir_importance",
-    "llm_embedding_neardup",
-    "llm_fingerprint",
-    "llm_gopher_rules",
-    "llm_incremental_dedup",
-    "llm_kmeans",
-    "llm_langid",
-    "llm_line_boilerplate",
-    "llm_minhash_jaccard_est",
-    "llm_minhash_lsh_pairs",
-    "llm_minhash_signature",
-    "llm_pii_scrub",
-    "llm_pretrain_prep",
-    "llm_semdedup",
-    "llm_sequence_pack",
-    "llm_simhash_pairs",
-    "llm_stratified_sample",
-    "llm_surprise_buckets",
-    "llm_text_quality",
-    "llm_tfidf_topterms",
-    "llm_token_stats",
-    "llm_unigram_surprise",
-    "q70_stream_interval_join",
-    "q77_ts_similarity",
-    "q82_kmv_distinct",
-    "q87_ams_join_size",
-    "q88_kmv_setops",
-)
-
-# Names of queries EXPECTED to be registered later this round. They
-# sort directly AFTER the mandatory 50-name head (not inside it), so
-# they cannot displace a stale name past the sample boundary; they get
-# the full local gate this round and rotate into the head next round.
-# Unlike _PRIORITY, missing names here are skipped, not fatal.
-_FORWARD: tuple[str, ...] = (
+    # the 16 round-8 _FORWARD names — never driver-sampled; MUST get
+    # their first CORRECTNESS row this round
     "llm_langid_confusion",
     "llm_dedup_audit",
     "llm_quality_ablation",
@@ -105,6 +50,56 @@ _FORWARD: tuple[str, ...] = (
     "q104_skew_profile",
     "llm_dedup_threshold_sweep",
     "llm_greedy_pack_audit",
+    # the 34 alphabetically-first r5-stale names (latest sample r5)
+    "llm_corpus_report",
+    "llm_dedup_keep_best",
+    "llm_epoch_upsample",
+    "llm_global_shuffle",
+    "llm_gram_matrix",
+    "llm_knn_classify",
+    "llm_multimodal_frames",
+    "llm_multimodal_meta",
+    "llm_multimodal_resize",
+    "llm_quality_lr",
+    "llm_sentiment",
+    "llm_stream_incremental_dedup",
+    "llm_train_split",
+    "llm_vocab_entropy",
+    "q40_pivot",
+    "q41_percentiles",
+    "q42_ordered_agg",
+    "q44_range_frame",
+    "q45_full_outer",
+    "q46_cross_join",
+    "q47_setops_all",
+    "q48_correlated_subqueries",
+    "q49_scalar_library",
+    "q50_asof_join",
+    "q51_range_join",
+    "q53_unpivot",
+    "q54_lateral_explode",
+    "q55_skew_salted_agg",
+    "q56_sample_hash",
+    "q58_disjunctive_join",
+    "q69_skew_salted_join",
+    "q79_pagerank",
+    "q80_weighted_sample",
+    "q81_zorder_layout",
+)
+
+# Names of queries EXPECTED to be registered later this round. They
+# sort directly AFTER the mandatory 50-name head (not inside it), so
+# they cannot displace a stale name past the sample boundary; they get
+# the full local gate this round and rotate into the head next round.
+# Unlike _PRIORITY, missing names here are skipped, not fatal.
+_FORWARD: tuple[str, ...] = (
+    "llm_bpe_tokenize",
+    "llm_html_extract",
+    "llm_html_extract_stats",
+    "llm_robots_filter",
+    "llm_wer_eval",
+    "llm_decontam_ngram_overlap",
+    "q105_negative_median",
 )
 
 
