@@ -569,11 +569,19 @@ def apply_events_local(
             rep["rows"] = [r for r in rows if key_of(r, cols) not in gone]
         elif op == "Update":
             # last pair with an identical before-image wins; the after
-            # replaces EVERY matching duplicate row
+            # replaces EVERY matching duplicate row. COPY the after-image
+            # per replaced row: later DDL mutates row lists IN PLACE
+            # (_apply_ddl_local append/pop for ALTER ADD/DROP COLUMN), so
+            # a shared list would be padded/popped once per alias — r8
+            # judge's falsifying stream (duplicate-row UPDATE then ALTER)
+            # corrupted 3 duplicates into 3 refs to one 5-wide row.
             repl: dict[tuple, list] = {}
             for r in e["rows"]:
                 repl[key_of(pad(r["before"]), cols)] = pad(r["after"])
-            rep["rows"] = [repl.get(key_of(r, cols), r) for r in rows]
+            rep["rows"] = [
+                list(repl[k]) if (k := key_of(r, cols)) in repl else r
+                for r in rows
+            ]
         else:
             raise ApplyError(f"unknown op type: {op}")
         state.watermarks[key] = e["sequence"]

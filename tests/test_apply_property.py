@@ -196,6 +196,90 @@ def multidb_stream(draw):
     return events, {d: sorted(m["rows"], key=key) for d, m in model.items()}
 
 
+# ---------------------------------------------------------------------------
+# Pinned regression (r8 judge, VERDICT "What's wrong #1"): a duplicate-row
+# UPDATE inserted THE SAME after-image list object for every matching
+# duplicate in apply_events_local; a later ALTER ADD/DROP COLUMN mutates
+# rows IN PLACE (append/pop), so the shared list was padded/popped once
+# per alias — 3 duplicates + ADD COLUMN materialized as three references
+# to one 5-wide row (FIELD_STRUCT_LENGTH_MISMATCH). `.hypothesis/` is
+# gitignored, so the falsifying example would never replay on a fresh
+# clone — these explicit fixtures pin BOTH in-place DDL vectors forever.
+# ---------------------------------------------------------------------------
+
+
+def _dup_update_stream(create_sql, add_row, before, after, alter_sql):
+    w = len(add_row)
+    cols = ["k", "v", "c"][:w]
+    return [
+        _event2(0, "da", {"Query": create_sql}),
+        _event2(
+            1,
+            "da",
+            {"Add": {"rows": [{"cols": [_cell(x) for x in add_row]}] * 3}},
+            cols,
+        ),
+        _event2(
+            2,
+            "da",
+            {"Update": {"rows": [{
+                "before_cols": [_cell(x) for x in before],
+                "after_cols": [_cell(x) for x in after],
+            }]}},
+            cols,
+        ),
+        _event2(3, "da", {"Query": alter_sql}),
+    ]
+
+
+@pytest.mark.parametrize(
+    "stream,expected",
+    [
+        # the judge's exact falsifying stream: 3x (Null,Null) dups,
+        # identity UPDATE, then ALTER ADD COLUMN (r.append vector)
+        (
+            _dup_update_stream(
+                "CREATE TABLE t (k INT, v INT)",
+                (None, None),
+                (None, None),
+                (None, None),
+                "ALTER TABLE t ADD COLUMN c INT",
+            ),
+            [(None, None, None)] * 3,
+        ),
+        # same shape through DROP COLUMN (the r.pop vector), with a
+        # value-changing update so replacement itself is also checked
+        (
+            _dup_update_stream(
+                "CREATE TABLE t (k INT, v INT)",
+                (1, 1),
+                (1, 1),
+                (2, 2),
+                "ALTER TABLE t DROP COLUMN v",
+            ),
+            [(2,)] * 3,
+        ),
+    ],
+    ids=["add-column-alias", "drop-column-alias"],
+)
+def test_duplicate_update_then_alter_pinned(spark, stream, expected):
+    from fluvio_demo_apps_rust_spark.operators.apply import apply_events_local
+
+    def key(t):
+        return tuple((x is None, x) for x in t)
+
+    local = apply_events_local(spark, stream)
+    got = sorted((tuple(r) for r in local.table("da", "t").collect()), key=key)
+    assert got == sorted(expected, key=key)
+
+    # the distributed kernel was already correct on this stream — keep
+    # both paths pinned to the same fixpoint
+    state = apply_changes(spark, read_events_from_strings(spark, stream))
+    got = sorted((tuple(r) for r in state.table("da", "t").collect()), key=key)
+    assert got == sorted(expected, key=key)
+    state.release()
+
+
 @pytest.mark.slow
 @settings(
     max_examples=10,
