@@ -92,6 +92,16 @@ BENCH_QUERIES = [
     # pipeline first stage) — all-codegen string canonicalization +
     # one hash-aggregate shuffle. Totals before r8 exclude it.
     "llm_url_dedup",
+    # round 9 additions (r8 verdict #3): the 4 heaviest previously
+    # unbenched r8 queries per docs/SCALING.md — threshold sweep over
+    # per-pair MinHash estimates, ROUGE-2 overlap, LSH-proposes/
+    # cosine-disposes hybrid dedup, and exact global median via
+    # bounded histogram selection. Totals before r9 exclude these
+    # four (44-query list), compare per-query/per-family.
+    "llm_dedup_threshold_sweep",
+    "llm_rouge_overlap",
+    "llm_minhash_ann_hybrid",
+    "q101_selection_median",
 ]
 
 # Per-family subtotals so cross-round regressions (CDC vs dedup vs ANN)
@@ -141,6 +151,10 @@ FAMILY = {
     "llm_source_overlap": "dedup",
     "llm_video_phash": "multimodal",
     "llm_url_dedup": "dedup",
+    "llm_dedup_threshold_sweep": "dedup",
+    "llm_rouge_overlap": "text",
+    "llm_minhash_ann_hybrid": "dedup",
+    "q101_selection_median": "mining",
 }
 
 

@@ -28,6 +28,14 @@ def _cents(col: Column) -> Column:
     return F.floor(col * 100 + F.lit(0.5)).cast("long")
 
 
+def _bin(col: Column, width: int) -> Column:
+    # FLOOR division, not a truncating cast: (cents/width).cast('long')
+    # truncates toward zero, which collapses every cent value in
+    # (-width, width) into bin 0 and mis-bins all negatives (r8 ADVICE).
+    # floor keeps bins half-open [b*width, (b+1)*width) for any sign.
+    return F.floor(col / F.lit(width)).cast("long")
+
+
 def selection_kth(df: DataFrame, col: str, k: int) -> float:
     """Exact k-th smallest (1-based) of a 2-dp double column, by
     three-pass histogram narrowing. Returns the value as a float with
@@ -40,7 +48,7 @@ def selection_kth(df: DataFrame, col: str, k: int) -> float:
     # pass levels: bin width in cents (10k units, 100 units), then exact
     for width in (1_000_000, 10_000):
         hist = (
-            remaining.groupBy((_cents(F.col("x")) / F.lit(width)).cast("long").alias("b"))
+            remaining.groupBy(_bin(_cents(F.col("x")), width).alias("b"))
             .agg(F.count("*").alias("c"))
             .collect()  # bounded: value-range / width bins, never rows
         )
@@ -55,9 +63,11 @@ def selection_kth(df: DataFrame, col: str, k: int) -> float:
         if hit is None:
             raise ValueError(f"k={k} exceeds row count")
         lo, hi = hit * width, (hit + 1) * width
-        # bounds as raw-column predicates -> parquet pushdown
+        # bounds as raw-column predicates -> parquet pushdown. One cent
+        # of slack each side makes the raw bounds sign-agnostic (lo/hi
+        # may be negative); the exact cents predicate does the real cut.
         remaining = remaining.where(
-            (F.col("x") >= F.lit(lo / 100.0) - 0.005) & (F.col("x") < F.lit(hi / 100.0))
+            (F.col("x") >= F.lit((lo - 1) / 100.0)) & (F.col("x") < F.lit((hi + 1) / 100.0))
         ).where((_cents(F.col("x")) >= lo) & (_cents(F.col("x")) < hi))
     # final: exact value-count histogram inside a 100-unit range
     vals = (
@@ -101,7 +111,7 @@ def grouped_kth(
     x = F.col(col)
     base = df.select(g.alias("grp"), _cents(x).alias("v")).where(x.isNotNull())
 
-    binned = base.groupBy("grp", (F.col("v") / F.lit(10_000)).cast("long").alias("b")).agg(
+    binned = base.groupBy("grp", _bin(F.col("v"), 10_000).alias("b")).agg(
         F.count("*").alias("c")
     )
     w = Window.partitionBy("grp").orderBy("b")
@@ -116,7 +126,7 @@ def grouped_kth(
 
     fine = (
         base.join(hit.select("grp", "b", "n", "r"), "grp")
-        .where((F.col("v") / F.lit(10_000)).cast("long") == F.col("b"))
+        .where(_bin(F.col("v"), 10_000) == F.col("b"))
         .groupBy("grp", "n", "r", "v")
         .agg(F.count("*").alias("c"))
     )

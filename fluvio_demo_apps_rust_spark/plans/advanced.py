@@ -1238,3 +1238,54 @@ def q102_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     out = grouped_kth(o, "o_orderpriority", "o_totalprice", lambda n: (n + 1) / 2)
     return out.select(F.col("grp"), F.col("n"), F.col("value"))
+
+
+@register(
+    "q105_negative_median",
+    tags=("agg", "percentile", "selection"),
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority AS grp,
+         floor((o_totalprice - 150000.0) * 100 + 0.5) / 100.0 AS x
+  FROM orders WHERE o_totalprice IS NOT NULL),
+r AS (
+  SELECT grp, x,
+         row_number() OVER (PARTITION BY grp ORDER BY x) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM s),
+g AS (SELECT grp, CAST(n AS BIGINT) AS n, x AS value FROM r WHERE rn = (n + 1) // 2),
+ra AS (SELECT x, row_number() OVER (ORDER BY x) AS rn, count(*) OVER () AS n FROM s),
+ga AS (SELECT '__global__' AS grp, CAST(n AS BIGINT) AS n, x AS value
+       FROM ra WHERE rn = (n + 1) // 2)
+SELECT grp, n, value FROM g UNION ALL SELECT grp, n, value FROM ga
+""",
+)
+def q105_negative_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact medians over a SIGNED column through the selection kernels
+    — pins the r8 ADVICE fix in operators/selection.py: bin keys are
+    now floor-division (a truncating cast collapsed all cents in
+    (-width, width) into bin 0 and mis-binned negatives) and the
+    narrowing range predicates are sign-agnostic. The input is
+    o_totalprice shifted by -150k (≈ median), giving a mixed-sign
+    2-dp column whose median sits near the sign boundary — exactly
+    where truncation-vs-floor diverges. Emits the per-priority lower
+    medians (grouped_kth) plus a '__global__' row (selection_kth).
+    The shifted column is re-quantized with the repo fround standard
+    on BOTH sides so the emitted doubles are binary-identical."""
+    from ..operators.selection import grouped_kth, selection_kth
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_orderpriority"),
+            fround(F.col("o_totalprice") - F.lit(150000.0), 2).alias("x"),
+        )
+    )
+    grouped = grouped_kth(o, "o_orderpriority", "x", lambda n: (n + 1) / 2)
+    n = o.count()
+    glo = selection_kth(o, "x", (n + 1) // 2)
+    gdf = spark.createDataFrame(
+        [("__global__", n, glo)], "grp string, n bigint, value double"
+    )
+    return grouped.select("grp", "n", "value").unionByName(gdf)

@@ -841,6 +841,7 @@ def cdc_binlog_rotation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: binlog index rotation scan,
     cdc-mysql/src/producer/binlog_manager/binlog_index.rs (S3/S4)."""
     import json as _json
+    import shutil
     import tempfile
     from pathlib import Path
 
@@ -849,18 +850,23 @@ def cdc_binlog_rotation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.binlog_binary import read_binlog_files
 
     d = Path(tempfile.mkdtemp(prefix="cdc_rotation_"))
-    for name, buf in pet_rotated_binlog_files():
-        (d / name).write_bytes(buf)
-    parsed = read_binlog_files(spark, str(d), columns_by_table=PET_BINLOG_COLUMNS)
-    # T4 re-sequencing across the rotation: per-file parses restart at
-    # sequence 0 (the reference's per-file resume state), so the
-    # producer assigns the GLOBAL dense sequence over (file id, offset)
-    # — operators/sequence.assign_sequence semantics, applied here on
-    # the driver over the 9-event bounded collect.
-    objs = sorted(
-        (_json.loads(r.value) for r in parsed.collect()),
-        key=lambda o: (o["bn_file"]["fileName"], o["bn_file"]["offset"]),
-    )
+    try:
+        for name, buf in pet_rotated_binlog_files():
+            (d / name).write_bytes(buf)
+        parsed = read_binlog_files(spark, str(d), columns_by_table=PET_BINLOG_COLUMNS)
+        # T4 re-sequencing across the rotation: per-file parses restart
+        # at sequence 0 (the reference's per-file resume state), so the
+        # producer assigns the GLOBAL dense sequence over (file id,
+        # offset) — operators/sequence.assign_sequence semantics,
+        # applied here on the driver over the 9-event bounded collect.
+        objs = sorted(
+            (_json.loads(r.value) for r in parsed.collect()),
+            key=lambda o: (o["bn_file"]["fileName"], o["bn_file"]["offset"]),
+        )
+    finally:
+        # the collect above fully materializes the parse, so the
+        # scratch dir can go immediately (r8 ADVICE: it leaked)
+        shutil.rmtree(d, ignore_errors=True)
     lines = []
     for seq, o in enumerate(objs):
         o["sequence"] = seq

@@ -3833,7 +3833,14 @@ def llm_udf_tokenize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+        # Whitespace class spelled out as RE2's EXACT \s set
+        # ([\t\n\f\r ] — no \v, no Unicode): Python re's \s is
+        # Unicode-aware, so a document with U+00A0 would drop it while
+        # the DuckDB oracle emits it as a punctuation token (r8
+        # ADVICE); \v is a token in RE2 (verified against DuckDB).
+        # Spelling out the set makes both engines agree on ANY input,
+        # not just the ASCII synthetic corpus.
+        pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]"
         for pdf in batches:
             toks = pdf["text"].str.findall(pat)
             n_tokens = toks.str.len().astype("int64")
@@ -3951,10 +3958,13 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the expensive parts (signatures, banded candidate
     join, 16-component agreement estimate) are the SAME linear
-    kernels as llm_minhash_jaccard_est; the sweep itself is a
-    6-row broadcast cross-tab over the per-pair estimates — one tiny
-    aggregate per threshold, no re-scan per threshold. Estimates are
-    k/16 rationals (exact doubles on both engines)."""
+    kernels as llm_minhash_jaccard_est; the sweep then REDUCES the
+    per-pair estimates to a <=17-row (j_est, count) histogram (j_est
+    is k/16) BEFORE any join, and cross-tabs that bounded histogram
+    against the 6-row threshold table — only the tiny side is ever
+    broadcast (r8 ADVICE: the previous left join broadcast the
+    unbounded per-pair table through a BroadcastNestedLoopJoin).
+    Estimates are k/16 rationals (exact doubles on both engines)."""
     d = load(spark, sf_dir, "documents")
     wide = X.minhash_wide(d)
     pairs = X.lsh_candidate_pairs(X.lsh_band_buckets_wide(wide, bands=4))
@@ -3977,13 +3987,18 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ths = spark.createDataFrame(
         [(t,) for t in (0.25, 0.375, 0.5, 0.625, 0.75, 0.875)], "threshold double"
     )
-    tot = est.agg(F.count("*").alias("n_candidates"))
+    # corpus-size-bounded reduction FIRST: j_est takes only the 17
+    # values k/16, so this histogram is <=17 rows at any data size
+    hist = est.groupBy("j_est").agg(F.count("*").alias("c"))
     return (
-        ths.crossJoin(F.broadcast(tot))
-        .join(est, F.expr("true"), "left")
-        .groupBy("threshold", "n_candidates")
+        ths.join(F.broadcast(hist), F.lit(True), "left")
+        .groupBy("threshold")
         .agg(
-            F.count(F.when(F.col("j_est") >= F.col("threshold"), 1)).alias("n_dup_pairs")
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce(
+                F.sum(F.when(F.col("j_est") >= F.col("threshold"), F.col("c"))),
+                F.lit(0),
+            ).cast("long").alias("n_dup_pairs"),
         )
         .select(
             "threshold",

@@ -481,3 +481,36 @@ def test_winnow_fingerprint_moss_guarantee_and_parity(spark):
         digest = hashlib.md5(",".join(map(str, fp)).encode()).hexdigest()
         assert rows[doc_id].fp_digest == digest
         assert rows[doc_id].n_fingerprints == len(fp)
+
+
+def test_tokenize_arrow_pattern_matches_re2_on_non_ascii():
+    """r8 ADVICE: Python re's \\s is Unicode-aware while the DuckDB
+    oracle's RE2 \\s is ASCII-only ([\\t\\n\\f\\r ] — note: NO \\v) —
+    the gate corpus is ASCII so the driver can never catch a
+    divergence. Pin the two patterns token-for-token on the nasty
+    inputs: NBSP (U+00A0), vertical tab, unicode letters, mixed
+    ASCII whitespace. The literals here intentionally DUPLICATE the
+    patterns in plans/llm.py llm_udf_tokenize_arrow (Spark side) and
+    its oracle (RE2 side); if either drifts, this fails."""
+    import re
+
+    import duckdb
+
+    py_pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]"
+    re2_pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    cases = [
+        "plain ascii text 123, with (punct)!",
+        "nbsp\u00a0separated\u00a0words",
+        "vertical\x0btab and form\x0cfeed",
+        "café naïve — em-dash あ",
+        " \t\r\n mixed\fws ",
+        "",
+        " \x0b ",  # only exotic whitespace-ish codepoints
+    ]
+    con = duckdb.connect()
+    for s in cases:
+        got_py = re.findall(py_pat, s)
+        got_re2 = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [s, re2_pat]
+        ).fetchone()[0]
+        assert got_py == got_re2, (s, got_py, got_re2)

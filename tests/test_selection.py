@@ -44,6 +44,50 @@ def test_selection_single_bin_degenerate(spark):
     assert selection_kth(df, "x", 51) == 7.78
 
 
+def test_selection_negative_values(spark):
+    """r8 ADVICE (medium): truncating-cast bin keys collapsed all cents
+    in (-width, width) into bin 0 and the narrowing bounds assumed
+    non-negative inputs — mixed-sign columns silently returned wrong
+    'exact' order statistics. Pin floor-division bins + sign-agnostic
+    narrowing on values straddling zero, including ties at and around
+    the boundary and an all-negative column."""
+    rng = random.Random(9)
+    vals = [round(rng.uniform(-250_000, 250_000), 2) for _ in range(2500)]
+    vals += [0.0] * 3 + [-0.01] * 3 + [0.01] * 3  # boundary ties
+    df = _df(spark, vals)
+    s = sorted(vals)
+    n = len(vals)
+    for k in [1, n // 4, (n + 1) // 2, n // 2 + 1, 3 * n // 4, n]:
+        assert selection_kth(df, "x", k) == pytest.approx(s[k - 1], abs=1e-9), k
+
+    neg = [round(rng.uniform(-90_000, -0.01), 2) for _ in range(400)]
+    dfn = _df(spark, neg)
+    sn = sorted(neg)
+    for k in [1, 200, 400]:
+        assert selection_kth(dfn, "x", k) == pytest.approx(sn[k - 1], abs=1e-9), k
+
+
+def test_grouped_kth_negative_values(spark):
+    from fluvio_demo_apps_rust_spark.operators.selection import grouped_kth
+
+    rng = random.Random(10)
+    rows = []
+    for g in ["neg", "mix", "pos"]:
+        lo, hi = {"neg": (-50_000.0, -1.0), "mix": (-5_000.0, 5_000.0), "pos": (1.0, 50_000.0)}[g]
+        for _ in range(rng.randint(50, 150)):
+            rows.append((g, round(rng.uniform(lo, hi), 2)))
+    rows += [("mix", 0.0)] * 5  # zero-boundary ties
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        r.grp: (r.n, r.value)
+        for r in grouped_kth(df, "g", "x", lambda n: (n + 1) / 2).collect()
+    }
+    for g in ["neg", "mix", "pos"]:
+        vals = sorted(v for gg, v in rows if gg == g)
+        n = len(vals)
+        assert got[g] == (n, pytest.approx(vals[(n + 1) // 2 - 1], abs=1e-9)), g
+
+
 def test_grouped_kth_matches_brute_force(spark):
     import random
 
