@@ -730,3 +730,97 @@ def winnow_fingerprints(df, id_col: str = "doc_id", text_col: str = "text"):
             )
         ).alias("fp_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched-generation BPE: train a merge table with bounded per-generation
+# collects, apply it as a JVM replace chain. The tokenization state of a
+# word is its space-separated token string wrapped in single spaces
+# (' h e l l o '), so a merge rule (a, b) is the literal replacement
+# ' a b ' -> ' ab ' — replace()'s leftmost-nonoverlapping all-occurrence
+# semantics are exactly BPE's single-rule application, and the spaced
+# form is unambiguous because whitespace-split tokens never contain
+# spaces. Within one generation every rule pairs tokens that existed
+# BEFORE the generation (merging removes adjacencies of its own inputs
+# and only creates pairs involving the new longer token), so applying a
+# generation's rules once each, in rank order, is exact.
+# ---------------------------------------------------------------------------
+
+BPE_GENS = 3
+BPE_PER_GEN = 8
+
+
+def bpe_spaced_state(words: "DataFrame") -> "DataFrame":
+    """(w, c) word-frequency table -> (w, c, s) with s the initial
+    per-character spaced state. Per-character via Java regex '(.)'
+    (UTF-16 code units — identical to the oracle's string_split(w,'')
+    on the BMP; astral plane is a documented residual, same class as
+    llm_bpe_merge_counts' substring() chars)."""
+    return words.withColumn(
+        "s",
+        F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+    )
+
+
+def bpe_train(
+    state: "DataFrame", gens: int = BPE_GENS, per_gen: int = BPE_PER_GEN
+) -> tuple["DataFrame", list[tuple[str, str]]]:
+    """Train ``gens`` generations of ``per_gen`` merges over a spaced
+    state (w, c, s) and return (state-with-merges-applied, merge list
+    in global rank order).
+
+    Each generation: ONE distributed pair count over the current state
+    (weighted by word frequency c — classic BPE trains on the word-
+    frequency table, which is vocabulary-sized, not corpus-sized), a
+    driver collect bounded at ``per_gen`` rows, then ``per_gen``
+    chained JVM replace() columns. Ties break (count DESC, a ASC,
+    b ASC) — deterministic on both engines. Total driver state:
+    gens × per_gen merge rules."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(gens):
+        # LET-bind the token array (README plan-audit: no CSE inside
+        # higher-order lambdas) before building adjacent pairs.
+        st = state.select("c", F.split(F.trim("s"), " ").alias("ts"))
+        pairs = (
+            st.where(F.size("ts") >= 2)
+            .select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ts) - 1), "
+                        "i -> struct(ts[i-1] AS a, ts[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("c").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(per_gen)
+            .collect()  # bounded: per_gen rows
+        )
+        if not pairs:
+            break
+        for r in pairs:
+            merges.append((r.a, r.b))
+            state = state.withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.lit(f" {r.a} {r.b} "),
+                    F.lit(f" {r.a}{r.b} "),
+                ),
+            )
+    return state, merges
+
+
+def bpe_apply_merges_pandas(words, merges):
+    """Reference APPLY path for the Arrow tokenizer harness: the same
+    merge chain as vectorized pandas str.replace (regex=False —
+    Python str.replace's leftmost-nonoverlapping semantics, identical
+    to JVM/DuckDB replace). This is what a mapInPandas iterator body
+    runs when the trained table is shipped to Arrow workers; pinned
+    against the JVM chain by tests/test_llm_functions.py."""
+    s = " " + words.str.replace("(.)", r"\1 ", regex=True)
+    for a, b in merges:
+        s = s.str.replace(f" {a} {b} ", f" {a}{b} ", regex=False)
+    return s.str.strip()

@@ -4086,3 +4086,146 @@ def llm_greedy_pack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("used_tokens"),
         fround(F.sum("n").cast("double") / F.lit(2048.0), 6).alias("fill_frac"),
     )
+
+
+def _bpe_gen_sql(src: str, m: str, walk: str, dst: str, per_gen: int) -> str:
+    """One oracle BPE generation: rank the top ``per_gen`` adjacent
+    token pairs of state ``src`` (count DESC, pair ASC — the exact
+    Spark tie-break), then a recursive walk applies them in rank
+    order via the spaced-string replace."""
+    return f"""
+{m}_p AS (
+  SELECT c, string_split(trim(s), ' ') AS ts FROM {src}
+  WHERE len(string_split(trim(s), ' ')) >= 2),
+{m}_x AS (
+  SELECT c, unnest(ts[1:len(ts)-1]) AS a, unnest(ts[2:len(ts)]) AS b FROM {m}_p),
+{m} AS (
+  SELECT a, b, rank FROM (
+    SELECT a, b, row_number() OVER (ORDER BY sum(c) DESC, a ASC, b ASC) AS rank
+    FROM {m}_x GROUP BY a, b)
+  WHERE rank <= {per_gen}),
+{walk}(w, c, s, i) AS (
+  SELECT w, c, s, 0 FROM {src}
+  UNION ALL
+  SELECT wk.w, wk.c,
+         replace(wk.s, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '),
+         wk.i + 1
+  FROM {walk} wk JOIN {m} m ON m.rank = wk.i + 1),
+{dst} AS (SELECT w, c, s FROM {walk} WHERE i = (SELECT count(*) FROM {m}))"""
+
+
+@register(
+    "llm_bpe_tokenize",
+    tags=("llm", "text", "tokenizer", "bpe"),
+    oracle=f"""
+WITH RECURSIVE
+wx AS (
+  SELECT doc_id,
+         unnest({_TOKS}) AS w,
+         unnest(range(1, len({_TOKS}) + 1)) AS pos
+  FROM documents),
+wq AS (SELECT doc_id, w, pos FROM wx WHERE length(w) >= 1),
+words AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM wq GROUP BY w),
+st0 AS (
+  SELECT w, c, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+  FROM words),
+{_bpe_gen_sql('st0', 'm1', 'walk1', 'st1', 8)},
+{_bpe_gen_sql('st1', 'm2', 'walk2', 'st2', 8)},
+{_bpe_gen_sql('st2', 'm3', 'walk3', 'st3', 8)},
+pw AS (
+  SELECT w, trim(s) AS toks_str,
+         len(string_split(trim(s), ' ')) AS n_toks,
+         len(list_filter(string_split(trim(s), ' '), t -> length(t) > 1)) AS n_merged
+  FROM st3),
+per_doc AS (
+  SELECT wq.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(pw.n_toks) AS BIGINT) AS n_tokens,
+         CAST(sum(pw.n_merged) AS BIGINT) AS n_merged_tokens,
+         md5(string_agg(pw.toks_str, '|' ORDER BY wq.pos)) AS tok_digest
+  FROM wq JOIN pw ON pw.w = wq.w
+  GROUP BY wq.doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_words, 0) AS n_words,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_merged_tokens, 0) AS n_merged_tokens,
+       COALESCE(p.tok_digest, md5('')) AS tok_digest
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def llm_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a BPE merge table and APPLY it — the end-to-end tokenizer
+    a pretrain pipeline actually runs, closing the r8 loop where
+    llm_bpe_merge_counts computed merge statistics that nothing ever
+    applied. Batched-generation BPE: 3 generations × 8 merges; each
+    generation counts adjacent token pairs over the CURRENT state of
+    the word-frequency table (classic BPE trains on word frequencies,
+    a vocabulary-sized relation, not the corpus), takes the top 8
+    (count DESC, pair ASC), and applies them as a chained JVM
+    replace() over the spaced token string — replace()'s leftmost-
+    nonoverlapping all-occurrence semantics ARE BPE's single-rule
+    application, and within a generation each rule pairs tokens that
+    existed before the generation, so one pass per rule in rank order
+    is exact (functions/text.py bpe_train). Per-doc output: word and
+    token counts, merged-token count, and an md5 digest of the full
+    token sequence ('|'-joined per-word token strings in document
+    order) — the digest pins the EXACT tokenization, so the DuckDB
+    oracle (which retrains the same table via three recursive-CTE
+    walks) verifies token identity, not just counts.
+
+    100 TB shape: training is per-generation ONE pair-keyed aggregate
+    over the vocabulary + an 8-row driver collect; apply is 24
+    codegen replaces over the vocabulary; the only corpus-scale ops
+    are the word explode and ONE hash join words→tokenized-word
+    (broadcastable when the vocab fits, AQE decides) + per-doc
+    aggregate. The trained merge list is exactly what
+    functions/text.bpe_apply_merges_pandas ships into the Arrow
+    tokenizer harness (llm_udf_tokenize_arrow's swap-in slot); the
+    two apply paths are pinned equal in tests."""
+    from ..functions.text import bpe_spaced_state, bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    wx = d.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "w")
+    ).where(F.length("w") >= 1)
+    words = wx.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    state, _merges = bpe_train(bpe_spaced_state(words))
+    pw = state.select("w", F.trim("s").alias("toks_str")).select(
+        "w",
+        "toks_str",
+        F.split("toks_str", " ").alias("ta"),
+    ).select(
+        "w",
+        "toks_str",
+        F.size("ta").cast("long").alias("n_toks"),
+        F.size(F.filter("ta", lambda t: F.length(t) > 1)).cast("long").alias("n_merged"),
+    )
+    per_doc = (
+        wx.join(pw, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_merged").alias("n_merged_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "toks_str"))),
+                        lambda x: x["toks_str"],
+                    ),
+                    "|",
+                )
+            ).alias("tok_digest"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_merged_tokens", F.lit(0)).cast("long").alias("n_merged_tokens"),
+            F.coalesce("tok_digest", F.md5(F.lit(""))).alias("tok_digest"),
+        )
+    )

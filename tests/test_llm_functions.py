@@ -514,3 +514,41 @@ def test_tokenize_arrow_pattern_matches_re2_on_non_ascii():
             "SELECT regexp_extract_all(?, ?)", [s, re2_pat]
         ).fetchone()[0]
         assert got_py == got_re2, (s, got_py, got_re2)
+
+
+def test_bpe_arrow_apply_matches_jvm_chain(spark):
+    """The trained merge table applied through the Arrow/pandas path
+    (functions/text.bpe_apply_merges_pandas — what a mapInPandas
+    tokenizer body runs) must tokenize every vocabulary word exactly
+    like the JVM replace chain bpe_train applied. This is the swap-in
+    guarantee for the llm_udf_tokenize_arrow harness."""
+    import pandas as pd
+
+    from fluvio_demo_apps_rust_spark.functions.text import (
+        bpe_apply_merges_pandas,
+        bpe_spaced_state,
+        bpe_train,
+    )
+
+    docs = [
+        "the theme of the thesis is the theory",
+        "lower lowest newer newest wider widest",
+        "hello hello help helm hemp",
+        "aaa aaaa aaaaa ab ba abab",
+        "punct, punct, punct! 123 123 12",
+    ]
+    words = (
+        spark.createDataFrame([(t,) for t in docs], "text string")
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    state, merges = bpe_train(bpe_spaced_state(words), gens=3, per_gen=4)
+    assert merges, "training must produce merges on this corpus"
+    jvm = {r.w: r.s.strip() for r in state.collect()}
+    ws = pd.Series(sorted(jvm))
+    arrow = dict(zip(ws, bpe_apply_merges_pandas(ws, merges)))
+    assert arrow == jvm
+    # and at least one multi-generation (length>2) token must exist,
+    # i.e. generation 2+ merged a generation-1 output
+    assert any(len(t) > 2 for s in jvm.values() for t in s.split(" "))
