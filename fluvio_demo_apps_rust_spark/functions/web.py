@@ -121,3 +121,113 @@ SELECT doc_id,
        base || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url
 FROM u3
 """
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (the crawl-pipeline stage BEFORE llm_url_dedup's
+# dedup): strip script/style/comments, turn block-tag boundaries into
+# newlines, strip remaining tags, decode the basic entities, normalize
+# whitespace. All row-local regexp codegen — no Python, no shuffle.
+# The testdata has no HTML column, so synth_html derives a deterministic
+# messy page per row (4 variants) with the document text ENTITY-ESCAPED
+# into it; extraction must round-trip the text back out, which is what
+# the oracle hash-gates. Regex notes: non-greedy + (?s) only (Java regex
+# and RE2 agree); no lookaheads; replacements avoid $ (Java) and \ (RE2).
+# ---------------------------------------------------------------------------
+
+
+def _esc(col: Column) -> Column:
+    # HTML-escape order matters: & first
+    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+def synth_html(doc_id: Column, source: Column, text: Column) -> Column:
+    """Deterministic messy HTML page for a document row (4 variants:
+    plain / script + inline markup / style + comment / attribute-heavy
+    with <br> and a trailing span)."""
+    t = _esc(text)
+    title = F.concat(F.lit("<title>Doc "), doc_id.cast("string"), F.lit("</title>"))
+    h1 = F.concat(F.lit("<h1>"), source, F.lit("</h1>"))
+    v = doc_id % F.lit(4)
+    body = (
+        F.when(v == 1, F.concat(
+            F.lit("<script type=\"text/javascript\">var x = 1 < 2;</script><p><b>"),
+            t, F.lit("</b></p>")))
+        .when(v == 2, F.concat(
+            F.lit("<style>.c{color:red}</style><div>"), t,
+            F.lit("</div><!-- tracker <img> -->")))
+        .when(v == 3, F.concat(
+            F.lit("<p class=\"a\" data-x='1'>"), t,
+            F.lit("</p><br><span>tail "), source, F.lit("</span>")))
+        .otherwise(F.concat(F.lit("<p>"), t, F.lit("</p>")))
+    )
+    return F.concat(
+        F.lit("<html><head>"), title, F.lit("</head><body>"), h1, body,
+        F.lit("</body></html>"),
+    )
+
+
+def extract_html_text(html: Column) -> Column:
+    """Block-structure-preserving text extraction from HTML."""
+    x = F.regexp_replace(html, r"(?s)<script[^>]*>.*?</script>", "")
+    x = F.regexp_replace(x, r"(?s)<style[^>]*>.*?</style>", "")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", "")
+    # closing block tags and <br> become line breaks
+    x = F.regexp_replace(x, r"</(p|div|h1|h2|h3|li|tr|title)>|<br */?>", "\n")
+    x = F.regexp_replace(x, r"<[^>]*>", "")
+    # entities: &amp; LAST so '&amp;lt;' decodes to '&lt;' not '<'
+    x = F.replace(x, F.lit("&lt;"), F.lit("<"))
+    x = F.replace(x, F.lit("&gt;"), F.lit(">"))
+    x = F.replace(x, F.lit("&nbsp;"), F.lit(" "))
+    x = F.replace(x, F.lit("&amp;"), F.lit("&"))
+    # whitespace: collapse spaces, trim around newlines, collapse blank
+    # lines, trim the ends
+    x = F.regexp_replace(x, r"[ \t]+", " ")
+    x = F.regexp_replace(x, r" ?\n ?", "\n")
+    x = F.regexp_replace(x, r"\n+", "\n")
+    return F.regexp_replace(x, r"^\n|\n$", "")
+
+
+# DuckDB twins. {html} is the synth expression below; chr(10) stands in
+# for the newline replacement (no escape processing in SQL literals).
+ORACLE_SYNTH_HTML = """
+'<html><head><title>Doc ' || doc_id || '</title></head><body><h1>' || source || '</h1>'
+|| CASE doc_id % 4
+     WHEN 1 THEN '<script type="text/javascript">var x = 1 < 2;</script><p><b>' || {esc} || '</b></p>'
+     WHEN 2 THEN '<style>.c{{color:red}}</style><div>' || {esc} || '</div><!-- tracker <img> -->'
+     WHEN 3 THEN '<p class="a" data-x=''1''>' || {esc} || '</p><br><span>tail ' || source || '</span>'
+     ELSE '<p>' || {esc} || '</p>'
+   END
+|| '</body></html>'
+"""
+
+ORACLE_ESC_TEXT = (
+    "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+)
+
+# applied innermost-first; mirror of extract_html_text
+ORACLE_EXTRACT_STEPS = [
+    ("regexp_replace({x}, '(?s)<script[^>]*>.*?</script>', '', 'g')"),
+    ("regexp_replace({x}, '(?s)<style[^>]*>.*?</style>', '', 'g')"),
+    ("regexp_replace({x}, '(?s)<!--.*?-->', '', 'g')"),
+    ("regexp_replace({x}, '</(p|div|h1|h2|h3|li|tr|title)>|<br */?>', chr(10), 'g')"),
+    ("regexp_replace({x}, '<[^>]*>', '', 'g')"),
+    ("replace({x}, '&lt;', '<')"),
+    ("replace({x}, '&gt;', '>')"),
+    ("replace({x}, '&nbsp;', ' ')"),
+    ("replace({x}, '&amp;', '&')"),
+    ("regexp_replace({x}, '[ \\t]+', ' ', 'g')"),
+    ("regexp_replace({x}, ' ?\\n ?', chr(10), 'g')"),
+    ("regexp_replace({x}, '\\n+', chr(10), 'g')"),
+    ("regexp_replace({x}, '^\\n|\\n$', '', 'g')"),
+]
+
+
+def oracle_extract_sql(inner: str) -> str:
+    """Compose the DuckDB extraction expression around ``inner``."""
+    x = inner
+    for step in ORACLE_EXTRACT_STEPS:
+        x = step.format(x=x)
+    return x

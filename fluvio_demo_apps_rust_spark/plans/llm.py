@@ -4229,3 +4229,61 @@ def llm_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("tok_digest", F.md5(F.lit(""))).alias("tok_digest"),
         )
     )
+
+
+_HTML_SYNTH_SQL = W.ORACLE_SYNTH_HTML.format(esc=W.ORACLE_ESC_TEXT)
+_HTML_EXTRACT_SQL = W.oracle_extract_sql("html")
+
+
+@register(
+    "llm_html_extract",
+    tags=("llm", "web", "html", "extract"),
+    oracle=f"""
+WITH h AS (SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents),
+x AS (SELECT doc_id, html, {_HTML_EXTRACT_SQL} AS txt FROM h)
+SELECT doc_id,
+       CAST(length(html) AS BIGINT) AS html_len,
+       CAST(length(txt) AS BIGINT) AS text_len,
+       CAST(CASE WHEN txt = '' THEN 0
+                 ELSE length(txt) - length(replace(txt, chr(10), '')) + 1
+            END AS BIGINT) AS n_lines,
+       md5(txt) AS text_digest,
+       floor(length(txt)::DOUBLE / length(html)::DOUBLE * 1000000 + 0.5)
+         / 1000000.0 AS extract_ratio
+FROM x
+""",
+)
+def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> TEXT extraction — the crawl-pipeline stage that runs
+    BEFORE llm_url_dedup's dedup and FEEDS the C4/boilerplate/quality
+    kernels: strip <script>/<style>/comments, turn block-tag closes
+    and <br> into line breaks (the C4 line kernels consume line
+    structure), strip remaining tags, decode basic entities, and
+    normalize whitespace. The testdata has no HTML column, so a
+    deterministic messy page is synthesized per row (4 variants —
+    script with a bare '<' inside, style + comment, attribute-heavy
+    + <br>, plain) with the document text ENTITY-ESCAPED into it; the
+    md5 digest of the extracted text hash-gates the full round-trip
+    against the DuckDB twin (functions/web.py keeps both regex sets
+    side by side). Property-tested idempotent and '<'-free in
+    tests/test_web_html.py.
+
+    100 TB shape: entirely row-local regexp/replace codegen — no
+    shuffle, no Python; the one scan prunes to (doc_id, source,
+    text)."""
+    d = load(spark, sf_dir, "documents")
+    html = W.synth_html(F.col("doc_id"), F.col("source"), F.col("text"))
+    x = d.select("doc_id", html.alias("html")).select(
+        "doc_id", "html", W.extract_html_text(F.col("html")).alias("txt")
+    )
+    nl = F.length("txt") - F.length(F.replace(F.col("txt"), F.lit("\n"), F.lit("")))
+    return x.select(
+        "doc_id",
+        F.length("html").cast("long").alias("html_len"),
+        F.length("txt").cast("long").alias("text_len"),
+        F.when(F.col("txt") == "", F.lit(0)).otherwise(nl + 1).cast("long").alias("n_lines"),
+        F.md5("txt").alias("text_digest"),
+        fround(F.length("txt").cast("double") / F.length("html").cast("double"), 6).alias(
+            "extract_ratio"
+        ),
+    )
