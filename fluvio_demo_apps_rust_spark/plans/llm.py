@@ -4287,3 +4287,184 @@ def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "extract_ratio"
         ),
     )
+
+
+@register(
+    "llm_robots_filter",
+    tags=("llm", "web", "robots", "filter"),
+    oracle=f"""
+WITH canon AS (
+{_URL_CANON_CTE}
+),
+u AS (
+  SELECT doc_id,
+         regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+         regexp_extract(canonical_url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path
+  FROM canon),
+rules AS (
+  SELECT 'www.' || source || '.example.com' AS host,
+         ['/docs/page-' || CAST(length(source) % 8 AS VARCHAR),
+          '/docs/page-1'] AS prefixes
+  FROM (SELECT DISTINCT source FROM documents))
+SELECT u.doc_id, u.host, u.path,
+       CAST(len(list_filter(r.prefixes, p -> starts_with(u.path, p))) AS BIGINT)
+           AS n_rules_matched,
+       len(list_filter(r.prefixes, p -> starts_with(u.path, p))) > 0 AS disallowed
+FROM u JOIN rules r ON r.host = u.host
+""",
+)
+def llm_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt-style crawl filtering — the politeness gate between
+    URL canonicalization (llm_url_dedup) and fetching/extraction
+    (llm_html_extract): per-host disallow PATH-PREFIX rules (real
+    robots semantics: a rule matches any path it prefixes, so
+    '/docs/page-1' also blocks page-10..19), any match → disallowed.
+    The testdata has no robots corpus, so rules are derived
+    deterministically per host (two prefixes: one keyed on
+    length(source) % 8, plus the wide '/docs/page-1') identically on
+    both engines; the logic under the gate is host extraction, path
+    extraction, and the prefix-match fold.
+
+    100 TB shape: the rules relation is HOST-count sized (a distinct
+    over the low-cardinality source column, never a corpus-keyed
+    shuffle on the probe side); the join is left UNHINTED because the
+    rules subtree still SCANS the sf-linear documents table — AQE
+    picks the broadcast at runtime from the measured post-distinct
+    size, which stays correct even if host cardinality explodes (the
+    repo's no-forced-broadcast-of-sf-linear-scans invariant). The
+    corpus side is one row-local projection + the hash join + a
+    codegen filter/size fold over the per-host prefix array."""
+    docs = load(spark, sf_dir, "documents")
+    url = W.synth_url(F.col("doc_id"), F.col("source"))
+    canon = docs.select(
+        "doc_id", W.canonicalize_url(url).alias("canonical_url")
+    ).select(
+        "doc_id",
+        W.url_host(F.col("canonical_url")).alias("host"),
+        F.regexp_extract(F.col("canonical_url"), r"^[a-z]+://[^/?#]+([^?#]*)", 1).alias(
+            "path"
+        ),
+    )
+    rules = (
+        docs.select("source")
+        .distinct()
+        .select(
+            F.concat(F.lit("www."), F.col("source"), F.lit(".example.com")).alias("host"),
+            F.array(
+                F.concat(F.lit("/docs/page-"), (F.length("source") % 8).cast("string")),
+                F.lit("/docs/page-1"),
+            ).alias("prefixes"),
+        )
+    )
+    matched = F.size(
+        F.filter(F.col("prefixes"), lambda p: F.startswith(F.col("path"), p))
+    )
+    return (
+        canon.join(rules, "host")
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            matched.cast("long").alias("n_rules_matched"),
+            (matched > 0).alias("disallowed"),
+        )
+    )
+
+
+@register(
+    "llm_wer_eval",
+    tags=("llm", "text", "eval", "wer"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter({_TOKS}, w -> length(w) >= 1) AS ref_toks,
+         substr(trim(text), 1, 500) AS ref_sub
+  FROM documents),
+h AS (
+  SELECT doc_id, ref_toks, ref_sub,
+         list_transform(
+           list_filter(ref_toks, (w, i) -> (i - 1) % 7 != 3),
+           w -> CASE WHEN w = 'the' THEN 'teh' ELSE w END) AS hyp_toks
+  FROM t),
+e AS (
+  SELECT doc_id,
+         CAST(len(ref_toks) AS BIGINT) AS n_ref_words,
+         CAST(len(hyp_toks) AS BIGINT) AS n_hyp_words,
+         array_to_string(list_transform(ref_toks,
+           w -> chr(CAST(97 + (length(w) * 7 + ascii(w)) % 26 AS INTEGER))), '') AS enc_ref,
+         array_to_string(list_transform(hyp_toks,
+           w -> chr(CAST(97 + (length(w) * 7 + ascii(w)) % 26 AS INTEGER))), '') AS enc_hyp,
+         ref_sub,
+         substr(array_to_string(hyp_toks, ' '), 1, 500) AS hyp_sub
+  FROM h)
+SELECT doc_id, n_ref_words, n_hyp_words,
+       CAST(levenshtein(enc_ref, enc_hyp) AS BIGINT) AS wer_dist,
+       floor(levenshtein(enc_ref, enc_hyp)::DOUBLE / n_ref_words::DOUBLE
+             * 1000000 + 0.5) / 1000000.0 AS wer,
+       floor(levenshtein(ref_sub, hyp_sub)::DOUBLE / length(ref_sub)::DOUBLE
+             * 1000000 + 0.5) / 1000000.0 AS cer
+FROM e
+""",
+)
+def llm_wer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WER/CER EVALUATION — the metric layer an ASR/OCR-sourced
+    training-data pipeline runs to score transcription quality before
+    admitting text. The hypothesis is a deterministic corruption of
+    the reference (drop every 7th word, 'the'→'teh'), mirrored on
+    both engines, so the gate verifies the METRIC implementation.
+    WER: word-level Levenshtein computed by compressing each word to
+    one of 26 symbols (chr(97 + (7·len + ascii-of-first-char) % 26))
+    and running the engines' native character Levenshtein on the
+    encoded strings — a true word-alignment distance up to encoding
+    collisions (~1/26 per differing word pair, an UNDERCOUNT; the
+    encoding is identical on both engines so the gate is exact even
+    where the metric is approximate — documented like the
+    transcendental residuals). CER: character Levenshtein on the
+    first 500 chars (capped: Levenshtein is O(len²) per row, so a
+    100 TB eval bounds the window; the cap is part of the metric's
+    definition here, both engines).
+
+    100 TB shape: entirely row-local (split, HOF transforms, two
+    levenshteins) — no shuffle, no Python; the scan prunes to
+    (doc_id, text)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.filter(TX.tokens("text"), lambda w: F.length(w) >= 1).alias("ref_toks"),
+        F.substring(F.trim(F.col("text")), 1, 500).alias("ref_sub"),
+    )
+    h = t.select(
+        "doc_id",
+        "ref_toks",
+        "ref_sub",
+        F.transform(
+            F.filter(F.col("ref_toks"), lambda w, i: (i % 7) != 3),
+            lambda w: F.when(w == "the", F.lit("teh")).otherwise(w),
+        ).alias("hyp_toks"),
+    )
+    enc = "w -> char(97 + (length(w) * 7 + ascii(w)) % 26)"
+    e = h.select(
+        "doc_id",
+        F.size("ref_toks").cast("long").alias("n_ref_words"),
+        F.size("hyp_toks").cast("long").alias("n_hyp_words"),
+        F.array_join(F.expr(f"transform(ref_toks, {enc})"), "").alias("enc_ref"),
+        F.array_join(F.expr(f"transform(hyp_toks, {enc})"), "").alias("enc_hyp"),
+        "ref_sub",
+        F.substring(F.array_join("hyp_toks", " "), 1, 500).alias("hyp_sub"),
+    )
+    return e.select(
+        "doc_id",
+        "n_ref_words",
+        "n_hyp_words",
+        F.levenshtein("enc_ref", "enc_hyp").cast("long").alias("wer_dist"),
+        fround(
+            F.levenshtein("enc_ref", "enc_hyp").cast("double")
+            / F.col("n_ref_words").cast("double"),
+            6,
+        ).alias("wer"),
+        fround(
+            F.levenshtein("ref_sub", "hyp_sub").cast("double")
+            / F.length("ref_sub").cast("double"),
+            6,
+        ).alias("cer"),
+    )

@@ -110,6 +110,22 @@ QUERIES = [
     # trip as the floor
     "llm_greedy_pack_audit",
     "llm_dedup_threshold_sweep",
+    # r9 (VERDICT r8 #6): the last sf-dependent r8 queries with no probe
+    # row — cross-source transfer (two filtered dedups + one audit agg)
+    # and the chained-watermark / stream-static streaming pair (their
+    # sources scale with sf even though the machinery floor dominates
+    # at these sizes). Plus the r9 additions: batched-BPE train+apply
+    # (vocabulary-sized training aggregates + one corpus join), the
+    # all-codegen HTML extractor (row-local regex — growth should head
+    # toward the data step once the stage floor amortizes), and the
+    # mixed-sign selection median (same bounded-histogram shape as
+    # q101, probed to pin the floor-division bin change).
+    "llm_crossdedup_transfer",
+    "q100_stream_chained_agg",
+    "q103_stream_static_enrich",
+    "llm_bpe_tokenize",
+    "llm_html_extract",
+    "q105_negative_median",
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "docs" / "SCALING.md"
