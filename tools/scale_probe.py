@@ -133,6 +133,21 @@ OUT = Path(__file__).resolve().parent.parent / "docs" / "SCALING.md"
 # Emitted verbatim at the end of every regenerated SCALING.md — standing
 # context that must survive re-probes (this file is fully overwritten).
 STANDING_NOTES = """
+## Probe coverage policy (r9)
+
+The probe list is representative, not exhaustive: every sf-DEPENDENT
+query family has at least one probed member biased to its
+shuffle-heaviest shape, and a family member's row stands in for
+same-kernel siblings (e.g. llm_minhash_lsh_pairs covers the
+signature/banding kernels shared by jaccard_est/signature/sweep;
+q101/q102/q105 cover operators/selection.py). Exempt by construction,
+with reasons: fixed-fixture CDC replays (pet scenario binlogs — input
+size is the fixture, not sf), constant-output streaming checks whose
+microbatch count is pinned by the test harness, and bounded-output
+eval/audit aggregates that read ONLY the output of an already-probed
+kernel. Any NEW shuffle or explode shape must get its own row (the
+r8/r9 additions above follow that rule).
+
 ## PIL parity test status (r8)
 
 tests/test_media_png.py's `test_native_decode_matches_stdlib_codec`
