@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
 # Unlike _PRIORITY, missing names here are skipped, not fatal.
 _FORWARD: tuple[str, ...] = (
     "llm_bpe_tokenize",
+    "llm_bpe_tokenize_arrow",
     "llm_html_extract",
     "llm_html_extract_stats",
     "llm_robots_filter",

@@ -4468,3 +4468,95 @@ def llm_wer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cer"),
     )
+
+
+from .base import REGISTRY as _REGISTRY  # noqa: E402  (same-module oracle reuse)
+
+
+@register(
+    "llm_bpe_tokenize_arrow",
+    tags=("llm", "text", "tokenizer", "bpe", "arrow"),
+    oracle=_REGISTRY["llm_bpe_tokenize"].oracle,
+)
+def llm_bpe_tokenize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED BPE table applied through the ARROW iterator at
+    CORPUS scale — the production shape when the tokenizer is a Python
+    library: train the merge table distributed (functions/text.
+    bpe_train — the same 3×8 batched generations as llm_bpe_tokenize),
+    ship the 24-rule list into a mapInPandas closure, and tokenize
+    each document batch-columnar with a per-batch UNIQUE-WORD cache
+    (tokenize each distinct word once via the vectorized pandas
+    replace chain, then map — the word-level memoization every real
+    BPE implementation does). Gated against the IDENTICAL DuckDB
+    oracle as llm_bpe_tokenize, so the JVM replace-chain path and the
+    Arrow path are both hash-pinned to the same retrained-in-SQL
+    truth — the strongest form of the swap-in guarantee.
+
+    100 TB shape: training cost is vocabulary-sized (shared kernel);
+    apply is embarrassingly parallel — no join at all (unlike the JVM
+    path's word join): one narrow Arrow projection per partition
+    after an explicit repartition off the single-row-group fixture
+    files, with the merge table as a 24-element closure constant."""
+    import pandas as pd  # noqa: F401
+
+    from ..functions.text import bpe_apply_merges_pandas, bpe_spaced_state, bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(TX.tokens("text")).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    _state, merges = bpe_train(bpe_spaced_state(words))
+
+    def tok(batches):
+        import hashlib
+
+        import pandas as pd
+
+        cache: dict[str, str] = {}
+
+        def word_lists(texts: pd.Series) -> pd.Series:
+            # Java \s spelled out ([ \t\n\x0B\f\r] — ASCII-only, unlike
+            # Python's Unicode \s), same divergence class as the
+            # llm_udf_tokenize_arrow r8 ADVICE fix; empty edge tokens
+            # from leading/trailing whitespace are filtered below on
+            # all three paths (JVM, Arrow, oracle)
+            return texts.str.lower().str.split(r"[ \t\n\x0b\f\r]+", regex=True)
+
+        for pdf in batches:
+            wls = word_lists(pdf["text"])
+            # batch-level unique-word memoization: tokenize each new
+            # distinct word ONCE through the vectorized replace chain
+            fresh = sorted(
+                {w for ws in wls for w in ws if w and w not in cache}
+            )
+            if fresh:
+                s = pd.Series(fresh)
+                cache.update(zip(fresh, bpe_apply_merges_pandas(s, merges)))
+            n_words, n_tokens, n_merged, digests = [], [], [], []
+            for ws in wls:
+                ws = [w for w in ws if w]
+                toks = [cache[w] for w in ws]
+                n_words.append(len(ws))
+                n_tokens.append(sum(t.count(" ") + 1 for t in toks))
+                n_merged.append(
+                    sum(1 for t in toks for p in t.split(" ") if len(p) > 1)
+                )
+                digests.append(hashlib.md5("|".join(toks).encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_tokens": pd.Series(n_tokens, dtype="int64"),
+                    "n_merged_tokens": pd.Series(n_merged, dtype="int64"),
+                    "tok_digest": digests,
+                }
+            )
+
+    return d.select("doc_id", "text").repartition(32).mapInPandas(
+        tok,
+        "doc_id bigint, n_words bigint, n_tokens bigint, "
+        "n_merged_tokens bigint, tok_digest string",
+    )
