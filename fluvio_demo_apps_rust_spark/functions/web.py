@@ -231,3 +231,35 @@ def oracle_extract_sql(inner: str) -> str:
     for step in ORACLE_EXTRACT_STEPS:
         x = step.format(x=x)
     return x
+
+
+def robots_rules(docs: "DataFrame") -> "DataFrame":
+    """Deterministic per-host disallow rules (host, prefixes) derived
+    from the distinct sources — the synthetic robots corpus shared by
+    llm_robots_filter and llm_web_pipeline. The relation is host-count
+    sized; the join into the corpus is left unhinted so AQE sizes the
+    broadcast at runtime (the subtree scans the sf-linear documents
+    table, so a forced broadcast would trip the repo invariant)."""
+    return (
+        docs.select("source")
+        .distinct()
+        .select(
+            F.concat(F.lit("www."), F.col("source"), F.lit(".example.com")).alias(
+                "host"
+            ),
+            F.array(
+                F.concat(
+                    F.lit("/docs/page-"), (F.length("source") % 8).cast("string")
+                ),
+                F.lit("/docs/page-1"),
+            ).alias("prefixes"),
+        )
+    )
+
+
+ORACLE_ROBOTS_RULES = """
+SELECT 'www.' || source || '.example.com' AS host,
+       ['/docs/page-' || CAST(length(source) % 8 AS VARCHAR),
+        '/docs/page-1'] AS prefixes
+FROM (SELECT DISTINCT source FROM documents)
+"""

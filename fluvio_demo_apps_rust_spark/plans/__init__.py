@@ -98,6 +98,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_html_extract",
     "llm_html_extract_stats",
     "llm_robots_filter",
+    "llm_web_pipeline",
     "llm_wer_eval",
     "llm_decontam_ngram_overlap",
     "q105_negative_median",

@@ -4302,10 +4302,8 @@ u AS (
          regexp_extract(canonical_url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path
   FROM canon),
 rules AS (
-  SELECT 'www.' || source || '.example.com' AS host,
-         ['/docs/page-' || CAST(length(source) % 8 AS VARCHAR),
-          '/docs/page-1'] AS prefixes
-  FROM (SELECT DISTINCT source FROM documents))
+{W.ORACLE_ROBOTS_RULES}
+)
 SELECT u.doc_id, u.host, u.path,
        CAST(len(list_filter(r.prefixes, p -> starts_with(u.path, p))) AS BIGINT)
            AS n_rules_matched,
@@ -4345,17 +4343,7 @@ def llm_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "path"
         ),
     )
-    rules = (
-        docs.select("source")
-        .distinct()
-        .select(
-            F.concat(F.lit("www."), F.col("source"), F.lit(".example.com")).alias("host"),
-            F.array(
-                F.concat(F.lit("/docs/page-"), (F.length("source") % 8).cast("string")),
-                F.lit("/docs/page-1"),
-            ).alias("prefixes"),
-        )
-    )
+    rules = W.robots_rules(docs)
     matched = F.size(
         F.filter(F.col("prefixes"), lambda p: F.startswith(F.col("path"), p))
     )
@@ -4559,4 +4547,122 @@ def llm_bpe_tokenize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok,
         "doc_id bigint, n_words bigint, n_tokens bigint, "
         "n_merged_tokens bigint, tok_digest string",
+    )
+
+
+@register(
+    "llm_web_pipeline",
+    tags=("llm", "web", "pipeline", "e2e"),
+    oracle=f"""
+WITH canon AS (
+{_URL_CANON_CTE}
+),
+u AS (
+  SELECT doc_id, canonical_url,
+         regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+         regexp_extract(canonical_url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path
+  FROM canon),
+rules AS (
+{W.ORACLE_ROBOTS_RULES}
+),
+f AS (
+  SELECT u.doc_id, u.canonical_url, u.host,
+         len(list_filter(r.prefixes, p -> starts_with(u.path, p))) > 0 AS disallowed
+  FROM u JOIN rules r ON r.host = u.host),
+s1 AS (
+  SELECT host,
+         CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(sum(CASE WHEN disallowed THEN 1 ELSE 0 END) AS BIGINT) AS n_robots_blocked
+  FROM f GROUP BY host),
+d AS (
+  SELECT canonical_url, host, min(doc_id) AS doc_id
+  FROM f WHERE NOT disallowed
+  GROUP BY canonical_url, host),
+x AS (
+  SELECT d.host, length({_HTML_EXTRACT_SQL}) AS text_len
+  FROM d JOIN (SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents) h
+    ON h.doc_id = d.doc_id),
+s2 AS (
+  SELECT host,
+         CAST(count(*) AS BIGINT) AS n_unique_pages,
+         CAST(sum(CASE WHEN text_len >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+         CAST(sum(CASE WHEN text_len >= 200 THEN text_len ELSE 0 END) AS BIGINT) AS total_text_chars
+  FROM x GROUP BY host)
+SELECT s1.host, s1.n_urls, s1.n_robots_blocked,
+       s2.n_unique_pages, s2.n_quality_pass, s2.total_text_chars
+FROM s1 JOIN s2 ON s2.host = s1.host
+""",
+)
+def llm_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed WEB FIRST STAGE end-to-end — what a crawl-derived
+    pretraining corpus runs before any content-level curation, chained
+    from the engine's own proven operators: URL canonicalization
+    (llm_url_dedup's kernel) → robots path-prefix filter
+    (llm_robots_filter) → canonical-URL dedup (keep min doc_id per
+    page) → HTML→text extraction (llm_html_extract) → a minimum-length
+    quality gate (≥200 extracted chars) → the per-host ATTRITION
+    LEDGER (urls seen, robots-blocked, unique pages, quality passes,
+    total extracted chars) — the table a crawl operator actually reads
+    to monitor the funnel.
+
+    100 TB shape: two corpus shuffles total — the canonical-URL dedup
+    hash-aggregate and the per-host ledger aggregates; robots rules
+    are host-count sized (AQE broadcast, unhinted); extraction runs
+    only on dedup SURVIVORS (the funnel order matters: extract after
+    dedup, never before); everything else is row-local codegen."""
+    docs = load(spark, sf_dir, "documents")
+    url = W.synth_url(F.col("doc_id"), F.col("source"))
+    u = docs.select(
+        "doc_id", W.canonicalize_url(url).alias("canonical_url")
+    ).select(
+        "doc_id",
+        "canonical_url",
+        W.url_host(F.col("canonical_url")).alias("host"),
+        F.regexp_extract(F.col("canonical_url"), r"^[a-z]+://[^/?#]+([^?#]*)", 1).alias(
+            "path"
+        ),
+    )
+    f = u.join(W.robots_rules(docs), "host").select(
+        "doc_id",
+        "canonical_url",
+        "host",
+        (
+            F.size(F.filter(F.col("prefixes"), lambda p: F.startswith(F.col("path"), p)))
+            > 0
+        ).alias("disallowed"),
+    )
+    s1 = f.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.col("disallowed").cast("long")).alias("n_robots_blocked"),
+    )
+    d = (
+        f.where(~F.col("disallowed"))
+        .groupBy("canonical_url", "host")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    # join FIRST, extract AFTER: only dedup survivors pay the regex
+    # chain (the funnel order the docstring promises — a pre-join
+    # projection would extract every doc, and Catalyst cannot prune
+    # compute through a join build side)
+    html = W.synth_html(F.col("doc_id"), F.col("source"), F.col("text"))
+    kept = d.join(docs.select("doc_id", "source", "text"), "doc_id").select(
+        "host", F.length(W.extract_html_text(html)).alias("text_len")
+    )
+    s2 = (
+        kept.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_pages"),
+            F.sum((F.col("text_len") >= 200).cast("long")).alias("n_quality_pass"),
+            F.sum(
+                F.when(F.col("text_len") >= 200, F.col("text_len")).otherwise(F.lit(0))
+            ).cast("long").alias("total_text_chars"),
+        )
+    )
+    return s1.join(s2, "host").select(
+        "host",
+        "n_urls",
+        "n_robots_blocked",
+        "n_unique_pages",
+        "n_quality_pass",
+        "total_text_chars",
     )
