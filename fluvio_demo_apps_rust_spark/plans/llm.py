@@ -4666,3 +4666,74 @@ def llm_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_quality_pass",
         "total_text_chars",
     )
+
+
+@register(
+    "llm_decontam_ngram_overlap",
+    tags=("llm", "curation", "decontamination", "eval"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+s8 AS (
+  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_toks,
+         list_distinct([array_to_string(t[i:i+7], ' ')
+                        for i in generate_series(1, len(t) - 7)]) AS shs
+  FROM t),
+bench AS (SELECT DISTINCT unnest(shs) AS sh FROM s8 WHERE doc_id % 50 = 0),
+bad AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, unnest(shs) AS sh FROM s8 WHERE doc_id % 50 <> 0) c
+  JOIN bench b ON b.sh = c.sh),
+led AS (
+  SELECT s.source, s.n_toks, (bad.doc_id IS NOT NULL) AS removed
+  FROM s8 s LEFT JOIN bad ON bad.doc_id = s.doc_id
+  WHERE s.doc_id % 50 <> 0)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       floor(sum(CASE WHEN removed THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE
+             * 1000000 + 0.5) / 1000000.0 AS removed_frac,
+       CAST(sum(CASE WHEN removed THEN 0 ELSE n_toks END) AS BIGINT) AS tokens_kept
+FROM led
+GROUP BY source
+""",
+)
+def llm_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION as a REMOVAL pass with its audit
+    ledger — the GPT-3-style long-n-gram collision rule
+    (an 8-gram here; Brown et al. used 13-grams on much longer
+    documents) where llm_contamination only SCORES: any corpus
+    document sharing at least one 8-gram with the held-out benchmark
+    set (every 50th doc) is dropped, and the ledger reports per-source
+    attrition — docs seen, docs removed, removal fraction, and the
+    token budget that SURVIVES (the number the mixture/packing stages
+    consume). Long n-grams make the rule high-precision: only
+    verbatim-overlap docs (the planted near-dups) trip it.
+
+    100 TB shape: the benchmark side reduces to its distinct 8-gram
+    set (eval benchmarks are tiny vs the corpus); the corpus explode
+    feeds ONE semi-join on the gram key and a distinct on doc_id; the
+    ledger is a |sources|-row aggregate. Same kernel scale class as
+    the probed llm_contamination (docs/SCALING.md coverage policy)."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    bsh = bench.select(F.explode(X.word_shingles("text", n=8)).alias("sh")).distinct()
+    csh = corpus.select("doc_id", F.explode(X.word_shingles("text", n=8)).alias("sh"))
+    bad = csh.join(bsh, "sh", "left_semi").select("doc_id").distinct()
+    led = (
+        corpus.select("doc_id", "source", TX.ws_token_count("text").cast("long").alias("n_toks"))
+        .join(bad.withColumn("removed", F.lit(True)), "doc_id", "left")
+        .select("source", "n_toks", F.coalesce("removed", F.lit(False)).alias("removed"))
+    )
+    return led.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("removed").cast("long")).alias("n_removed"),
+        fround(
+            F.sum(F.col("removed").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("removed_frac"),
+        F.sum(F.when(F.col("removed"), F.lit(0)).otherwise(F.col("n_toks"))).cast(
+            "long"
+        ).alias("tokens_kept"),
+    )
