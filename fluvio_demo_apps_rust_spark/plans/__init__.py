@@ -96,7 +96,6 @@ _FORWARD: tuple[str, ...] = (
     "llm_bpe_tokenize",
     "llm_bpe_tokenize_arrow",
     "llm_html_extract",
-    "llm_html_extract_stats",
     "llm_robots_filter",
     "llm_web_pipeline",
     "llm_wer_eval",

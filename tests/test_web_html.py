@@ -96,3 +96,28 @@ def test_html_extract_oracle_twin_parity(spark):
     )
     oracle = {r[0]: r[1] for r in con.execute(sql).fetchall()}
     assert oracle == got
+
+
+def test_web_pipeline_funnel_invariants(spark):
+    """The attrition ledger must be a true funnel per host:
+    unique pages <= allowed urls (dedup can only shrink), quality
+    passes <= unique pages, chars counted only for passing pages
+    (>= 200 each), and robots must block SOMETHING somewhere (the
+    synthetic rules are built to bite) while never blocking all."""
+    from fluvio_demo_apps_rust_spark.plans import REGISTRY
+
+    rows = (
+        REGISTRY["llm_web_pipeline"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    total_blocked = 0
+    for r in rows:
+        assert 0 <= r.n_robots_blocked <= r.n_urls, r
+        assert r.n_unique_pages <= r.n_urls - r.n_robots_blocked, r
+        assert 0 <= r.n_quality_pass <= r.n_unique_pages, r
+        assert r.total_text_chars >= 200 * r.n_quality_pass, r
+        total_blocked += r.n_robots_blocked
+    assert total_blocked > 0
+    assert sum(r.n_unique_pages for r in rows) > 0
