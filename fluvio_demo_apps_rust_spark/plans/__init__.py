@@ -101,6 +101,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_wer_eval",
     "llm_decontam_ngram_overlap",
     "q105_negative_median",
+    "llm_random_projection",
 )
 
 

@@ -4737,3 +4737,100 @@ def llm_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ).alias("tokens_kept"),
     )
+
+
+def _jl_signs(out_dims: int = 16, in_dims: int = 64) -> list[list[float]]:
+    """Deterministic ±1 projection matrix: sign(k, j) from md5 of
+    'k_j' — computed ONCE at import with hashlib (engine-independent)
+    and inlined as literals into BOTH the Spark expression and the
+    DuckDB oracle, so no per-row hashing anywhere."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{k}_{j}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for j in range(in_dims)
+        ]
+        for k in range(out_dims)
+    ]
+
+
+_JL = _jl_signs()
+
+
+def _jl_spark(k: int) -> str:
+    arr = ",".join(f"{s}D" for s in _JL[k])
+    return (
+        f"aggregate(zip_with(embedding, array({arr}), "
+        f"(x, s) -> cast(x AS double) * s), cast(0.0 AS double), "
+        f"(acc, v) -> acc + v) * 0.25D"
+    )
+
+
+def _jl_sql(k: int) -> str:
+    arr = ",".join(str(s) for s in _JL[k])
+    return (
+        f"list_sum([CAST(embedding[i] AS DOUBLE) * ([{arr}])[i] "
+        f"for i in generate_series(1, 64)]) * 0.25"
+    )
+
+
+_JL_SUMSQ = " + ".join(f"p{k} * p{k}" for k in range(16))
+
+
+@register(
+    "llm_random_projection",
+    tags=("llm", "ann", "embedding", "projection"),
+    oracle=f"""
+WITH p AS (
+  SELECT vec_id,
+         {", ".join(f"{_jl_sql(k)} AS p{k}" for k in range(16))},
+         list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                   for i in generate_series(1, 64)]) AS nx
+  FROM embeddings)
+SELECT vec_id,
+       floor(p0 * 1000000 + 0.5) / 1000000.0 AS p0_q,
+       md5(concat_ws(',',
+           {", ".join(f"CAST(floor(p{k} * 1000000 + 0.5) AS BIGINT)" for k in range(16))}
+       )) AS proj_digest,
+       floor(({_JL_SUMSQ}) / nx * 1000000 + 0.5) / 1000000.0 AS norm_ratio
+FROM p
+""",
+)
+def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss RANDOM PROJECTION 64→16 dims — the
+    dimensionality-reduction front end an embedding dedup/ANN stack
+    runs before clustering or coarse quantization: a ±1 sign matrix
+    (Achlioptas' database-friendly JL construction) scaled by
+    1/√16 = 0.25 (exact). The matrix is a deterministic md5-derived
+    CONSTANT inlined as literals on both engines — no per-row hashing.
+    Every output component is pinned: the 16 projected values are
+    6-dp-quantized into BIGINTs and md5-digested per vector, and the
+    emitted norm_ratio (‖proj‖²/‖x‖², the quantity JL bounds around 1)
+    is the distortion metric an operator actually monitors.
+
+    100 TB shape: embarrassingly parallel — one narrow projection per
+    row (16 fixed left-to-right folds over 64 terms, whole-stage
+    codegen), no shuffle, no Python; the oracle computes the same
+    left-to-right list_sum folds (the proven ANN-family pairing)."""
+    e = load(spark, sf_dir, "embeddings")
+    p = e.select(
+        "vec_id",
+        *[F.expr(_jl_spark(k)).alias(f"p{k}") for k in range(16)],
+        F.expr(
+            "aggregate(embedding, cast(0.0 AS double), "
+            "(acc, x) -> acc + cast(x AS double) * cast(x AS double))"
+        ).alias("nx"),
+    )
+    qs = [
+        F.floor(F.col(f"p{k}") * F.lit(1e6) + F.lit(0.5)).cast("bigint").cast("string")
+        for k in range(16)
+    ]
+    return p.select(
+        "vec_id",
+        fround(F.col("p0"), 6).alias("p0_q"),
+        F.md5(F.concat_ws(",", *qs)).alias("proj_digest"),
+        fround(F.expr(_JL_SUMSQ) / F.col("nx"), 6).alias("norm_ratio"),
+    )
