@@ -552,3 +552,60 @@ def test_bpe_arrow_apply_matches_jvm_chain(spark):
     # and at least one multi-generation (length>2) token must exist,
     # i.e. generation 2+ merged a generation-1 output
     assert any(len(t) > 2 for s in jvm.values() for t in s.split(" "))
+
+
+def _py_bpe_reference(word_counts, gens, per_gen):
+    """Pure-Python reference of the batched-generation BPE in
+    functions/text.bpe_train: spaced-state strings, per-generation
+    weighted pair counts, top-(per_gen) by (count DESC, a, b), applied
+    in rank order with str.replace's leftmost-nonoverlap semantics."""
+    state = {w: " " + " ".join(w) + " " for w in word_counts}
+    merges = []
+    for _ in range(gens):
+        counts = {}
+        for w, c in word_counts.items():
+            ts = state[w].strip().split(" ")
+            for a, b in zip(ts, ts[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:per_gen]
+        if not top:
+            break
+        for (a, b), _n in top:
+            merges.append((a, b))
+            for w in state:
+                state[w] = state[w].replace(f" {a} {b} ", f" {a}{b} ")
+    return {w: s.strip() for w, s in state.items()}, merges
+
+
+@pytest.mark.slow
+def test_bpe_three_paths_agree_on_random_corpora(spark):
+    """JVM replace chain (bpe_train), pandas/Arrow chain
+    (bpe_apply_merges_pandas), and the pure-Python reference must
+    produce the identical merge table AND identical tokenization on
+    random collision-heavy corpora (3-letter alphabet -> dense pair
+    ties, exercising the (count DESC, a ASC, b ASC) tie-break)."""
+    import random
+
+    import pandas as pd
+
+    from fluvio_demo_apps_rust_spark.functions.text import (
+        bpe_apply_merges_pandas,
+        bpe_spaced_state,
+        bpe_train,
+    )
+
+    rng = random.Random(909)
+    for trial in range(6):
+        words = {
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 7))): rng.randint(1, 9)
+            for _ in range(rng.randint(3, 25))
+        }
+        ref_state, ref_merges = _py_bpe_reference(words, gens=2, per_gen=3)
+        wdf = spark.createDataFrame(list(words.items()), "w string, c long")
+        state, merges = bpe_train(bpe_spaced_state(wdf), gens=2, per_gen=3)
+        assert merges == ref_merges, (trial, merges, ref_merges)
+        jvm = {r.w: r.s.strip() for r in state.collect()}
+        assert jvm == ref_state, trial
+        ws = pd.Series(sorted(words))
+        arrow = dict(zip(ws, bpe_apply_merges_pandas(ws, merges)))
+        assert arrow == ref_state, trial
