@@ -102,6 +102,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_decontam_ngram_overlap",
     "q105_negative_median",
     "llm_random_projection",
+    "llm_dedup_cascade",
 )
 
 

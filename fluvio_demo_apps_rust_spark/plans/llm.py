@@ -4834,3 +4834,174 @@ def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(",", *qs)).alias("proj_digest"),
         fround(F.expr(_JL_SUMSQ) / F.col("nx"), 6).alias("norm_ratio"),
     )
+
+
+@register(
+    "llm_dedup_cascade",
+    tags=("llm", "dedup", "pipeline", "e2e"),
+    oracle=f"""
+WITH canon AS (
+{_URL_CANON_CTE}
+),
+u1 AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canonical_url),
+u2 AS (
+  SELECT min(d.doc_id) AS doc_id
+  FROM documents d JOIN u1 ON u1.doc_id = d.doc_id
+  GROUP BY md5(d.text)),
+t AS (
+  SELECT d.doc_id, {_TOKS} AS t
+  FROM documents d JOIN u2 ON u2.doc_id = d.doc_id),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM t WHERE len(t) >= 3),
+hx AS (SELECT doc_id, {_HEX60.format(x='sh')} % 2147483647 AS x FROM sh),
+params AS (
+  SELECT j,
+         {_HEX60.format(x="'mh_a_' || j")} % 2147483646 + 1 AS a,
+         {_HEX60.format(x="'mh_b_' || j")} % 2147483647 AS b
+  FROM (SELECT unnest(generate_series(0, 15)) AS j)),
+mh AS (
+  SELECT doc_id, j, min((a * x + b) % 2147483647) AS mh
+  FROM hx CROSS JOIN params GROUP BY doc_id, j),
+buckets AS (
+  SELECT doc_id, j % 4 AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY j)) AS bucket
+  FROM mh GROUP BY doc_id, band),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id),
+est AS (
+  SELECT p.a, p.b,
+         sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 16.0 AS j_est
+  FROM pairs p
+  JOIN mh x ON x.doc_id = p.a
+  JOIN mh y ON y.doc_id = p.b AND y.j = x.j
+  GROUP BY p.a, p.b),
+u3 AS (
+  SELECT doc_id FROM u2
+  WHERE doc_id NOT IN (SELECT b FROM est WHERE j_est >= 0.75)),
+cand AS (
+  SELECT e.a, e.b FROM est e
+  JOIN u3 xa ON xa.doc_id = e.a
+  JOIN u3 xb ON xb.doc_id = e.b
+  WHERE e.j_est < 0.75),
+cosq AS (
+  SELECT c.a, c.b,
+         floor({_dot_sql('ea.embedding', 'eb.embedding')}
+               / ({_norm_sql('ea.embedding')} * {_norm_sql('eb.embedding')})
+               * 1000000 + 0.5) / 1000000.0 AS cos_q
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a
+  JOIN embeddings eb ON eb.vec_id = c.b),
+u4 AS (
+  SELECT doc_id FROM u3
+  WHERE doc_id NOT IN (SELECT b FROM cosq WHERE cos_q >= 0.2)),
+toks AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_toks FROM documents),
+led AS (
+  SELECT 0 AS stage_no, 'input' AS stage, doc_id FROM documents
+  UNION ALL SELECT 1, 'url_dedup', doc_id FROM u1
+  UNION ALL SELECT 2, 'exact_dedup', doc_id FROM u2
+  UNION ALL SELECT 3, 'minhash_dedup', doc_id FROM u3
+  UNION ALL SELECT 4, 'semantic_dedup', doc_id FROM u4)
+SELECT CAST(l.stage_no AS BIGINT) AS stage_no, l.stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tk.n_toks) AS BIGINT) AS total_tokens
+FROM led l JOIN toks tk ON tk.doc_id = l.doc_id
+GROUP BY l.stage_no, l.stage
+""",
+)
+def llm_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DEDUP CASCADE a pretraining lab actually runs, staged
+    cheap-to-expensive with a per-stage attrition ledger: URL
+    canonicalization dedup (llm_url_dedup) → exact content-hash dedup
+    → MinHash-LSH near-dup at j_est ≥ 0.75 (high-precision lexical
+    bar) → embedding-cosine semantic verdict at 6-dp-quantized
+    cos ≥ 0.2 over the REMAINING lexical candidates (the
+    llm_minhash_ann_hybrid composition: LSH proposes, cosine
+    disposes). Drop rule at every fuzzy stage: a document is removed
+    when ANY lower-id stage-survivor candidates it (min-id keeper —
+    the convention llm_semdedup and exact dedup already use, and
+    deterministic without iteration). The ledger emits
+    (stage, n_docs, total_tokens) — the funnel table that decides
+    whether another dedup pass is worth its cost.
+
+    100 TB shape: each stage's kernel is the already-proven one (hash
+    aggregates for stages 1–2; banded posting-list pairs and the
+    16-component agreement join for stage 3; pair-bounded 64-term
+    dots for stage 4); stages only ever SHRINK the active set, so the
+    expensive stages run on survivors (signatures computed only for
+    exact-dedup survivors). The ledger is a 5-row aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.ws_token_count("text").cast("long").alias("n_toks"))
+
+    url = W.synth_url(F.col("doc_id"), F.col("source"))
+    u1 = (
+        docs.select("doc_id", W.canonicalize_url(url).alias("cu"))
+        .groupBy("cu")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    u2 = (
+        docs.join(u1, "doc_id", "left_semi")
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept2 = docs.join(u2, "doc_id", "left_semi")
+    wide = X.minhash_wide(kept2)
+    pairs = X.lsh_candidate_pairs(X.lsh_band_buckets_wide(wide, bands=4))
+    a = wide.select(
+        F.col("doc_id").alias("a"), *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(16)]
+    )
+    b = wide.select(
+        F.col("doc_id").alias("b"), *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(16)]
+    )
+    matches = sum(
+        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0) for j in range(16)
+    )
+    est = pairs.join(a, "a").join(b, "b").select(
+        "a", "b", (matches / F.lit(16.0)).alias("j_est")
+    )
+    drop3 = est.where(F.col("j_est") >= 0.75).select(F.col("b").alias("doc_id")).distinct()
+    u3 = u2.join(drop3, "doc_id", "left_anti")
+    cand = (
+        est.where(F.col("j_est") < 0.75)
+        .join(u3.select(F.col("doc_id").alias("a")), "a", "left_semi")
+        .join(u3.select(F.col("doc_id").alias("b")), "b", "left_semi")
+    )
+    e = load(spark, sf_dir, "embeddings")
+    ea = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    cosq = (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .select(
+            "b",
+            fround(
+                S.dot("va", "vb") / (S.norm("va") * S.norm("vb")), 6
+            ).alias("cos_q"),
+        )
+    )
+    drop4 = cosq.where(F.col("cos_q") >= 0.2).select("b").withColumnRenamed("b", "doc_id").distinct()
+    u4 = u3.join(drop4, "doc_id", "left_anti")
+
+    def rung(no: int, name: str, ids: DataFrame) -> DataFrame:
+        return (
+            toks.join(ids, "doc_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("total_tokens"))
+            .select(
+                F.lit(no).cast("long").alias("stage_no"),
+                F.lit(name).alias("stage"),
+                "n_docs",
+                "total_tokens",
+            )
+        )
+
+    led = rung(0, "input", docs.select("doc_id"))
+    for no, name, ids in (
+        (1, "url_dedup", u1),
+        (2, "exact_dedup", u2),
+        (3, "minhash_dedup", u3),
+        (4, "semantic_dedup", u4),
+    ):
+        led = led.unionByName(rung(no, name, ids))
+    return led
