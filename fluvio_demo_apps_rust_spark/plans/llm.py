@@ -5005,3 +5005,123 @@ def llm_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         led = led.unionByName(rung(no, name, ids))
     return led
+
+
+@register(
+    "q106_stream_web_frontier",
+    tags=("llm", "web", "streaming", "dedup"),
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(1  AS BIGINT), 'https://www.alpha.example.com/p/0',      'www.alpha.example.com'),
+  (CAST(2  AS BIGINT), 'https://www.alpha.example.com/p/1',      'www.alpha.example.com'),
+  (CAST(3  AS BIGINT), 'https://www.alpha.example.com/p/2',      'www.alpha.example.com'),
+  (CAST(5  AS BIGINT), 'https://www.alpha.example.com/p/4',      'www.alpha.example.com'),
+  (CAST(6  AS BIGINT), 'https://www.alpha.example.com/p/5?id=2', 'www.alpha.example.com'),
+  (CAST(7  AS BIGINT), 'https://www.alpha.example.com/p/6',      'www.alpha.example.com'),
+  (CAST(8  AS BIGINT), 'https://www.alpha.example.com/p/7',      'www.alpha.example.com'),
+  (CAST(15 AS BIGINT), 'https://www.beta.example.com/p/0',       'www.beta.example.com'),
+  (CAST(17 AS BIGINT), 'https://www.beta.example.com/p/2',       'www.beta.example.com'),
+  (CAST(18 AS BIGINT), 'https://www.beta.example.com/p/3',       'www.beta.example.com')
+) t(url_id, canonical_url, host)
+""",
+)
+def q106_stream_web_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING crawl frontier — the continuous-ingestion face of the
+    web first stage: a URL stream is canonicalized row-locally,
+    robots-filtered via a stream-static join against the per-host
+    rules (blocked URLs never enter dedup state — frontier
+    semantics), then deduped on the canonical form ACROSS microbatches
+    with streaming dropDuplicates state. Two deterministic
+    microbatches (one file each, availableNow): batch 2 re-crawls
+    four batch-1 alpha pages under DIFFERENT mess variants (:443,
+    re-ordered tracking params, fragment, uppercased host) — all four
+    must dedup against batch-1 state — and introduces host beta, whose
+    '/p/1' rule blocks one URL. Duplicates never co-occur within a
+    batch, so the dropDuplicates survivor is deterministic. The
+    oracle is the hand-computed survivor table (the canonicalizer and
+    robots kernels are hash-gated corpus-wide by llm_url_dedup /
+    llm_robots_filter; what THIS gate pins is the streaming
+    composition and its cross-batch state).
+
+    100 TB shape: canonicalize and the prefix fold are row-local
+    codegen on the stream; rules are a static broadcast; dedup state
+    is one entry per distinct canonical URL — production would bound
+    it with dropDuplicatesWithinWatermark on crawl time (same plan,
+    bounded state)."""
+    import os
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    src = Path(tempfile.mkdtemp(prefix="q_swf_"))
+    b1 = [
+        (1, "https://www.alpha.example.com/p/0"),
+        (2, "HTTPS://WWW.ALPHA.EXAMPLE.COM/p/1"),
+        (3, "https://www.alpha.example.com:443/p/2"),
+        (4, "https://www.alpha.example.com/p/3?utm_source=x"),
+        (5, "https://www.alpha.example.com/p/4#frag"),
+        (6, "https://www.alpha.example.com/p/5?ref=tw&id=2"),
+        (7, "https://www.alpha.example.com/p/6"),
+        (8, "https://www.alpha.example.com/p/7"),
+    ]
+    b2 = [
+        (11, "https://www.alpha.example.com:443/p/4"),
+        (12, "https://www.alpha.example.com/p/5?id=2&utm_medium=rss"),
+        (13, "https://www.alpha.example.com/p/6#again"),
+        (14, "HTTPS://WWW.ALPHA.EXAMPLE.COM/p/7"),
+        (15, "https://www.beta.example.com/p/0"),
+        (16, "https://www.beta.example.com/p/1"),
+        (17, "https://www.beta.example.com:443/p/2"),
+        (18, "https://www.beta.example.com/p/3?ref=x"),
+    ]
+    f1, f2 = src / "a_b1.jsonl", src / "b_b2.jsonl"
+    for f, batch in ((f1, b1), (f2, b2)):
+        f.write_text(
+            "\n".join(f'{{"url_id": {i}, "url": "{u}"}}' for i, u in batch) + "\n"
+        )
+    os.utime(f1, (1_700_000_000, 1_700_000_000))
+    os.utime(f2, (1_700_000_100, 1_700_000_100))
+    rules = spark.createDataFrame(
+        [("www.alpha.example.com", ["/p/3"]), ("www.beta.example.com", ["/p/1"])],
+        "host string, prefixes array<string>",
+    )
+    stream = (
+        spark.readStream.schema("url_id long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select("url_id", W.canonicalize_url(F.col("url")).alias("canonical_url"))
+        .select(
+            "url_id",
+            "canonical_url",
+            W.url_host(F.col("canonical_url")).alias("host"),
+            F.regexp_extract(
+                F.col("canonical_url"), r"^[a-z]+://[^/?#]+([^?#]*)", 1
+            ).alias("path"),
+        )
+        .join(F.broadcast(rules), "host")
+        .where(
+            F.size(
+                F.filter(F.col("prefixes"), lambda p: F.startswith(F.col("path"), p))
+            )
+            == 0
+        )
+        .dropDuplicates(["canonical_url"])
+    )
+    name = "q_swf_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.select("url_id", "canonical_url", "host")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        # the memory sink holds the materialized rows; the source dir
+        # can go as soon as the availableNow run drains
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.sql(f"SELECT url_id, canonical_url, host FROM {name}")
