@@ -126,6 +126,18 @@ QUERIES = [
     "llm_bpe_tokenize",
     "llm_html_extract",
     "q105_negative_median",
+    # late r9: the new composed funnels (stage-chained anti-joins /
+    # ledger aggregates over proven kernels — probed because the
+    # COMPOSITION is a new shuffle chain even when each kernel is
+    # covered), the 8-gram decontam explode (wider than the probed
+    # 3-gram shape), the JL projection (row-local folds — should be
+    # flat), and the Arrow BPE apply (corpus-scale Python path with
+    # word memoization).
+    "llm_web_pipeline",
+    "llm_dedup_cascade",
+    "llm_decontam_ngram_overlap",
+    "llm_random_projection",
+    "llm_bpe_tokenize_arrow",
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "docs" / "SCALING.md"
