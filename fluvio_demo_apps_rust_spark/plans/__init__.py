@@ -103,6 +103,7 @@ _FORWARD: tuple[str, ...] = (
     "q105_negative_median",
     "llm_random_projection",
     "llm_dedup_cascade",
+    "q107_corrupt_quarantine",
 )
 
 

@@ -1289,3 +1289,120 @@ def q105_negative_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("__global__", n, glo)], "grp string, n bigint, value double"
     )
     return grouped.select("grp", "n", "value").unionByName(gdf)
+
+
+@register(
+    "q107_corrupt_quarantine",
+    tags=("ingest", "quarantine", "robustness"),
+    oracle="""
+SELECT * FROM (VALUES
+  ('parsed',      CAST(4 AS BIGINT), CAST(23.75 AS DOUBLE),
+   'd41d8cd98f00b204e9800998ecf8427e', '55507df704707039407b5108a4bc8d65'),
+  ('quarantined', CAST(3 AS BIGINT), CAST(NULL AS DOUBLE),
+   '4a68187af7394cf49e12985e9f3a2b2b', 'd41d8cd98f00b204e9800998ecf8427e')
+) t(kind, n, v_sum, raw_digest, parsed_digest)
+""",
+)
+def q107_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRUPT-RECORD QUARANTINE routing — the ingestion guard every
+    100 TB pipeline needs in front of JSONL/CSV feeds: read with an
+    explicit schema in PERMISSIVE mode + columnNameOfCorruptRecord,
+    route rows with a populated corrupt column to quarantine (their
+    raw line preserved byte-exactly for replay after a parser fix)
+    and sum business values ONLY over clean rows. The fixture feed
+    plants one of each malformation class, with empirically-confirmed
+    Spark semantics pinned by the hand-computed oracle: a truncated
+    JSON line (all fields null + raw captured), a type mismatch
+    (OTHER fields still parse — v/name are populated — but the row is
+    quarantined because the raw line is captured; its parsed values
+    must NOT leak into clean aggregates), a non-JSON garbage line,
+    a valid row with missing fields (nulls, NOT quarantined), and two
+    clean rows. Quarantined raw lines are digest-pinned (md5 of the
+    binary-sorted '\\n'-join), so the gate verifies byte-exact raw
+    preservation, not just counts.
+
+    100 TB shape: schema-on-read with whole-stage-codegen JSON
+    parsing, a row-local routing predicate, and one 2-group
+    aggregate; the same options work unchanged on readStream (the
+    streaming ingest face)."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    d = Path(tempfile.mkdtemp(prefix="q_cq_"))
+    feed = d / "feed.jsonl"
+    feed.write_text(
+        "\n".join(
+            [
+                '{"id": 1, "v": 10.5, "name": "alpha"}',
+                '{"id": 2, "v": 3.',
+                '{"id": "xx", "v": 2.0, "name": "beta"}',
+                "total garbage, not json",
+                '{"v": 7.25}',
+                '{"id": 5, "v": 4.25, "name": "gamma"}',
+                '{"id": 6, "v": 1.75, "name": "delta"}',
+            ]
+        )
+        + "\n"
+    )
+    os.utime(feed, (1_700_000_000, 1_700_000_000))
+    try:
+        df = (
+            spark.read.schema("id long, v double, name string, _bad string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .json(str(d))
+        )
+        # parsed_digest pins the CLEAN rows' content — and, critically,
+        # keeps id/name in the consumed column set: Spark's JSON parser
+        # only discovers a type mismatch in a column it actually
+        # parses, so a plan that prunes id/name would silently route
+        # the '"id": "xx"' row to PARSED (observed — schema-pruning is
+        # a correctness hazard for corrupt-record detection, which is
+        # why the quarantine aggregate must consume every schema
+        # column).
+        routed = df.select(
+            F.when(F.col("_bad").isNull(), F.lit("parsed"))
+            .otherwise(F.lit("quarantined"))
+            .alias("kind"),
+            "id",
+            "v",
+            "name",
+            "_bad",
+        )
+        out = (
+            routed.groupBy("kind")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (
+                    F.sum(
+                        F.when(
+                            F.col("_bad").isNull(),
+                            F.floor(F.col("v") * 100 + F.lit(0.5)).cast("bigint"),
+                        )
+                    )
+                    / F.lit(100.0)
+                ).alias("v_sum"),
+                F.md5(
+                    F.array_join(F.array_sort(F.collect_list("_bad")), "\n")
+                ).alias("raw_digest"),
+                F.md5(
+                    F.array_join(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_bad").isNull(),
+                                    F.concat_ws(",", F.col("id"), F.col("name")),
+                                )
+                            )
+                        ),
+                        "\n",
+                    )
+                ).alias("parsed_digest"),
+            )
+        )
+        out = out.localCheckpoint()  # materialize before the tmpdir goes
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
