@@ -104,6 +104,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_random_projection",
     "llm_dedup_cascade",
     "q107_corrupt_quarantine",
+    "llm_event_sequences",
 )
 
 

@@ -5145,3 +5145,86 @@ def q106_stream_web_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         shutil.rmtree(src, ignore_errors=True)
     return spark.sql(f"SELECT url_id, canonical_url, host FROM {name}")
+
+
+@register(
+    "llm_event_sequences",
+    tags=("llm", "events", "curation", "sequences"),
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+s AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_types,
+         CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS span_seconds
+  FROM r GROUP BY user_id),
+d AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(count(*) AS BIGINT) AS seq_len,
+         md5(string_agg(event_type, '|' ORDER BY rn)) AS seq_digest
+  FROM r WHERE rn <= 256 GROUP BY user_id)
+SELECT s.user_id, s.n_events, d.seq_len, d.seq_digest,
+       s.n_distinct_types, s.span_seconds
+FROM s JOIN d ON d.user_id = s.user_id
+""",
+)
+def llm_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT STREAMS → TRAINING SEQUENCES — the prep step a behavioral/
+    recommendation model's pretraining pipeline runs on clickstream
+    data: per user, the time-ordered event-type token sequence
+    (tie-broken by event_id — deterministic at any parallelism),
+    TRUNCATED to a 256-token context window, digest-pinned so the gate
+    verifies the exact sequence content and order, plus the stats the
+    sampling stage consumes (event count, type vocabulary, active-span
+    seconds — epoch arithmetic, never raw timestamps).
+
+    100 TB shape: ONE window (row_number per user — linear, no
+    buffering beyond the sort spill Spark manages) feeding a filtered
+    (rn ≤ 256) per-user aggregate, so whale users cost 256 collected
+    rows, never their full history — the collect_list-then-slice
+    formulation would buffer unbounded per-user arrays. Stats
+    aggregate runs over the same ranked scan."""
+    from pyspark.sql import Window as _W
+
+    from .events import _events
+
+    e = _events(spark, sf_dir)
+    r = e.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        "ts",
+        "event_id",
+    ).withColumn(
+        "rn",
+        F.row_number().over(_W.partitionBy("user_id").orderBy("ts", "event_id")),
+    )
+    s = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_distinct_types"),
+        (
+            F.max(F.col("ts").cast("timestamp_ltz").cast("long"))
+            - F.min(F.col("ts").cast("timestamp_ltz").cast("long"))
+        ).alias("span_seconds"),
+    )
+    d = (
+        r.where(F.col("rn") <= 256)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("seq_len"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                        lambda x: x["event_type"],
+                    ),
+                    "|",
+                )
+            ).alias("seq_digest"),
+        )
+    )
+    return s.join(d, "user_id").select(
+        "user_id", "n_events", "seq_len", "seq_digest", "n_distinct_types", "span_seconds"
+    )
