@@ -138,6 +138,9 @@ QUERIES = [
     "llm_decontam_ngram_overlap",
     "llm_random_projection",
     "llm_bpe_tokenize_arrow",
+    # the per-user ranked-window sequence prep (a new window shape:
+    # corpus-wide row_number partitioned by a 150-to-15k-key column)
+    "llm_event_sequences",
 ]
 
 OUT = Path(__file__).resolve().parent.parent / "docs" / "SCALING.md"
