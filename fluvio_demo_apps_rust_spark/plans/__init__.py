@@ -105,6 +105,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_dedup_cascade",
     "q107_corrupt_quarantine",
     "llm_event_sequences",
+    "llm_quality_calibration",
 )
 
 

@@ -5228,3 +5228,62 @@ def llm_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(d, "user_id").select(
         "user_id", "n_events", "seq_len", "seq_digest", "n_distinct_types", "span_seconds"
     )
+
+
+@register(
+    "llm_quality_calibration",
+    tags=("llm", "text", "eval", "calibration"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+q AS (
+  SELECT doc_id,
+         floor((0.4 * (len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+                      / len(toks)::DOUBLE)
+               + 0.4 * (len(list_distinct(toks)) / len(toks)::DOUBLE)
+               + 0.2 * least(len(toks)::DOUBLE, 100.0) / 100.0) * 10000 + 0.5) / 10000.0 AS quality
+  FROM t),
+b AS (
+  SELECT e.label, q.quality,
+         CAST(least(floor(q.quality * 10), 9) AS BIGINT) AS q_bucket
+  FROM q JOIN embeddings e ON e.vec_id = q.doc_id)
+SELECT CAST(label AS BIGINT) AS label, q_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT)) / 10000.0 AS quality_mass
+FROM b
+GROUP BY label, q_bucket
+""",
+)
+def llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score CALIBRATION against ground-truth labels — the
+    table an eval pass prints to decide whether the heuristic quality
+    filter is separating classes or just cutting length: per
+    (embedding label, quality decile bucket), document counts and the
+    per-row-quantized quality mass (qsum pattern — summation-order-
+    proof). A filter whose buckets look identical across labels adds
+    no signal; one whose high buckets concentrate specific labels is
+    doing real work — this is the evidence llm_quality_ablation's
+    threshold choice reads. Bucketing floors the already-4-dp-
+    quantized score times 10 on the BINARY double, so both engines
+    agree even at decile boundaries (the repo floor standard).
+
+    100 TB shape: one row-local quality projection, one hash join to
+    the labels (vec_id aligns 1:1 with doc_id in the fixture; a real
+    corpus joins its eval-label table the same way), one
+    (label × ≤10)-key aggregate."""
+    d = load(spark, sf_dir, "documents")
+    q = d.select("doc_id", *TX.quality_columns()).select("doc_id", "quality")
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("label").cast("long").alias("label")
+    )
+    b = q.join(e, "doc_id").select(
+        "label",
+        "quality",
+        F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("long").alias("q_bucket"),
+    )
+    return b.groupBy("label", "q_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("bigint"))
+            / F.lit(10000.0)
+        ).alias("quality_mass"),
+    )
