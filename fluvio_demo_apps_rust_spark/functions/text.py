@@ -775,8 +775,19 @@ def bpe_train(
     driver collect bounded at ``per_gen`` rows, then ``per_gen``
     chained JVM replace() columns. Ties break (count DESC, a ASC,
     b ASC) — deterministic on both engines. Total driver state:
-    gens × per_gen merge rules."""
+    gens × per_gen merge rules. The state is localCheckpointed after
+    each generation's replaces: generation g's training collect and
+    the final apply are separate plan consumers, so without the
+    barrier every later pass re-ran all earlier generations' replace
+    chains from the raw scan (the cross-branch-re-execution trap,
+    README plan-audit #8); the checkpointed relation is vocabulary-
+    sized."""
     merges: list[tuple[str, str]] = []
+    # entry barrier: the initial state's lineage is the corpus-wide
+    # word explode + frequency aggregate — materialize it once so
+    # generation 1's training pass doesn't re-run the corpus scan that
+    # the caller already paid for building the frequency table
+    state = state.localCheckpoint()
     for _ in range(gens):
         # LET-bind the token array (README plan-audit: no CSE inside
         # higher-order lambdas) before building adjacent pairs.
@@ -810,6 +821,7 @@ def bpe_train(
                     F.lit(f" {r.a}{r.b} "),
                 ),
             )
+        state = state.localCheckpoint()
     return state, merges
 
 
