@@ -4631,14 +4631,23 @@ def llm_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 0
         ).alias("disallowed"),
     )
-    s1 = f.groupBy("host").agg(
-        F.count(F.lit(1)).alias("n_urls"),
-        F.sum(F.col("disallowed").cast("long")).alias("n_robots_blocked"),
+    # ONE corpus aggregate to page granularity (all URLs sharing a
+    # canonical form share its path, hence its robots verdict), then
+    # host stats and dedup survivors both derive from the page-sized
+    # relation — two aggregates over the corpus-scale join would
+    # re-run the canonicalization chain once per consumer (README
+    # plan-audit #8, the recompute face of it).
+    page = f.groupBy("host", "canonical_url").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("disallowed").cast("long")).alias("nb"),
+        F.min(F.when(~F.col("disallowed"), F.col("doc_id"))).alias("keep_id"),
+    ).localCheckpoint()  # page-sized; 3 consumers (s1, d, extraction join)
+    s1 = page.groupBy("host").agg(
+        F.sum("n").alias("n_urls"),
+        F.sum("nb").alias("n_robots_blocked"),
     )
-    d = (
-        f.where(~F.col("disallowed"))
-        .groupBy("canonical_url", "host")
-        .agg(F.min("doc_id").alias("doc_id"))
+    d = page.where(F.col("keep_id").isNotNull()).select(
+        "host", F.col("keep_id").alias("doc_id")
     )
     # join FIRST, extract AFTER: only dedup survivors pay the regex
     # chain (the funnel order the docstring promises — a pre-join
