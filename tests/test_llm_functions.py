@@ -609,3 +609,39 @@ def test_bpe_three_paths_agree_on_random_corpora(spark):
         ws = pd.Series(sorted(words))
         arrow = dict(zip(ws, bpe_apply_merges_pandas(ws, merges)))
         assert arrow == ref_state, trial
+
+
+def test_bpe_arrow_word_split_matches_jvm_on_non_ascii():
+    """llm_bpe_tokenize_arrow splits words in pandas with an explicit
+    ASCII class that must equal Java's \\s ([ \\t\\n\\x0B\\f\\r]) used
+    by the JVM path's F.split('\\s+') — Python's own \\s is
+    Unicode-aware and would split on NBSP where Java keeps it inside a
+    word. Pin the class on NBSP / vertical tab / mixed whitespace."""
+    import re
+
+    import pandas as pd
+
+    py_ascii = r"[ \t\n\x0b\f\r]+"
+    cases = [
+        "plain words here",
+        "nbsp stays inside word",
+        "vertical\x0btab splits",
+        "tabs\tand\nnewlines and\fformfeed",
+        " leading trailing ",
+    ]
+    for s in cases:
+        got = [w for w in pd.Series([s.lower()]).str.split(py_ascii, regex=True)[0] if w]
+        # Java \s reference set, emulated char-by-char
+        java_ws = set(" \t\n\x0b\f\r")
+        ref, cur = [], ""
+        for ch in s.lower():
+            if ch in java_ws:
+                if cur:
+                    ref.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        if cur:
+            ref.append(cur)
+        assert got == ref, (s, got, ref)
+        assert not any(re.search(py_ascii, w) for w in got)
