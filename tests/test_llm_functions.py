@@ -624,7 +624,7 @@ def test_bpe_arrow_word_split_matches_jvm_on_non_ascii():
     py_ascii = r"[ \t\n\x0b\f\r]+"
     cases = [
         "plain words here",
-        "nbsp stays inside word",
+        "nbsp\u00a0stays inside\u00a0word",
         "vertical\x0btab splits",
         "tabs\tand\nnewlines and\fformfeed",
         " leading trailing ",
