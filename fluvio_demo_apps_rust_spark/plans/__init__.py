@@ -106,6 +106,7 @@ _FORWARD: tuple[str, ...] = (
     "q107_corrupt_quarantine",
     "llm_event_sequences",
     "llm_quality_calibration",
+    "llm_stream_quality_monitor",
 )
 
 

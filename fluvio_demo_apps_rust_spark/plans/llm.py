@@ -5296,3 +5296,107 @@ def llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("quality_mass"),
     )
+
+
+@register(
+    "llm_stream_quality_monitor",
+    tags=("llm", "text", "streaming", "eval", "quality"),
+    oracle="""
+WITH feed AS (
+  SELECT 1 AS batch, 'the quick brown fox jumps over the lazy dog today' AS text
+  UNION ALL SELECT 1, 'spark spark spark spark spark spark spark spark'
+  UNION ALL SELECT 1, 'a clean and fairly normal looking sentence for the monitor'
+  UNION ALL SELECT 1, 'zz'
+  UNION ALL SELECT 2, 'the pipeline keeps watching quality of every incoming batch'
+  UNION ALL SELECT 2, 'junk junk junk junk junk junk junk junk junk junk'
+  UNION ALL SELECT 2, 'bb bb'
+  UNION ALL SELECT 2, 'words of a reasonable and varied document appear in it to score well'),
+t AS (SELECT batch, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM feed),
+q AS (
+  SELECT batch,
+         floor((0.4 * (len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+                      / len(toks)::DOUBLE)
+               + 0.4 * (len(list_distinct(toks)) / len(toks)::DOUBLE)
+               + 0.2 * least(len(toks)::DOUBLE, 100.0) / 100.0) * 10000 + 0.5) / 10000.0 AS quality
+  FROM t)
+SELECT CAST(batch AS BIGINT) AS batch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT)) / 10000.0 AS quality_mass,
+       CAST(count(CASE WHEN quality < 0.5 THEN 1 END) AS BIGINT) AS n_below_gate
+FROM q GROUP BY batch
+""",
+)
+def llm_stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quality drift monitor — the eval face running DURING
+    ingestion rather than after it: per microbatch, document count,
+    per-row-quantized quality mass, and how many documents fall below
+    the admission gate (quality < 0.5) — the dashboard row that pages
+    someone when a source starts shipping junk. Two deterministic
+    microbatches (one file each, availableNow): batch 2 carries a
+    repetition-junk doc and a two-token stub, so its below-gate count
+    must rise. The quality formula is the pinned repo formula
+    (llm_text_quality), computed row-locally on the stream; the
+    complete-mode aggregate keys on the batch marker carried in the
+    feed (per-batch provenance, the way a real feed stamps its
+    shard/fetch id).
+
+    100 TB shape: row-local scoring + a |batches|-row complete-mode
+    aggregate; no joins, no per-doc state — monitor state is O(batch
+    markers), and a production variant windows on ingest time with a
+    watermark instead of the unbounded marker key."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    b1 = [
+        "the quick brown fox jumps over the lazy dog today",
+        "spark spark spark spark spark spark spark spark",
+        "a clean and fairly normal looking sentence for the monitor",
+        "zz",
+    ]
+    b2 = [
+        "the pipeline keeps watching quality of every incoming batch",
+        "junk junk junk junk junk junk junk junk junk junk",
+        "bb bb",
+        "words of a reasonable and varied document appear in it to score well",
+    ]
+    src = Path(tempfile.mkdtemp(prefix="q_sqm_"))
+    for fname, batch, docs in (("a_b1.jsonl", 1, b1), ("b_b2.jsonl", 2, b2)):
+        f = src / fname
+        f.write_text(
+            "\n".join(_json.dumps({"batch": batch, "text": t}) for t in docs) + "\n"
+        )
+        os.utime(f, (1_700_000_000 + (batch - 1) * 100,) * 2)
+    stream = (
+        spark.readStream.schema("batch long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select("batch", *[c for c in TX.quality_columns()])
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("bigint"))
+                / F.lit(10000.0)
+            ).alias("quality_mass"),
+            F.count(F.when(F.col("quality") < 0.5, 1)).alias("n_below_gate"),
+        )
+    )
+    name = "q_sqm_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.sql(
+        f"SELECT batch, n_docs, quality_mass, n_below_gate FROM {name}"
+    )
