@@ -5304,7 +5304,7 @@ def llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH feed AS (
   SELECT 1 AS batch, 'the quick brown fox jumps over the lazy dog today' AS text
-  UNION ALL SELECT 1, 'spark spark spark spark spark spark spark spark'
+  UNION ALL SELECT 1, 'monitoring the stream of documents is a steady and quiet job'
   UNION ALL SELECT 1, 'a clean and fairly normal looking sentence for the monitor'
   UNION ALL SELECT 1, 'zz'
   UNION ALL SELECT 2, 'the pipeline keeps watching quality of every incoming batch'
@@ -5322,7 +5322,7 @@ q AS (
 SELECT CAST(batch AS BIGINT) AS batch,
        CAST(count(*) AS BIGINT) AS n_docs,
        sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT)) / 10000.0 AS quality_mass,
-       CAST(count(CASE WHEN quality < 0.5 THEN 1 END) AS BIGINT) AS n_below_gate
+       CAST(count(CASE WHEN quality < 0.45 THEN 1 END) AS BIGINT) AS n_below_gate
 FROM q GROUP BY batch
 """,
 )
@@ -5353,7 +5353,7 @@ def llm_stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     b1 = [
         "the quick brown fox jumps over the lazy dog today",
-        "spark spark spark spark spark spark spark spark",
+        "monitoring the stream of documents is a steady and quiet job",
         "a clean and fairly normal looking sentence for the monitor",
         "zz",
     ]
@@ -5382,7 +5382,7 @@ def llm_stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("bigint"))
                 / F.lit(10000.0)
             ).alias("quality_mass"),
-            F.count(F.when(F.col("quality") < 0.5, 1)).alias("n_below_gate"),
+            F.count(F.when(F.col("quality") < 0.45, 1)).alias("n_below_gate"),
         )
     )
     name = "q_sqm_" + uuid.uuid4().hex[:8]
