@@ -107,6 +107,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_event_sequences",
     "llm_quality_calibration",
     "llm_stream_quality_monitor",
+    "llm_shard_manifest",
 )
 
 

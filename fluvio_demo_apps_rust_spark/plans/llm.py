@@ -5400,3 +5400,62 @@ def llm_stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT batch, n_docs, quality_mass, n_below_gate FROM {name}"
     )
+
+
+@register(
+    "llm_shard_manifest",
+    tags=("llm", "curation", "shard", "manifest"),
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, text,
+         {_HEX60.format(x="CAST(doc_id AS VARCHAR) || '_shard'")} % 8 AS shard_id,
+         len({_TOKS}) AS n_toks
+  FROM documents)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       md5(string_agg(md5(text), '|' ORDER BY md5(text), doc_id)) AS manifest_digest
+FROM s
+GROUP BY shard_id
+""",
+)
+def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output SHARD MANIFEST — the reproducibility artifact the final
+    writer of a curated corpus emits next to each shard (the data-card
+    table): every document lands in a shard by a salted md5 hash of
+    its id (deterministic across engines, partitionings and reruns —
+    never a seed-fragile random split), and each shard row carries its
+    doc count, token budget, and a CONTENT digest (md5 over the
+    shard's sorted per-doc content hashes) — the checksum a training
+    job verifies before reading, and the diff key for detecting that
+    a re-run of the pipeline produced byte-identical shards.
+
+    100 TB shape: row-local hashing, ONE shuffle keyed by shard id
+    (exactly the shuffle the physical shard write performs anyway),
+    per-shard sort of content HASHES only (32-byte strings, not
+    documents). Digest ties break on doc_id for duplicate texts, so
+    the manifest is total-order deterministic."""
+    d = load(spark, sf_dir, "documents")
+    from ..functions.curation import md5_int60
+
+    s = d.select(
+        "doc_id",
+        (md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit("_shard"))) % 8)
+        .cast("long")
+        .alias("shard_id"),
+        TX.ws_token_count("text").cast("long").alias("n_toks"),
+        F.md5("text").alias("h"),
+    )
+    return s.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "doc_id"))),
+                    lambda x: x["h"],
+                ),
+                "|",
+            )
+        ).alias("manifest_digest"),
+    )
