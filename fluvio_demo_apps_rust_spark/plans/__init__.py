@@ -15,84 +15,26 @@ from . import llm  # noqa: F401
 from . import advanced  # noqa: F401
 from . import mining  # noqa: F401
 
-# Driver-sampling rotation — ROUND 9 ACTIVE. The correctness driver
+# Driver-sampling rotation — ROUND 10 ACTIVE. The correctness driver
 # samples the FIRST ~50 registered queries; rounds 1-3 sampled the
 # relational/events/cdc prefix, r4 the llm/mining/sketch rotation,
 # r5 the staged never-sampled set, r6 the never-driver-green 14 plus
 # plan-changed re-confirmations, r7 the 41 r1-3-stale names, r8 the
-# llm_url_dedup + 49 r4-stale llm/mining/ANN/sketch names (50/50
-# green). This head is VERDICT r8 task #2: the 16 round-8 _FORWARD
-# names that have never had a driver row (all green in the judge's
-# local gate), then the 34 alphabetically-first of the 39 names whose
-# latest driver sample is r5 (the oldest evidence in the book) —
-# 16 + 34 = the 50-query sample EXACTLY, so nothing is displaced past
-# the boundary. The 5 remaining r5-stale names (q83_graph_triangles,
-# q84_market_basket, q85_rfm_segmentation, q86_ewma_smoothing,
-# q89_hll_distinct) rotate in round 10. New round-9 queries land in
-# _FORWARD (positions 51+): locally gated this round, rotated into
-# the head next round.
+# llm_url_dedup + 49 r4-stale names, r9 the 16 r8 _FORWARD names +
+# 34 r5-stale (50/50 green — cumulative record 198/214 sampled, all
+# green). This head is VERDICT r9 task #2: the 16 round-9 additions
+# that have never had a driver row (the 15 r9 _FORWARD names plus
+# q106_stream_web_frontier, which r9 ADVICE flagged as accidentally
+# left out of _FORWARD), then the 5 remaining r5-stale names, then
+# the 29 alphabetically-first of the 43 names whose latest driver
+# sample is r6 — 16 + 5 + 29 = the 50-query sample EXACTLY. The 14
+# remaining r6-stale names (q63_binational_volume, q64_market_share,
+# q65–q68, q90–q93, q95, q96, q98, q99) rotate in round 11. New
+# round-10 queries land in _FORWARD (positions 51+): locally gated
+# this round, rotated into the head next round.
 _PRIORITY: tuple[str, ...] = (
-    # the 16 round-8 _FORWARD names — never driver-sampled; MUST get
+    # the 16 round-9 additions — never driver-sampled; MUST get
     # their first CORRECTNESS row this round
-    "llm_langid_confusion",
-    "llm_dedup_audit",
-    "llm_quality_ablation",
-    "llm_rouge_overlap",
-    "llm_crossdedup_transfer",
-    "llm_udf_tokenize_arrow",
-    "llm_minhash_ann_hybrid",
-    "q100_stream_chained_agg",
-    "q101_selection_median",
-    "cdc_binlog_rotation_replay",
-    "q102_grouped_median",
-    "q103_stream_static_enrich",
-    "llm_corpus_profile",
-    "q104_skew_profile",
-    "llm_dedup_threshold_sweep",
-    "llm_greedy_pack_audit",
-    # the 34 alphabetically-first r5-stale names (latest sample r5)
-    "llm_corpus_report",
-    "llm_dedup_keep_best",
-    "llm_epoch_upsample",
-    "llm_global_shuffle",
-    "llm_gram_matrix",
-    "llm_knn_classify",
-    "llm_multimodal_frames",
-    "llm_multimodal_meta",
-    "llm_multimodal_resize",
-    "llm_quality_lr",
-    "llm_sentiment",
-    "llm_stream_incremental_dedup",
-    "llm_train_split",
-    "llm_vocab_entropy",
-    "q40_pivot",
-    "q41_percentiles",
-    "q42_ordered_agg",
-    "q44_range_frame",
-    "q45_full_outer",
-    "q46_cross_join",
-    "q47_setops_all",
-    "q48_correlated_subqueries",
-    "q49_scalar_library",
-    "q50_asof_join",
-    "q51_range_join",
-    "q53_unpivot",
-    "q54_lateral_explode",
-    "q55_skew_salted_agg",
-    "q56_sample_hash",
-    "q58_disjunctive_join",
-    "q69_skew_salted_join",
-    "q79_pagerank",
-    "q80_weighted_sample",
-    "q81_zorder_layout",
-)
-
-# Names of queries EXPECTED to be registered later this round. They
-# sort directly AFTER the mandatory 50-name head (not inside it), so
-# they cannot displace a stale name past the sample boundary; they get
-# the full local gate this round and rotate into the head next round.
-# Unlike _PRIORITY, missing names here are skipped, not fatal.
-_FORWARD: tuple[str, ...] = (
     "llm_bpe_tokenize",
     "llm_bpe_tokenize_arrow",
     "llm_html_extract",
@@ -103,11 +45,58 @@ _FORWARD: tuple[str, ...] = (
     "q105_negative_median",
     "llm_random_projection",
     "llm_dedup_cascade",
+    "q106_stream_web_frontier",
     "q107_corrupt_quarantine",
     "llm_event_sequences",
     "llm_quality_calibration",
     "llm_stream_quality_monitor",
     "llm_shard_manifest",
+    # the 5 remaining r5-stale names (latest sample r5)
+    "q83_graph_triangles",
+    "q84_market_basket",
+    "q85_rfm_segmentation",
+    "q86_ewma_smoothing",
+    "q89_hll_distinct",
+    # the 29 alphabetically-first r6-stale names (latest sample r6)
+    "cdc_binlog_real_pet",
+    "cdc_incremental_agg",
+    "cdc_mixed_workload",
+    "cdc_orders_roundtrip",
+    "cdc_pet_replay",
+    "cdc_scd2",
+    "cdc_update_storm",
+    "llm_ahash_pairs",
+    "llm_audio_fingerprint",
+    "llm_image_ahash",
+    "llm_multimodal_dedup_clusters",
+    "llm_naive_bayes",
+    "llm_png_decode",
+    "llm_png_resize",
+    "llm_video_frames",
+    "llm_video_phash",
+    "llm_vocab_coverage",
+    "llm_wav_decode",
+    "llm_winnow_fingerprint",
+    "llm_winnow_pairs",
+    "q05_nation_volume",
+    "q21_part_brand_stats",
+    "q43_rank_family",
+    "q52_approx_distinct",
+    "q57_array_ops",
+    "q59_profit_rollup",
+    "q60_min_cost_supplier",
+    "q61_waiting_suppliers",
+    "q62_idle_rich_customers",
+)
+
+# Names of queries EXPECTED to be registered later this round. They
+# sort directly AFTER the mandatory 50-name head (not inside it), so
+# they cannot displace a stale name past the sample boundary; they get
+# the full local gate this round and rotate into the head next round.
+# Unlike _PRIORITY, missing names here are skipped, not fatal.
+_FORWARD: tuple[str, ...] = (
+    "llm_bpe_encode_ids",
+    "q106_stream_frontier_watermarked",
 )
 
 
