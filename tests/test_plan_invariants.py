@@ -107,10 +107,36 @@ _BROADCAST_ALLOW = {
     # decontamination benchmark: a fixed held-out suite in reality,
     # faked here as every-50th document's shingle set
     ("llm_contamination", "documents"),
+    # --- "LogicalRDD" marker: broadcast hints over checkpoint /
+    # createDataFrame leaves (see _forced_sf_linear_broadcasts). The
+    # plan can no longer prove boundedness (localCheckpoint erases the
+    # lineage), so each entry must argue it IN CONSTRUCTION:
+    # connected_components' fast-path label table is a driver-side
+    # union-find collected ONLY when the edge set fits the 500k gate
+    # (functions/dedup.py:377) — above the gate the distributed loop
+    # runs and the broadcast does not exist
+    ("llm_dedup_clusters", "LogicalRDD"),
+    ("llm_dedup_keep_best", "LogicalRDD"),
+    ("llm_multimodal_dedup_clusters", "LogicalRDD"),
+    # k-means centroids: k rows, localCheckpointed per round
+    # (functions/similarity.py:390) — bounded by the codebook size
+    ("llm_kmeans", "LogicalRDD"),
+    # the 4-row literal mixture-target table (plans/llm.py:2347)
+    ("llm_epoch_upsample", "LogicalRDD"),
 }
 
 
 def _forced_sf_linear_broadcasts(df) -> list[str]:
+    """Markers for F.broadcast() hints the plan cannot prove bounded:
+    the table name when the subtree scans an SF-linear relation with no
+    reduction below the hint, and the literal "LogicalRDD" when the
+    subtree bottoms out in a LogicalRDD leaf (localCheckpoint /
+    createDataFrame). The latter is the r9-verdict laundering hole:
+    checkpointing an sf-linear id set turns its scan into a LogicalRDD,
+    which the relation-marker scan cannot see — so ANY hinted broadcast
+    over a checkpoint leaf must be explicitly allowlisted with a
+    boundedness argument (llm_dedup_cascade shipped exactly this
+    defect in r9; the hints are now gone)."""
     flags = []
     root = df._jdf.queryExecution().analyzed()
     for node in _walk(root):
@@ -119,14 +145,21 @@ def _forced_sf_linear_broadcasts(df) -> list[str]:
         if "broadcast" not in node.simpleString(100).lower():
             continue
         sub = list(_walk(node))
-        if any(d.getClass().getSimpleName() in _WINDOW_REDUCERS for d in sub[1:]):
-            continue  # aggregated below the hint → bounded
+        reduced = any(
+            d.getClass().getSimpleName() in _WINDOW_REDUCERS for d in sub[1:]
+        )
         for d in sub:
-            if d.getClass().getSimpleName() == "LogicalRelation":
+            leaf = d.getClass().getSimpleName()
+            if leaf == "LogicalRelation" and not reduced:
                 cols = d.simpleString(300)
                 flags.extend(
                     t for m, t in _SF_MARKERS.items() if m + "#" in cols
                 )
+            elif leaf == "LogicalRDD":
+                # a reducer ABOVE a checkpoint leaf does not bound the
+                # leaf itself (the aggregate may be downstream of the
+                # full checkpointed set) — always flag
+                flags.append("LogicalRDD")
     return flags
 
 
@@ -147,6 +180,39 @@ def test_no_forced_broadcast_of_sf_linear_tables(spark, name, spec):
         "with no reduction below the hint — delete the hint (AQE decides) "
         "or add a justified _BROADCAST_ALLOW entry"
     )
+
+
+def test_broadcast_lint_sees_through_checkpoint_laundering(spark):
+    """Negative control for the r9-verdict hole: localCheckpoint()ing
+    an sf-linear id set before F.broadcast() replaces its scan with a
+    LogicalRDD leaf, which the relation-marker scan cannot attribute to
+    a table — the exact shape llm_dedup_cascade shipped in round 9.
+    The extended lint must flag it, and must still flag the plain
+    (un-checkpointed) forced broadcast by table name."""
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ids = docs.select("doc_id").localCheckpoint()
+    laundered = docs.join(
+        F.broadcast(ids.withColumn("in1", F.lit(1))), "doc_id", "left"
+    )
+    assert "LogicalRDD" in _forced_sf_linear_broadcasts(laundered), (
+        "checkpoint-laundered forced broadcast not detected"
+    )
+
+    plain = docs.join(
+        F.broadcast(docs.select("doc_id").withColumn("in1", F.lit(1))),
+        "doc_id",
+        "left",
+    )
+    assert "documents" in _forced_sf_linear_broadcasts(plain)
+
+    # bounded control: an aggregated-to-constant broadcast stays legal
+    tiny = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    ok = docs.join(F.broadcast(tiny), "lang")
+    assert not _forced_sf_linear_broadcasts(ok)
 
 
 def test_global_window_detector_fires(spark):
