@@ -5433,9 +5433,17 @@ def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: row-local hashing, ONE shuffle keyed by shard id
     (exactly the shuffle the physical shard write performs anyway),
-    per-shard sort of content HASHES only (32-byte strings, not
-    documents). Digest ties break on doc_id for duplicate texts, so
-    the manifest is total-order deterministic."""
+    then a CONSTANT-MEMORY digest: repartition("shard_id") guarantees
+    every shard lands whole in one partition, sortWithinPartitions
+    puts its hashes in manifest order, and an Arrow mapInPandas folds
+    each Arrow batch into a running hashlib.md5 per shard — the digest
+    of the full '|'-joined string without ever materializing it. The
+    r9 shape (md5(array_join(array_sort(collect_list(...))))) buffered
+    O(corpus/shards) structs in ONE aggregation buffer — an OOM the
+    moment shards carry real data (r9 VERDICT #2); state here is one
+    16-byte md5 context + two counters per shard-in-partition. Digest
+    ties break on doc_id for duplicate texts, so the manifest is
+    total-order deterministic at any partition/batch boundary."""
     d = load(spark, sf_dir, "documents")
     from ..functions.curation import md5_int60
 
@@ -5447,16 +5455,37 @@ def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.ws_token_count("text").cast("long").alias("n_toks"),
         F.md5("text").alias("h"),
     )
-    return s.groupBy("shard_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_toks").alias("n_tokens"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("h", "doc_id"))),
-                    lambda x: x["h"],
-                ),
-                "|",
+    sorted_s = s.repartition("shard_id").sortWithinPartitions(
+        "shard_id", "h", "doc_id"
+    )
+
+    def fold_manifest(batches):
+        import hashlib
+
+        import pandas as pd
+
+        state: dict = {}  # shard_id -> [md5, n_docs, n_tokens]
+        for pdf in batches:
+            for sid, grp in pdf.groupby("shard_id", sort=False):
+                st = state.get(sid)
+                if st is None:
+                    st = state[sid] = [hashlib.md5(), 0, 0]
+                if st[1]:  # separator between batches of one shard
+                    st[0].update(b"|")
+                st[0].update("|".join(grp["h"]).encode())
+                st[1] += len(grp)
+                st[2] += int(grp["n_toks"].sum())
+        if state:
+            yield pd.DataFrame(
+                {
+                    "shard_id": list(state),
+                    "n_docs": [v[1] for v in state.values()],
+                    "n_tokens": [v[2] for v in state.values()],
+                    "manifest_digest": [v[0].hexdigest() for v in state.values()],
+                }
             )
-        ).alias("manifest_digest"),
+
+    return sorted_s.mapInPandas(
+        fold_manifest,
+        schema="shard_id long, n_docs long, n_tokens long, manifest_digest string",
     )
