@@ -4392,6 +4392,7 @@ SELECT doc_id, n_ref_words, n_hyp_words,
        floor(levenshtein(ref_sub, hyp_sub)::DOUBLE / length(ref_sub)::DOUBLE
              * 1000000 + 0.5) / 1000000.0 AS cer
 FROM e
+WHERE n_ref_words >= 1 AND length(ref_sub) >= 1
 """,
 )
 def llm_wer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4414,7 +4415,11 @@ def llm_wer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: entirely row-local (split, HOF transforms, two
     levenshteins) — no shuffle, no Python; the scan prunes to
-    (doc_id, text)."""
+    (doc_id, text). Empty/whitespace-only documents are FILTERED on
+    both engines (n_ref_words >= 1 AND length(ref_sub) >= 1) — an
+    unscoreable transcription has no WER, and under Spark-4 default
+    ANSI mode an unguarded /0 would throw mid-job rather than NULL
+    (r9 ADVICE)."""
     d = load(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
@@ -4440,7 +4445,9 @@ def llm_wer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ref_sub",
         F.substring(F.array_join("hyp_toks", " "), 1, 500).alias("hyp_sub"),
     )
-    return e.select(
+    return e.where(
+        (F.col("n_ref_words") >= 1) & (F.length("ref_sub") >= 1)
+    ).select(
         "doc_id",
         "n_ref_words",
         "n_hyp_words",
@@ -4806,6 +4813,7 @@ SELECT vec_id,
        )) AS proj_digest,
        floor(({_JL_SUMSQ}) / nx * 1000000 + 0.5) / 1000000.0 AS norm_ratio
 FROM p
+WHERE nx > 0.0
 """,
 )
 def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4823,7 +4831,10 @@ def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: embarrassingly parallel — one narrow projection per
     row (16 fixed left-to-right folds over 64 terms, whole-stage
     codegen), no shuffle, no Python; the oracle computes the same
-    left-to-right list_sum folds (the proven ANN-family pairing)."""
+    left-to-right list_sum folds (the proven ANN-family pairing).
+    All-zero embeddings are FILTERED on both engines (nx > 0): a zero
+    vector has no norm ratio, and under Spark-4 default ANSI mode an
+    unguarded /0 would throw mid-job rather than NULL (r9 ADVICE)."""
     e = load(spark, sf_dir, "embeddings")
     p = e.select(
         "vec_id",
@@ -4832,7 +4843,7 @@ def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(embedding, cast(0.0 AS double), "
             "(acc, x) -> acc + cast(x AS double) * cast(x AS double))"
         ).alias("nx"),
-    )
+    ).where(F.col("nx") > 0.0)
     qs = [
         F.floor(F.col(f"p{k}") * F.lit(1e6) + F.lit(0.5)).cast("bigint").cast("string")
         for k in range(16)
@@ -5331,7 +5342,7 @@ def llm_stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING quality drift monitor — the eval face running DURING
     ingestion rather than after it: per microbatch, document count,
     per-row-quantized quality mass, and how many documents fall below
-    the admission gate (quality < 0.5) — the dashboard row that pages
+    the admission gate (quality < 0.45) — the dashboard row that pages
     someone when a source starts shipping junk. Two deterministic
     microbatches (one file each, availableNow): batch 2 carries a
     repetition-junk doc and a two-token stub, so its below-gate count
