@@ -5324,6 +5324,137 @@ def q106_stream_web_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q106_stream_frontier_watermarked",
+    tags=("llm", "web", "streaming", "dedup", "watermark"),
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(1  AS BIGINT), 'https://www.alpha.example.com/p/0', 'www.alpha.example.com'),
+  (CAST(2  AS BIGINT), 'https://www.alpha.example.com/p/1', 'www.alpha.example.com'),
+  (CAST(3  AS BIGINT), 'https://www.alpha.example.com/p/2', 'www.alpha.example.com'),
+  (CAST(12 AS BIGINT), 'https://www.alpha.example.com/p/4', 'www.alpha.example.com'),
+  (CAST(21 AS BIGINT), 'https://www.alpha.example.com/p/5', 'www.alpha.example.com'),
+  (CAST(22 AS BIGINT), 'https://www.alpha.example.com/p/6', 'www.alpha.example.com'),
+  (CAST(31 AS BIGINT), 'https://www.alpha.example.com/p/1', 'www.alpha.example.com')
+) t(url_id, canonical_url, host)
+""",
+)
+def q106_stream_frontier_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-STATE frontier q106's docstring promises — the
+    production posture made real (r9 VERDICT task #6): same
+    canonicalize → robots-filter → cross-batch dedup composition, but
+    with a crawl-time watermark and dropDuplicatesWithinWatermark, so
+    dedup state is EVICTED once the watermark passes an entry's crawl
+    time + 1 h horizon instead of growing one entry per URL forever.
+    Five one-file microbatches prove both halves of the semantics:
+    batch 2 re-crawls /p/0 30 min after batch 1 (state live → dropped)
+    and adds /p/4; batch 3 adds /p/5 at 13:00, advancing the watermark
+    to 12:00 for batch 4; during batch 4 the /p/5 re-crawl at 13:20
+    still dedups (that entry expires at 14:00) and at batch-4 commit
+    the operator evicts every entry expiring before 12:00 (all of
+    batch 1/2's, e.g. /p/1 at 11:05) — eviction runs at END of batch,
+    AFTER the batch's own dedup lookup, so the probe re-crawl must
+    arrive one batch later; batch 5 re-crawls /p/1 and is RE-ADMITTED
+    (url_id 31 — only possible if eviction happened). The robots rule
+    blocks /p/3 before it enters state. The oracle is the
+    hand-computed admission table: /p/1 appears TWICE under different
+    url_ids — a bounded frontier re-admits a re-crawl after the
+    horizon, which is exactly the recrawl-policy semantics a real
+    crawler wants.
+
+    100 TB shape: identical row-local plan to q106, but state is
+    bounded by crawl-rate × horizon instead of corpus-distinct-URL
+    count; expired keys leave the store on watermark advance. The
+    restart pin (state survives a checkpoint restart, eviction still
+    happens on the resumed run) is tests/test_streaming_analytics.py::
+    test_frontier_watermarked_restart_evicts_state."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    src = Path(tempfile.mkdtemp(prefix="q_swfw_"))
+    batches = [
+        [
+            (1, "https://www.alpha.example.com/p/0", "2024-01-01 10:00:00"),
+            (2, "HTTPS://WWW.ALPHA.EXAMPLE.COM/p/1", "2024-01-01 10:05:00"),
+            (3, "https://www.alpha.example.com:443/p/2", "2024-01-01 10:10:00"),
+            (4, "https://www.alpha.example.com/p/3?x=1", "2024-01-01 10:15:00"),
+        ],
+        [
+            (11, "https://www.alpha.example.com/p/0#re", "2024-01-01 10:30:00"),
+            (12, "https://www.alpha.example.com/p/4?utm_source=x", "2024-01-01 10:35:00"),
+        ],
+        [
+            (21, "https://www.alpha.example.com/p/5", "2024-01-01 13:00:00"),
+        ],
+        [
+            (32, "https://www.alpha.example.com/p/5#again", "2024-01-01 13:20:00"),
+            (22, "https://www.alpha.example.com/p/6", "2024-01-01 13:25:00"),
+        ],
+        [
+            (31, "https://www.alpha.example.com:443/p/1", "2024-01-01 13:30:00"),
+        ],
+    ]
+    for i, batch in enumerate(batches):
+        f = src / f"b{i}.jsonl"
+        f.write_text(
+            "\n".join(
+                f'{{"url_id": {u}, "url": "{url}", "crawl_ts": "{ts}"}}'
+                for u, url, ts in batch
+            )
+            + "\n"
+        )
+        os.utime(f, (1_700_000_000 + i * 100,) * 2)
+    rules = spark.createDataFrame(
+        [("www.alpha.example.com", ["/p/3"])],
+        "host string, prefixes array<string>",
+    )
+    stream = (
+        spark.readStream.schema("url_id long, url string, crawl_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withWatermark("crawl_ts", "1 hour")
+        .select(
+            "url_id",
+            "crawl_ts",
+            W.canonicalize_url(F.col("url")).alias("canonical_url"),
+        )
+        .select(
+            "url_id",
+            "crawl_ts",
+            "canonical_url",
+            W.url_host(F.col("canonical_url")).alias("host"),
+            F.regexp_extract(
+                F.col("canonical_url"), r"^[a-z]+://[^/?#]+([^?#]*)", 1
+            ).alias("path"),
+        )
+        .join(F.broadcast(rules), "host")
+        .where(
+            F.size(
+                F.filter(F.col("prefixes"), lambda p: F.startswith(F.col("path"), p))
+            )
+            == 0
+        )
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+    name = "q_swfw_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.select("url_id", "canonical_url", "host")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.sql(f"SELECT url_id, canonical_url, host FROM {name}")
+
+
+@register(
     "llm_event_sequences",
     tags=("llm", "events", "curation", "sequences"),
     oracle="""

@@ -80,6 +80,87 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert ids == [1, 2, 3]
 
 
+def test_frontier_watermarked_restart_evicts_state(spark, tmp_path):
+    """The bounded-state crawl frontier (q106_stream_frontier_watermarked)
+    across a CHECKPOINT RESTART: run 1 seeds dedup state; run 2 (same
+    checkpoint, new files) must (a) still dedup a re-crawl whose state
+    entry survived the restart and is inside the horizon, and (b)
+    RE-ADMIT a re-crawl whose entry the resumed run evicted on
+    watermark advance — state persistence and state eviction pinned in
+    one stream."""
+    import pyspark.sql.functions as F2
+
+    from fluvio_demo_apps_rust_spark.functions import web as W
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+
+    def frontier():
+        return (
+            spark.readStream.schema("url_id long, url string, crawl_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .withWatermark("crawl_ts", "1 hour")
+            .select(
+                "url_id",
+                "crawl_ts",
+                W.canonicalize_url(F2.col("url")).alias("canonical_url"),
+            )
+            .dropDuplicatesWithinWatermark(["canonical_url"])
+            .select("url_id", "canonical_url")
+        )
+
+    def jline(uid: int, url: str, ts: str) -> str:
+        return f'{{"url_id": {uid}, "url": "{url}", "crawl_ts": "{ts}"}}'
+
+    import os
+
+    src.mkdir(parents=True)
+    # RUN 1: two pages admitted at 10:00/10:05
+    (src / "b0.jsonl").write_text(
+        jline(1, "https://ex.com/a", "2024-01-01 10:00:00")
+        + "\n"
+        + jline(2, "https://ex.com/b", "2024-01-01 10:05:00")
+        + "\n"
+    )
+    # every fixture file gets an mtime in the same pinned window: the
+    # file source ignores files more than maxFileAge (7 days) older
+    # than the newest file it has seen
+    os.utime(src / "b0.jsonl", (1_700_000_000,) * 2)
+    run_to_parquet(frontier(), str(out), str(ckpt))
+    assert sorted(r.url_id for r in spark.read.parquet(str(out)).collect()) == [1, 2]
+
+    # RUN 2, resumed from the checkpoint, three one-file batches:
+    #  b1: /a re-crawled at 10:30 — state entry RESTORED from the
+    #      checkpoint and inside the horizon → dropped; /c admitted at
+    #      13:00 (advances the watermark to 12:00 for the next batch)
+    #  b2: any row — at its commit the operator evicts entries expiring
+    #      before 12:00 (both run-1 entries; eviction runs AFTER the
+    #      batch's dedup lookup, so the probe comes one batch later)
+    #  b3: /b re-crawled → RE-ADMITTED only if the resumed run evicted
+    (src / "b1.jsonl").write_text(
+        jline(11, "https://ex.com/a#re", "2024-01-01 10:30:00")
+        + "\n"
+        + jline(12, "https://ex.com/c", "2024-01-01 13:00:00")
+        + "\n"
+    )
+    (src / "b2.jsonl").write_text(
+        jline(13, "https://ex.com/d", "2024-01-01 13:10:00") + "\n"
+    )
+    (src / "b3.jsonl").write_text(
+        jline(14, "https://ex.com:443/b", "2024-01-01 13:30:00") + "\n"
+    )
+    for i, name in enumerate(("b1.jsonl", "b2.jsonl", "b3.jsonl"), start=1):
+        os.utime(src / name, (1_700_000_000 + i * 100,) * 2)
+    run_to_parquet(frontier(), str(out), str(ckpt))
+    rows = spark.read.parquet(str(out)).collect()
+    ids = sorted(r.url_id for r in rows)
+    # 11 (dup within horizon, state survived restart) absent;
+    # 14 (/b re-crawl after eviction) present
+    assert ids == [1, 2, 12, 13, 14]
+    by_id = {r.url_id: r.canonical_url for r in rows}
+    assert by_id[2] == by_id[14] == "https://ex.com/b"  # same URL admitted twice
+
+
 def test_sql_sink_renders_pet_statements(spark, tmp_path):
     from fluvio_demo_apps_rust_spark.fixtures import PET_EVENTS
     from fluvio_demo_apps_rust_spark.sources.event_source import read_events_from_strings
