@@ -141,28 +141,309 @@ QUERIES = [
     # the per-user ranked-window sequence prep (a new window shape:
     # corpus-wide row_number partitioned by a 150-to-15k-key column)
     "llm_event_sequences",
+    # r10 (VERDICT r9 #7): the salted-join two-phase shape (the salted
+    # AGG stays exempt — same two-phase kernel), triangle enumeration
+    # (a two-hop self-join, the one graph shape with no probed twin),
+    # PERMISSIVE corrupt-record ingest over sf-scaled JSON, the
+    # bounded-buffer shard-manifest fold (repartition + sortWithin +
+    # chained-md5 Arrow pass — a NEW physical shape), and the Arrow
+    # token-id encoder (corpus-scale Python path + vocab closure).
+    "q69_skew_salted_join",
+    "q83_graph_triangles",
+    "q107_corrupt_quarantine",
+    "llm_shard_manifest",
+    "llm_bpe_encode_ids",
 ]
+
+# Every registered query that is NOT probed must appear here with the
+# reason its scaling is already evidenced. main() refuses to run (and
+# tests/test_scale_probe_coverage.py fails) on any unclassified name,
+# so a new query cannot silently skip the policy (r9 VERDICT task #7).
+EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
+    (
+        "fixed-fixture CDC replay: input is the recorded pet-scenario "
+        "binlog / 9-event fixture, not sf — wall time cannot scale with "
+        "the probe axis",
+        [
+            "cdc_binlog_geometry",
+            "cdc_binlog_real_pet",
+            "cdc_binlog_replay",
+            "cdc_binlog_rotation_replay",
+            "cdc_binlog_typed_replay",
+            "cdc_pet_replay",
+            "cdc_replica_join",
+        ],
+    ),
+    (
+        "same render→decode→apply CDC kernel as the probed "
+        "cdc_mixed_workload (sf-linear wire events through codec.py + "
+        "operators/apply.py)",
+        [
+            "cdc_orders_roundtrip",
+            "cdc_update_storm",
+            "cdc_incremental_agg",
+            "cdc_scd2",
+            "cdc_scd2_asof",
+        ],
+    ),
+    (
+        "fixture-constant streaming check: the microbatch count and "
+        "per-batch row volume are pinned by the test harness (hand-built "
+        "files / bounded availableNow drains), so sf does not reach the "
+        "input; the streaming machinery floor is probed via "
+        "q100_stream_chained_agg / q103_stream_static_enrich / "
+        "q94_sessionization",
+        [
+            "cdc_stream_stats",
+            "q37_stream_windowed",
+            "q38_stream_dedup",
+            "q39_stream_late_data",
+            "q70_stream_interval_join",
+            "q73_stream_session",
+            "q74_stream_stateful",
+            "q91_stream_hll",
+            "q96_stream_countmin",
+            "q99_stream_outer_join",
+            "llm_stream_incremental_dedup",
+            "llm_stream_quality_monitor",
+            "q106_stream_web_frontier",
+            "q106_stream_frontier_watermarked",
+        ],
+    ),
+    (
+        "single-shuffle relational Catalyst shape (scan → join/agg/"
+        "window/setop, no novel shuffle chain): q01/q05/q43/q50 probe "
+        "the family's heaviest members; q51's bucketed range join is "
+        "the q50 as-of bucket kernel; q55's salted agg is the two-phase "
+        "kernel whose join twin q69 is probed",
+        [
+            "q03_top_revenue_orders",
+            "q04_semi_join",
+            "q06_revenue_delta",
+            "q07_anti_join",
+            "q08_left_join_agg",
+            "q09_having",
+            "q10_set_ops",
+            "q11_topk_per_group",
+            "q12_running_total",
+            "q13_lag_gap",
+            "q14_rollup",
+            "q15_cube",
+            "q16_grouping_sets",
+            "q17_global_topk",
+            "q18_distinct_count",
+            "q19_scalar_funcs",
+            "q20_case_agg",
+            "q21_part_brand_stats",
+            "q22_order_lineitem_stats",
+            "q23_datetime_funcs",
+            "q40_pivot",
+            "q41_percentiles",
+            "q42_ordered_agg",
+            "q44_range_frame",
+            "q45_full_outer",
+            "q46_cross_join",
+            "q47_setops_all",
+            "q48_correlated_subqueries",
+            "q49_scalar_library",
+            "q51_range_join",
+            "q53_unpivot",
+            "q54_lateral_explode",
+            "q55_skew_salted_agg",
+            "q56_sample_hash",
+            "q57_array_ops",
+            "q58_disjunctive_join",
+            "q59_profit_rollup",
+            "q60_min_cost_supplier",
+            "q61_waiting_suppliers",
+            "q62_idle_rich_customers",
+            "q63_binational_volume",
+            "q64_market_share",
+            "q65_value_windows",
+            "q66_shipmode_buckets",
+            "q67_order_count_histogram",
+            "q68_large_orders",
+            "q80_weighted_sample",
+            "q81_zorder_layout",
+            "q85_rfm_segmentation",
+            "q104_skew_profile",
+        ],
+    ),
+    (
+        "events-table single-window/agg shape: q30_events_tumbling and "
+        "q94_sessionization probe the family's scan + keyed-window "
+        "kernels",
+        [
+            "q31_events_sliding",
+            "q32_events_session",
+            "q33_events_dedup",
+            "q34_events_json_props",
+            "q35_events_rate",
+            "q36_events_gapfill",
+            "q71_events_funnel",
+            "q72_events_cohort",
+            "q75_events_anomaly",
+            "q76_events_transitions",
+            "q86_ewma_smoothing",
+        ],
+    ),
+    (
+        "bounded probe-set similarity join: output and join fan-out are "
+        "fixed by the probe rows, only the scan side scales (probed via "
+        "the relational reps)",
+        ["q77_ts_similarity", "q78_trajectory_similarity"],
+    ),
+    (
+        "fixed-size mergeable sketch state: growth tracks the scan "
+        "alone; q82_kmv_distinct / q89_hll_distinct / "
+        "q90_histogram_quantiles / llm_countmin_heavyhitters probe the "
+        "class",
+        [
+            "q52_approx_distinct",
+            "q87_ams_join_size",
+            "q88_kmv_setops",
+            "q92_hll_setops",
+            "q93_hll_rollup",
+            "q98_approx_percentile",
+        ],
+    ),
+    (
+        "iterative bounded-state loop (per-round checkpointed joins, "
+        "driver holds only the model/labels): per-round volume is the "
+        "probed join/agg shapes; llm_multimodal_dedup_clusters probes "
+        "the label-propagation rounds",
+        ["q79_pagerank", "llm_kmeans", "llm_quality_lr"],
+    ),
+    (
+        "capped pair fan-out over banded/posting-list candidates: "
+        "llm_ahash_pairs / llm_rouge_overlap / llm_minhash_lsh_pairs "
+        "probe the stop-band-capped pair kernels",
+        [
+            "q84_market_basket",
+            "llm_winnow_pairs",
+            "llm_simhash_pairs",
+            "llm_minhash_jaccard_est",
+            "llm_containment_dedup",
+            "llm_dedup_fuzzy_verify",
+        ],
+    ),
+    (
+        "dedup kernel sibling of the probed llm_dedup_exact / "
+        "llm_minhash_lsh_pairs / llm_substring_dedup / "
+        "llm_multimodal_dedup_clusters rows (same signature, banding, "
+        "posting-list or star-edge shuffles)",
+        [
+            "llm_minhash_signature",
+            "llm_chunk_dedup",
+            "llm_doc_chunking",
+            "llm_line_boilerplate",
+            "llm_incremental_dedup",
+            "llm_dedup_clusters",
+            "llm_dedup_keep_best",
+            "llm_fingerprint",
+        ],
+    ),
+    (
+        "row-local text scoring / classification + bounded aggregate "
+        "(codegen expressions or broadcast stats; no corpus-keyed "
+        "shuffle): llm_html_extract, llm_winnow_fingerprint and "
+        "llm_bigram_lm probe the row-local class ceiling",
+        [
+            "llm_langid",
+            "llm_langid_confusion",
+            "llm_sentiment",
+            "llm_text_quality",
+            "llm_gopher_rules",
+            "llm_c4_clean",
+            "llm_doc_repetition",
+            "llm_token_stats",
+            "llm_pii_scrub",
+            "llm_surprise_buckets",
+            "llm_unigram_surprise",
+            "llm_dsir_importance",
+            "llm_tfidf_topterms",
+            "llm_bm25_topk",
+            "llm_vocab_entropy",
+            "llm_wer_eval",
+            "llm_quality_ablation",
+            "llm_quality_calibration",
+            "llm_naive_bayes",
+            "llm_bpe_merge_counts",
+            "llm_robots_filter",
+            "llm_corpus_profile",
+            "llm_corpus_report",
+        ],
+    ),
+    (
+        "ANN/embedding sibling of the probed llm_ann_lsh / llm_semdedup "
+        "rows (bounded codebooks and probe sets; blocked BLAS kernels "
+        "shared)",
+        [
+            "llm_ann_topk",
+            "llm_ann_ivf",
+            "llm_ann_pq",
+            "llm_ann_ivf_pq",
+            "llm_ann_recall",
+            "llm_ann_pq_recall",
+            "llm_knn_classify",
+            "llm_gram_matrix",
+            "llm_embedding_neardup",
+        ],
+    ),
+    (
+        "multimodal codec sibling of the probed llm_png_decode / "
+        "llm_wav_decode / llm_ahash_pairs rows (same Arrow decode "
+        "kernels, different derived key)",
+        [
+            "llm_png_resize",
+            "llm_image_ahash",
+            "llm_audio_fingerprint",
+            "llm_video_frames",
+            "llm_video_phash",
+            "llm_multimodal_frames",
+            "llm_multimodal_meta",
+            "llm_multimodal_resize",
+        ],
+    ),
+    (
+        "curation one-scan + bounded aggregate over probed kernels "
+        "(llm_sequence_pack probes the two-phase prefix sums, "
+        "llm_global_shuffle the salted-hash determinism path, "
+        "llm_dedup_cascade the composed-funnel chain)",
+        [
+            "llm_stratified_sample",
+            "llm_domain_mixture",
+            "llm_epoch_upsample",
+            "llm_train_split",
+            "llm_contamination",
+            "llm_pretrain_prep",
+            "llm_curation_pipeline",
+        ],
+    ),
+]
+EXEMPT: dict[str, str] = {
+    name: reason for reason, names in EXEMPT_GROUPS for name in names
+}
 
 OUT = Path(__file__).resolve().parent.parent / "docs" / "SCALING.md"
 
 # Emitted verbatim at the end of every regenerated SCALING.md — standing
 # context that must survive re-probes (this file is fully overwritten).
 STANDING_NOTES = """
-## Probe coverage policy (r9)
+## Probe coverage policy (r10 — total classification)
 
-The probe list is representative, not exhaustive: every sf-DEPENDENT
-query family has at least one probed member biased to its
-shuffle-heaviest shape, and a family member's row stands in for
-same-kernel siblings (e.g. llm_minhash_lsh_pairs covers the
-signature/banding kernels shared by jaccard_est/signature/sweep;
-q101/q102/q105 cover operators/selection.py). Exempt by construction,
-with reasons: fixed-fixture CDC replays (pet scenario binlogs — input
-size is the fixture, not sf), constant-output streaming checks whose
-microbatch count is pinned by the test harness, and bounded-output
-eval/audit aggregates that read ONLY the output of an already-probed
-kernel. Any NEW shuffle or explode shape must get its own row (the
-r8/r9 additions above follow that rule).
+EVERY registered query is either probed above or exempted below with
+its reason (r9 VERDICT task #7). The partition is machine-checked two
+ways: main() refuses to run on an unclassified/stale name, and
+tests/test_scale_probe_coverage.py pins QUERIES ∪ EXEMPT == REGISTRY
+(disjoint) on every pytest run, so a new query cannot register without
+being classified. The probe list is biased to each family's
+shuffle-heaviest shape; a probed row stands in for same-kernel
+siblings. Any NEW shuffle or explode shape must get its own probed row
+(the r8/r9/r10 additions above follow that rule).
+"""
 
+PIL_NOTES = """
 ## PIL parity test status (r8)
 
 tests/test_media_png.py's `test_native_decode_matches_stdlib_codec`
@@ -184,7 +465,26 @@ def _time_once(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def coverage_errors() -> list[str]:
+    """Non-empty iff the QUERIES/EXEMPT partition of the registry is
+    broken (unclassified, stale, or doubly-classified names)."""
+    probed, exempt, reg = set(QUERIES), set(EXEMPT), set(REGISTRY)
+    errs = []
+    if probed & exempt:
+        errs.append(f"both probed and exempt: {sorted(probed & exempt)}")
+    if reg - probed - exempt:
+        errs.append(f"unclassified queries: {sorted(reg - probed - exempt)}")
+    if (probed | exempt) - reg:
+        errs.append(f"stale (unregistered) names: {sorted((probed | exempt) - reg)}")
+    return errs
+
+
 def main() -> int:
+    errs = coverage_errors()
+    if errs:
+        for e in errs:
+            print(f"COVERAGE ERROR: {e}")
+        return 1
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).count()
@@ -227,6 +527,13 @@ def main() -> int:
         "(≤10 ⇒ no superlinear plan in the probed set)."
     )
     lines.append(STANDING_NOTES)
+    lines.append(
+        f"### Exemptions ({len(EXEMPT)} queries, by reason)\n"
+    )
+    for reason, names in EXEMPT_GROUPS:
+        lines.append(f"- **{reason}**:")
+        lines.append("  " + ", ".join(f"`{n}`" for n in names))
+    lines.append(PIL_NOTES)
     OUT.write_text("\n".join(lines) + "\n")
     print(f"wrote {OUT}")
     return 0
