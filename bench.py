@@ -102,6 +102,18 @@ BENCH_QUERIES = [
     "llm_rouge_overlap",
     "llm_minhash_ann_hybrid",
     "q101_selection_median",
+    # round 10 additions (r9 verdict #5): the 4 heaviest previously
+    # unbenched r9 queries per docs/SCALING.md — the staged dedup
+    # funnel (URL → exact → MinHash → semantic with a single-scan
+    # ledger), BPE train+apply through the JVM replace chain and
+    # through the production Arrow iterator, and the composed web
+    # pipeline (canonicalize → robots → dedup → extract). Totals
+    # before r10 exclude these four (48-query list), compare
+    # per-query/per-family.
+    "llm_dedup_cascade",
+    "llm_bpe_tokenize",
+    "llm_bpe_tokenize_arrow",
+    "llm_web_pipeline",
 ]
 
 # Per-family subtotals so cross-round regressions (CDC vs dedup vs ANN)
@@ -155,6 +167,10 @@ FAMILY = {
     "llm_rouge_overlap": "text",
     "llm_minhash_ann_hybrid": "dedup",
     "q101_selection_median": "mining",
+    "llm_dedup_cascade": "dedup",
+    "llm_bpe_tokenize": "text",
+    "llm_bpe_tokenize_arrow": "text",
+    "llm_web_pipeline": "dedup",
 }
 
 
