@@ -97,6 +97,8 @@ _PRIORITY: tuple[str, ...] = (
 _FORWARD: tuple[str, ...] = (
     "llm_bpe_encode_ids",
     "q106_stream_frontier_watermarked",
+    "llm_bpe_vocab",
+    "llm_tokenizer_fertility",
 )
 
 

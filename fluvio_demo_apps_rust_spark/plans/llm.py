@@ -4557,11 +4557,11 @@ def llm_bpe_tokenize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_bpe_encode_ids",
-    tags=("llm", "text", "tokenizer", "bpe", "arrow", "ids"),
-    oracle=f"""
-WITH RECURSIVE
+# The retrain-in-SQL prefix shared by the token-id oracles: word table
+# → 3 recursive-CTE merge generations → deterministic vocab enumeration
+# (sorted base chars get 0..B-1, merge outputs follow in global rank
+# order, first occurrence wins on collisions).
+_BPE_VOCAB_CTE = f"""
 wx AS (
   SELECT doc_id,
          unnest({_TOKS}) AS w,
@@ -4589,7 +4589,15 @@ m_vocab AS (
   FROM (SELECT tok, min(grank) AS min_rank FROM m_all GROUP BY tok)),
 vocab AS (
   SELECT ch AS tok, id FROM base
-  UNION ALL SELECT tok, id FROM m_vocab),
+  UNION ALL SELECT tok, id FROM m_vocab)"""
+
+
+@register(
+    "llm_bpe_encode_ids",
+    tags=("llm", "text", "tokenizer", "bpe", "arrow", "ids"),
+    oracle=f"""
+WITH RECURSIVE
+{_BPE_VOCAB_CTE},
 wt AS (
   SELECT w,
          unnest(string_split(trim(s), ' ')) AS tok,
@@ -4709,6 +4717,160 @@ def llm_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc,
         "doc_id bigint, n_ids bigint, n_vocab bigint, "
         "ids_digest string, head_ids array<bigint>",
+    )
+
+
+@register(
+    "llm_bpe_vocab",
+    tags=("llm", "text", "tokenizer", "bpe", "vocab"),
+    oracle=f"""
+WITH RECURSIVE
+{_BPE_VOCAB_CTE}
+SELECT CAST(v.id AS BIGINT) AS id,
+       v.tok AS token,
+       v.id >= (SELECT count(*) FROM base) AS is_merged,
+       CAST(length(v.tok) AS BIGINT) AS token_len
+FROM vocab v
+""",
+)
+def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FROZEN VOCABULARY TABLE itself — the artifact a tokenizer
+    ships next to the merge rules (tokenizer.json's vocab section):
+    every (id, token) pair of the deterministic enumeration that
+    llm_bpe_encode_ids encodes against, pinned ROW BY ROW instead of
+    through a digest. Base characters (sorted) get ids 0..B-1, merge
+    outputs follow in global training-rank order, first occurrence
+    wins on collisions; is_merged marks the learned entries. Gated
+    value-exact against the DuckDB re-derivation, so a drift anywhere
+    in the enumeration (sort order, rank arithmetic, dedupe rule)
+    shows as a specific wrong row, not just a changed hash.
+
+    100 TB shape: the vocabulary is a BOUNDED artifact — charset +
+    gens×per_gen entries regardless of corpus size (the training
+    aggregates that produce it are probed via llm_bpe_tokenize). The
+    driver assembles it from the trained merge list plus one
+    charset-bounded distinct-character collect, then returns it as a
+    local relation — the same sanctioned driver-state class as the
+    ANN codebooks."""
+    from ..functions.text import bpe_spaced_state, bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(TX.tokens("text")).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    _state, merges = bpe_train(bpe_spaced_state(words))
+    base = sorted(
+        r.ch
+        for r in words.select(
+            F.explode(F.expr("filter(split(w, ''), c -> c <> '')")).alias("ch")
+        )
+        .distinct()
+        .collect()
+    )
+    vocab: dict[str, int] = {ch: i for i, ch in enumerate(base)}
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    n_base = len(base)
+    return spark.createDataFrame(
+        [(i, tok, i >= n_base, len(tok)) for tok, i in vocab.items()],
+        "id long, token string, is_merged boolean, token_len long",
+    )
+
+
+@register(
+    "llm_tokenizer_fertility",
+    tags=("llm", "text", "tokenizer", "bpe", "eval"),
+    oracle=f"""
+WITH RECURSIVE
+{_BPE_VOCAB_CTE},
+pw AS (
+  SELECT w,
+         CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_toks,
+         CAST(len(list_filter(string_split(trim(s), ' '),
+                              t -> length(t) > 1)) AS BIGINT) AS n_merged
+  FROM st3),
+wl AS (
+  SELECT d.lang, wq.w
+  FROM wq JOIN documents d USING (doc_id)),
+agg AS (
+  SELECT wl.lang,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(pw.n_toks) AS BIGINT) AS n_tokens,
+         CAST(sum(pw.n_merged) AS BIGINT) AS n_merged_tokens,
+         CAST(sum(length(wl.w)) AS BIGINT) AS n_chars
+  FROM wl JOIN pw ON pw.w = wl.w
+  GROUP BY wl.lang)
+SELECT lang, n_words, n_tokens, n_merged_tokens,
+       floor(n_tokens::DOUBLE / n_words::DOUBLE * 1000000 + 0.5)
+         / 1000000.0 AS fertility,
+       floor(n_chars::DOUBLE / n_tokens::DOUBLE * 1000000 + 0.5)
+         / 1000000.0 AS chars_per_token
+FROM agg
+WHERE n_words >= 1 AND n_tokens >= 1
+""",
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language — the standard tokenizer-
+    quality evaluation a multilingual pretrain pipeline runs before
+    freezing the vocab (fertility = subword tokens per word; a
+    tokenizer trained on skewed data over-fragments the minority
+    languages, inflating their effective sequence lengths and compute
+    cost): per lang, word and token totals under the trained 3×8 BPE,
+    the merged-token count (how much of the vocab the language
+    actually uses), fertility, and chars-per-token (compression).
+    Both ratios are 6-dp floor-quantized on both engines; the /0
+    guards are mirrored WHEREs (empty langs can't divide — the ANSI
+    rule from r9 ADVICE).
+
+    100 TB shape: training is the shared vocabulary-sized kernel; the
+    eval is ONE corpus-scale word explode joined to the tokenized
+    word table (vocab-sized, AQE broadcasts it) and ONE ≤#langs-row
+    aggregate — no new shuffle shape beyond the probed
+    llm_bpe_tokenize."""
+    from ..functions.text import bpe_spaced_state, bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    wx = d.select("lang", F.explode(TX.tokens("text")).alias("w")).where(
+        F.length("w") >= 1
+    )
+    words = wx.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    state, _merges = bpe_train(bpe_spaced_state(words))
+    pw = (
+        state.select("w", F.split(F.trim("s"), " ").alias("ta"))
+        .select(
+            "w",
+            F.size("ta").cast("long").alias("n_toks"),
+            F.size(F.filter("ta", lambda t: F.length(t) > 1))
+            .cast("long")
+            .alias("n_merged"),
+        )
+    )
+    agg = (
+        wx.join(pw, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_merged").alias("n_merged_tokens"),
+            F.sum(F.length("w")).alias("n_chars"),
+        )
+    )
+    return agg.where((F.col("n_words") >= 1) & (F.col("n_tokens") >= 1)).select(
+        "lang",
+        "n_words",
+        "n_tokens",
+        "n_merged_tokens",
+        fround(F.col("n_tokens").cast("double") / F.col("n_words").cast("double"), 6).alias(
+            "fertility"
+        ),
+        fround(F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"), 6).alias(
+            "chars_per_token"
+        ),
     )
 
 

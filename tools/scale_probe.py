@@ -406,6 +406,14 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
         ],
     ),
     (
+        "tokenizer artifact/eval over the probed BPE training kernel: "
+        "llm_bpe_tokenize probes the training aggregates and the "
+        "corpus word-explode + vocab-join shape; the vocab table is "
+        "charset-bounded and fertility adds only a ≤#langs-row "
+        "aggregate on top of the same join",
+        ["llm_bpe_vocab", "llm_tokenizer_fertility"],
+    ),
+    (
         "curation one-scan + bounded aggregate over probed kernels "
         "(llm_sequence_pack probes the two-phase prefix sums, "
         "llm_global_shuffle the salted-hash determinism path, "
