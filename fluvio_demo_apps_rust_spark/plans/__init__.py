@@ -99,6 +99,7 @@ _FORWARD: tuple[str, ...] = (
     "q106_stream_frontier_watermarked",
     "llm_bpe_vocab",
     "llm_tokenizer_fertility",
+    "llm_mixture_materialize",
 )
 
 

@@ -2363,6 +2363,138 @@ def llm_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_mixture_materialize",
+    tags=("llm", "curation", "mixture", "sampling"),
+    oracle=f"""
+WITH avail AS (
+  SELECT CASE WHEN lang IN ('en', 'de', 'fr') THEN lang ELSE 'other' END AS lang_bucket,
+         doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_toks
+  FROM documents),
+ag AS (SELECT lang_bucket, CAST(sum(n_toks) AS BIGINT) AS avail_tokens
+       FROM avail GROUP BY 1),
+tgt AS (
+  SELECT unnest(['en', 'de', 'fr', 'other']) AS lang_bucket,
+         unnest([{_MIX_TARGETS["en"]}, {_MIX_TARGETS["de"]},
+                 {_MIX_TARGETS["fr"]}, {_MIX_TARGETS["other"]}])::BIGINT
+           AS target_tokens),
+plan AS (
+  SELECT a.lang_bucket,
+         (t.target_tokens * 1000000) // a.avail_tokens AS epochs_micro
+  FROM ag a JOIN tgt t USING (lang_bucket) WHERE a.avail_tokens >= 1),
+rep AS (
+  SELECT v.lang_bucket, v.doc_id, v.n_toks,
+         p.epochs_micro // 1000000
+           + CASE WHEN {_HEX60.format(x="CAST(v.doc_id AS VARCHAR) || '_mix_mat'")}
+                       % 1000000 < p.epochs_micro % 1000000
+                  THEN 1 ELSE 0 END AS n_rep
+  FROM avail v JOIN plan p USING (lang_bucket)),
+mat AS (
+  SELECT lang_bucket, doc_id, n_toks,
+         unnest(generate_series(1, n_rep)) AS epoch_no
+  FROM rep WHERE n_rep >= 1)
+SELECT lang_bucket,
+       CAST(count(CASE WHEN epoch_no = 1 THEN 1 END) AS BIGINT) AS n_docs_kept,
+       CAST(count(*) AS BIGINT) AS n_rows_out,
+       CAST(sum(n_toks) AS BIGINT) AS out_tokens,
+       CAST(sum({_HEX60.format(x="CAST(doc_id AS VARCHAR) || '_' || CAST(epoch_no AS VARCHAR)")}
+                % 1000000000) AS BIGINT) AS row_checksum
+FROM mat GROUP BY lang_bucket
+""",
+)
+def llm_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZE the mixture — the per-doc application step
+    llm_epoch_upsample's docstring declared omitted: every document is
+    repeated floor(epochs) times plus one Bernoulli extra on the
+    fractional part, drawn from a salted md5 hash of its id (the same
+    deterministic-uniform machinery as llm_stratified_sample — never a
+    seed-fragile RNG), so a bucket with epochs_micro < 10⁶ is
+    SUBSAMPLED (some docs get 0 repeats and drop out) and one above it
+    is UPSAMPLED (all docs kept, some twice+). The materialized
+    (doc_id, epoch_no) stream is what a shard writer actually
+    consumes; the gate pins it with per-bucket counts, token mass, and
+    an order-independent row checksum (sum of bounded per-row hashes —
+    commutative, so partitioning can never affect it).
+
+    100 TB shape: one token-count scan, a 4-row mixture plan joined
+    back (aggregate-below, AQE broadcasts), a sequence-explode whose
+    fan-out is the policy-bounded epoch factor (≤3 here, never
+    corpus-dependent), and ONE ≤4-row aggregate. The row checksum
+    sums values < 10⁹ — overflow-safe to ~9·10⁹ output rows per
+    bucket at BIGINT, documented bound. Guards mirror the oracle:
+    avail_tokens >= 1 before the integer DIV (ANSI rule)."""
+    from ..functions.dedup import md5_int60
+
+    d = load(spark, sf_dir, "documents")
+    tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    docs = d.select(
+        "doc_id",
+        F.when(F.col("lang").isin("en", "de", "fr"), F.col("lang"))
+        .otherwise("other")
+        .alias("lang_bucket"),
+        tok.cast("long").alias("n_toks"),
+    )
+    avail = docs.groupBy("lang_bucket").agg(
+        F.sum("n_toks").cast("long").alias("avail_tokens")
+    )
+    tgt = spark.createDataFrame(
+        [(k, v) for k, v in _MIX_TARGETS.items()],
+        "lang_bucket string, target_tokens long",
+    )
+    plan = (
+        avail.join(tgt, "lang_bucket")
+        .where(F.col("avail_tokens") >= 1)
+        .select(
+            "lang_bucket",
+            F.expr("(target_tokens * 1000000) DIV avail_tokens").alias(
+                "epochs_micro"
+            ),
+        )
+    )
+    rep = (
+        docs.join(plan, "lang_bucket")
+        .select(
+            "lang_bucket",
+            "doc_id",
+            "n_toks",
+            (
+                F.expr("epochs_micro DIV 1000000")
+                + (
+                    md5_int60(
+                        F.concat(F.col("doc_id").cast("string"), F.lit("_mix_mat"))
+                    )
+                    % 1000000
+                    < F.col("epochs_micro") % 1000000
+                ).cast("long")
+            ).alias("n_rep"),
+        )
+        .where(F.col("n_rep") >= 1)
+    )
+    mat = rep.select(
+        "lang_bucket",
+        "doc_id",
+        "n_toks",
+        F.explode(F.sequence(F.lit(1), F.col("n_rep").cast("int"))).alias("epoch_no"),
+    )
+    return mat.groupBy("lang_bucket").agg(
+        F.count(F.when(F.col("epoch_no") == 1, 1)).alias("n_docs_kept"),
+        F.count(F.lit(1)).alias("n_rows_out"),
+        F.sum("n_toks").alias("out_tokens"),
+        F.sum(
+            md5_int60(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("_"),
+                    F.col("epoch_no").cast("string"),
+                )
+            )
+            % 1000000000
+        ).alias("row_checksum"),
+    )
+
+
+@register(
     "llm_winnow_fingerprint",
     tags=("llm", "dedup", "fingerprint", "winnowing"),
     oracle=f"""

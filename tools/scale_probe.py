@@ -422,6 +422,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_stratified_sample",
             "llm_domain_mixture",
             "llm_epoch_upsample",
+            "llm_mixture_materialize",
             "llm_train_split",
             "llm_contamination",
             "llm_pretrain_prep",
