@@ -100,6 +100,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_bpe_vocab",
     "llm_tokenizer_fertility",
     "llm_mixture_materialize",
+    "llm_pack_token_ids",
 )
 
 

@@ -5007,6 +5007,126 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_pack_token_ids",
+    tags=("llm", "curation", "packing", "tokenizer", "bpe"),
+    oracle=f"""
+WITH RECURSIVE
+{_BPE_VOCAB_CTE},
+pw AS (
+  SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_toks
+  FROM st3),
+dt AS (
+  SELECT wq.doc_id, CAST(sum(pw.n_toks) AS BIGINT) AS n_tokens
+  FROM wq JOIN pw ON pw.w = wq.w
+  GROUP BY wq.doc_id
+  HAVING sum(pw.n_toks) >= 1),
+off AS (
+  SELECT d.doc_id, dt.n_tokens, d.lang,
+         COALESCE(sum(dt.n_tokens) OVER (ORDER BY dt.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM dt JOIN documents d USING (doc_id)),
+pk AS (
+  SELECT lang, n_tokens, start_offset,
+         start_offset // 512 AS pack_id,
+         (start_offset + n_tokens - 1) // 512 AS last_pack
+  FROM off)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(CASE WHEN last_pack > pack_id THEN 1 END) AS BIGINT)
+         AS n_crossing,
+       CAST(count(DISTINCT pack_id) AS BIGINT) AS n_head_packs,
+       CAST(sum(start_offset % 1000000000) AS BIGINT) AS offset_checksum
+FROM pk GROUP BY lang
+""",
+)
+def llm_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE PACKING by TRAINED-TOKENIZER counts — the production
+    packing layout (GPT-style concat+chunk into 512-token context
+    windows) computed over the BPE token counts a trainer actually
+    packs by, not whitespace counts (llm_sequence_pack's layout): each
+    doc's global token start offset via an exact prefix sum in doc_id
+    order, its head pack id, and whether it straddles a window
+    boundary. The gate pins the layout per language with doc/token
+    totals, boundary-crossing counts, distinct head packs, and an
+    order-independent checksum over EVERY start offset (sum of bounded
+    residues — a single shifted offset anywhere in the corpus breaks
+    it). Zero-token docs are excluded on both engines (they have no
+    position in the packed stream).
+
+    100 TB shape: the tokenizer join is the probed llm_bpe_tokenize
+    shape; the prefix sum is the TWO-PHASE range-bucket pattern
+    (functions/curation.sequence_pack — per-range totals get their
+    running sum over an aggregate, the corpus-scale window is
+    partitioned per range), never a single global-order window over
+    the corpus; the oracle's single ORDER BY window computes the
+    identical offsets in one partition because DuckDB may. Checksum
+    residues < 10⁹: overflow-safe to ~9·10⁹ docs per lang at BIGINT,
+    documented bound."""
+    from pyspark.sql import Window
+
+    from ..functions.text import bpe_spaced_state, bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    wx = d.select("doc_id", F.explode(TX.tokens("text")).alias("w")).where(
+        F.length("w") >= 1
+    )
+    words = wx.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    state, _merges = bpe_train(bpe_spaced_state(words))
+    pw = state.select(
+        "w", F.size(F.split(F.trim("s"), " ")).cast("long").alias("n_toks")
+    )
+    dt = (
+        wx.join(pw, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_toks").alias("n_tokens"))
+        .where(F.col("n_tokens") >= 1)
+        .withColumn("rk", F.floor(F.col("doc_id") / 4096))
+    )
+    range_tot = dt.groupBy("rk").agg(F.sum("n_tokens").alias("rtot"))
+    w_ranges = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, -1)
+    range_off = range_tot.select(
+        "rk", F.coalesce(F.sum("rtot").over(w_ranges), F.lit(0)).alias("roff")
+    )
+    w_intra = (
+        Window.partitionBy("rk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # range_off is corpus/4096 rows — sf-linear with a big divisor, so
+    # it stays UNHINTED (AQE broadcasts it at any sane size; a forced
+    # hint would pin an OOM at extreme scale — exactly what the
+    # LogicalRDD broadcast lint now refuses, and it fired on the first
+    # draft of this query)
+    off = (
+        dt.join(range_off, "rk")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("roff")
+                + F.coalesce(F.sum("n_tokens").over(w_intra), F.lit(0))
+            ).alias("start_offset"),
+        )
+        .join(d.select("doc_id", "lang"), "doc_id")
+    )
+    pk = off.select(
+        "lang",
+        "n_tokens",
+        "start_offset",
+        F.expr("start_offset DIV 512").alias("pack_id"),
+        F.expr("(start_offset + n_tokens - 1) DIV 512").alias("last_pack"),
+    )
+    return pk.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.count(F.when(F.col("last_pack") > F.col("pack_id"), 1)).alias("n_crossing"),
+        F.countDistinct("pack_id").alias("n_head_packs"),
+        F.sum(F.col("start_offset") % 1000000000).alias("offset_checksum"),
+    )
+
+
+@register(
     "llm_web_pipeline",
     tags=("llm", "web", "pipeline", "e2e"),
     oracle=f"""

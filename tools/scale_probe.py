@@ -423,6 +423,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_domain_mixture",
             "llm_epoch_upsample",
             "llm_mixture_materialize",
+            "llm_pack_token_ids",
             "llm_train_split",
             "llm_contamination",
             "llm_pretrain_prep",
