@@ -4751,9 +4751,8 @@ SELECT d.doc_id,
        COALESCE(p.n_ids, 0) AS n_ids,
        (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS n_vocab,
        COALESCE(md5(p.full_str), md5('')) AS ids_digest,
-       COALESCE(list_transform(string_split(p.full_str, ',')[1:8],
-                               x -> CAST(x AS BIGINT)),
-                CAST([] AS BIGINT[])) AS head_ids
+       COALESCE(array_to_string(string_split(p.full_str, ',')[1:8], ','), '')
+         AS head_ids
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """,
 )
@@ -4770,7 +4769,9 @@ def llm_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     order), reproducible from the merge table with no extra state.
     Per doc: total id count, the md5 digest of the full comma-joined
     id sequence in document order (pins EVERY id), the first 8 ids as
-    a typed array (pins the id values themselves, not just the hash),
+    a comma-joined string (pins the id values themselves, not just
+    the hash; a STRING because the driver canon cannot hash nested
+    types — the q57 class, enforced by tests/test_oracle_schema_lint),
     and the vocab size. The DuckDB oracle retrains the same table via
     the recursive-CTE walks and re-derives the identical enumeration
     in SQL — token-id identity is verified end to end.
@@ -4834,7 +4835,7 @@ def llm_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 digests.append(
                     hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()
                 )
-                heads.append(ids[:8])
+                heads.append(",".join(map(str, ids[:8])))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -4848,7 +4849,7 @@ def llm_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").repartition(32).mapInPandas(
         enc,
         "doc_id bigint, n_ids bigint, n_vocab bigint, "
-        "ids_digest string, head_ids array<bigint>",
+        "ids_digest string, head_ids string",
     )
 
 
