@@ -101,6 +101,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_tokenizer_fertility",
     "llm_mixture_materialize",
     "llm_pack_token_ids",
+    "llm_hard_negatives",
 )
 
 

@@ -476,6 +476,69 @@ def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_hard_negatives",
+    tags=("llm", "similarity", "ann", "embedding", "training"),
+    oracle=f"""
+WITH n AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+scored AS (
+  SELECT q_id, n.vec_id AS n_id,
+         floor(({_dot_sql('qv', 'n.embedding')} / (qn * n.nrm)) * 1000000 + 0.5) / 1000000.0 AS cos_sim
+  FROM n CROSS JOIN q
+  WHERE n.vec_id <> q_id),
+hard AS (SELECT * FROM scored WHERE cos_sim < 0.95)
+SELECT q_id, n_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+  FROM hard)
+WHERE rank <= 5
+""",
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive embedding training — for
+    each anchor, the most-similar corpus items that are NOT the anchor
+    or its near-duplicates (cos ≥ 0.95 excluded: those are positives /
+    dup noise, and training against them poisons the objective). The
+    top-5 below the margin are exactly the negatives an InfoNCE /
+    triplet fine-tune wants: close enough to be informative, far
+    enough to be true negatives. Rank order uses the QUANTIZED cosine
+    with n_id tie-break, the family's cross-engine-stable ordering.
+
+    100 TB shape: identical to the probed llm_ann_topk — broadcast
+    probe set × corpus with row-local fold dots, per-anchor
+    WindowGroupLimit (top-k pushdown, never a global sort); the
+    margin filter is row-local before the rank. Production swaps the
+    brute-force candidate pass for the LSH/IVF bucket joins exactly
+    as llm_ann_lsh does — same mining semantics on top."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "embedding", S.norm("embedding").alias("nrm"))
+    q = n.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            fround(
+                S.dot("qv", "embedding") / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    hard = scored.where(F.col("cos_sim") < 0.95)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        hard.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "n_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@register(
     "llm_ann_lsh",
     tags=("llm", "similarity", "ann", "lsh"),
     oracle=f"""

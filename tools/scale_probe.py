@@ -388,6 +388,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_knn_classify",
             "llm_gram_matrix",
             "llm_embedding_neardup",
+            "llm_hard_negatives",
         ],
     ),
     (
