@@ -102,6 +102,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_mixture_materialize",
     "llm_pack_token_ids",
     "llm_hard_negatives",
+    "q108_stream_token_pack",
 )
 
 

@@ -5933,6 +5933,93 @@ def q106_stream_frontier_watermarked(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "q108_stream_token_pack",
+    tags=("llm", "streaming", "packing", "stateful", "curation"),
+    oracle="""
+WITH src(shard, doc_id, n_tokens) AS (VALUES
+  ('a', 1, 300), ('a', 2, 250), ('a', 3, 400), ('a', 4, 100),
+  ('a', 5, 700), ('a', 6, 12),
+  ('b', 101, 512), ('b', 102, 1), ('b', 103, 511), ('b', 104, 513)),
+off AS (
+  SELECT shard, doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM src)
+SELECT shard,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS pack_id,
+       (start_offset + n_tokens - 1) // 512 > start_offset // 512 AS crosses
+FROM off
+""",
+)
+def q108_stream_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sample packing — the continuous-ingest face of
+    llm_pack_token_ids: documents arrive over microbatches and each
+    must land at a deterministic global token offset in its shard's
+    packed stream; the running offset is applyInPandasWithState state
+    (ONE BIGINT per shard — streaming/packing.py). Three one-file
+    microbatches interleave two shards; the batch oracle recomputes
+    the identical layout as a per-shard prefix-sum window, proving
+    streaming-state == batch-prefix-sum on the same rows (the fixture
+    feeds monotone doc_ids per shard so both orderings coincide —
+    the operator's ordering contract). Boundary semantics (pack_id,
+    crosses) are the llm_pack_token_ids definitions at the same 512
+    budget. The restart pin (offsets continue across a checkpoint
+    restart) is tests/test_streaming_analytics.py::
+    test_token_pack_restart_continues_offsets.
+
+    100 TB shape: state is shard-count-bounded, never stream-length-
+    bounded; per-batch work is a keyed local fold (no shuffle beyond
+    the groupBy key exchange every stateful operator pays)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from ..streaming.packing import pack_stream
+
+    src = Path(tempfile.mkdtemp(prefix="q_stp_"))
+    batches = [
+        [("a", 1, 300), ("a", 2, 250), ("b", 101, 512)],
+        [("a", 3, 400), ("a", 4, 100), ("b", 102, 1), ("b", 103, 511)],
+        [("a", 5, 700), ("a", 6, 12), ("b", 104, 513)],
+    ]
+    for i, batch in enumerate(batches):
+        f = src / f"b{i}.jsonl"
+        f.write_text(
+            "\n".join(
+                f'{{"shard": "{s}", "doc_id": {d}, "n_tokens": {n}}}'
+                for s, d, n in batch
+            )
+            + "\n"
+        )
+        os.utime(f, (1_700_000_000 + i * 100,) * 2)
+    stream = pack_stream(
+        spark.readStream.schema("shard string, doc_id long, n_tokens long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    name = "q_stp_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.sql(
+        f"SELECT shard, doc_id, n_tokens, start_offset, pack_id, crosses FROM {name}"
+    )
+
+
+@register(
     "llm_event_sequences",
     tags=("llm", "events", "curation", "sequences"),
     oracle="""

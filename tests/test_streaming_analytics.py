@@ -161,6 +161,68 @@ def test_frontier_watermarked_restart_evicts_state(spark, tmp_path):
     assert by_id[2] == by_id[14] == "https://ex.com/b"  # same URL admitted twice
 
 
+def test_token_pack_restart_continues_offsets(spark, tmp_path):
+    """Streaming sample packing across a CHECKPOINT RESTART: the
+    per-shard running offset must resume from the state store, so a
+    doc ingested after the restart lands exactly where the batch
+    layout puts it — an offset reset to 0 (lost state) or a re-emit of
+    run-1 rows (replayed source) would both break the assertion."""
+    import json as _json
+
+    from fluvio_demo_apps_rust_spark.streaming.packing import pack_stream
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir(parents=True)
+
+    def write(name: str, rows: list[tuple], mtime: int) -> None:
+        import os
+
+        f = src / name
+        f.write_text(
+            "\n".join(
+                _json.dumps({"shard": s, "doc_id": d, "n_tokens": n})
+                for s, d, n in rows
+            )
+            + "\n"
+        )
+        os.utime(f, (mtime, mtime))
+
+    def run():
+        # update-mode sink via foreachBatch (parquet rejects update
+        # mode; the operator emits each row exactly once, so append
+        # writes are correct) — the test_streaming_sessions pattern
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(out))
+
+        (
+            pack_stream(
+                spark.readStream.schema("shard string, doc_id long, n_tokens long")
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src))
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(180)
+        )
+
+    write("b0.jsonl", [("a", 1, 300), ("a", 2, 250)], 1_700_000_000)
+    run()
+    got1 = {r.doc_id: r.start_offset for r in spark.read.parquet(str(out)).collect()}
+    assert got1 == {1: 0, 2: 300}
+
+    # RUN 2 resumes from the checkpoint: doc 3 must start at 550
+    # (state carried), not 0 (state lost)
+    write("b1.jsonl", [("a", 3, 400)], 1_700_000_100)
+    run()
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 3  # no re-emits of run-1 rows
+    got2 = {r.doc_id: (r.start_offset, r.pack_id, r.crosses) for r in rows}
+    assert got2[3] == (550, 1, False)
+
+
 def test_sql_sink_renders_pet_statements(spark, tmp_path):
     from fluvio_demo_apps_rust_spark.fixtures import PET_EVENTS
     from fluvio_demo_apps_rust_spark.sources.event_source import read_events_from_strings

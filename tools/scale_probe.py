@@ -208,6 +208,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_stream_quality_monitor",
             "q106_stream_web_frontier",
             "q106_stream_frontier_watermarked",
+            "q108_stream_token_pack",
         ],
     ),
     (
