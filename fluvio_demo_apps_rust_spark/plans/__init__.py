@@ -103,6 +103,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_pack_token_ids",
     "llm_hard_negatives",
     "q108_stream_token_pack",
+    "q109_stream_manifest",
 )
 
 

@@ -6020,6 +6020,111 @@ def q108_stream_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q109_stream_manifest",
+    tags=("llm", "streaming", "manifest", "stateful", "curation"),
+    oracle="""
+WITH RECURSIVE
+src(shard, doc_id, content) AS (VALUES
+  ('a', 1, 'alpha doc one'), ('a', 2, 'alpha doc two'),
+  ('a', 3, 'alpha doc three'), ('a', 4, 'alpha doc four'),
+  ('b', 101, 'beta doc one'), ('b', 102, 'beta doc two'),
+  ('b', 103, 'beta doc three')),
+ord AS (
+  SELECT shard, doc_id, md5(content) AS h,
+         CAST(len(list_filter(string_split(content, ' '), x -> x <> ''))
+              AS BIGINT) AS n_toks,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM src),
+chain(shard, rn, dg, nd, nt) AS (
+  SELECT shard, 0, md5(''), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM (SELECT DISTINCT shard FROM src)
+  UNION ALL
+  SELECT c.shard, o.rn, md5(c.dg || o.h), c.nd + 1, c.nt + o.n_toks
+  FROM chain c JOIN ord o ON o.shard = c.shard AND o.rn = c.rn + 1)
+SELECT c.shard,
+       c.nd AS n_docs,
+       c.nt AS n_tokens,
+       c.dg AS manifest_digest
+FROM chain c
+JOIN (SELECT shard, max(rn) AS mx FROM chain GROUP BY shard) m
+  ON m.shard = c.shard AND m.mx = c.rn
+""",
+)
+def q109_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING shard manifest — the incremental data-card a
+    continuous shard writer maintains: per shard, running doc and
+    token counts plus a CHAINED content digest
+    (dgₙ = md5(dgₙ₋₁ ‖ md5(contentₙ)), dg₀ = md5('')), all carried in
+    applyInPandasWithState state (one 32-hex digest + two BIGINTs per
+    shard — constant, like the batch llm_shard_manifest's fold). The
+    chain pins content AND ingest order, which is what an append-only
+    writer certifies; the batch llm_shard_manifest certifies the
+    order-normalized (sorted) digest — complementary contracts. Three
+    one-file microbatches over two shards; the oracle refolds the
+    identical chain via a recursive CTE over the same rows, proving
+    streaming state == sequential fold. Rows are folded in doc_id
+    order within each batch (sorted in the operator) and the fixture
+    feeds monotone doc_ids per shard, so both orderings coincide.
+
+    100 TB shape: state is shard-count-bounded; per-batch work is a
+    keyed local fold. The emitted stream is one manifest row per
+    (shard, batch) — the downstream final-selection is a keyed max
+    over shard-count-sized data."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from ..streaming.packing import manifest_stream
+
+    src = Path(tempfile.mkdtemp(prefix="q_smf_"))
+    batches = [
+        [("a", 1, "alpha doc one"), ("a", 2, "alpha doc two"), ("b", 101, "beta doc one")],
+        [("a", 3, "alpha doc three"), ("b", 102, "beta doc two")],
+        [("a", 4, "alpha doc four"), ("b", 103, "beta doc three")],
+    ]
+    for i, batch in enumerate(batches):
+        f = src / f"b{i}.jsonl"
+        f.write_text(
+            "\n".join(
+                f'{{"shard": "{s}", "doc_id": {d}, "content": "{c}"}}'
+                for s, d, c in batch
+            )
+            + "\n"
+        )
+        os.utime(f, (1_700_000_000 + i * 100,) * 2)
+    stream = manifest_stream(
+        spark.readStream.schema("shard string, doc_id long, content string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    name = "q_smf_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    # final manifest = the per-shard row with the highest doc count
+    # (counts are strictly monotone across updates)
+    return spark.sql(
+        f"""
+        SELECT shard, n_docs, n_tokens, manifest_digest
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY shard ORDER BY n_docs DESC) AS rn
+          FROM {name}
+        ) WHERE rn = 1
+        """
+    )
+
+
+@register(
     "llm_event_sequences",
     tags=("llm", "events", "curation", "sequences"),
     oracle="""

@@ -77,6 +77,61 @@ def _update(
     yield _frame(rows)
 
 
+MANIFEST_OUT_SCHEMA = (
+    "shard string, n_docs long, n_tokens long, manifest_digest string"
+)
+_MANIFEST_STATE_SCHEMA = "dg string, nd long, nt long"
+
+
+def _manifest_update(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    shard = key[0]
+    if state.exists:
+        dg, nd, nt = state.get
+        nd, nt = int(nd), int(nt)
+    else:
+        dg, nd, nt = hashlib.md5(b"").hexdigest(), 0, 0
+    parts = [p for p in pdfs if len(p)]
+    if parts:
+        pdf = pd.concat(parts).sort_values("doc_id", kind="mergesort")
+        for content in pdf["content"]:
+            h = hashlib.md5(str(content).encode()).hexdigest()
+            dg = hashlib.md5((dg + h).encode()).hexdigest()
+            nd += 1
+            nt += len([w for w in str(content).split(" ") if w])
+    state.update((dg, nd, nt))
+    yield pd.DataFrame(
+        {
+            "shard": [shard],
+            "n_docs": np.array([nd], dtype=np.int64),
+            "n_tokens": np.array([nt], dtype=np.int64),
+            "manifest_digest": [dg],
+        }
+    )
+
+
+def manifest_stream(docs: DataFrame) -> DataFrame:
+    """Incremental per-shard manifest over a streaming (shard, doc_id,
+    content) frame: running doc/token counts plus the chained content
+    digest dgₙ = md5(dgₙ₋₁ ‖ md5(contentₙ)), state = one digest + two
+    counters per shard. Emits the current manifest row per shard per
+    microbatch (update mode)."""
+    return (
+        docs.select("shard", "doc_id", "content")
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _manifest_update,
+            outputStructType=MANIFEST_OUT_SCHEMA,
+            stateStructType=_MANIFEST_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def pack_stream(docs: DataFrame) -> DataFrame:
     """Assign streaming (shard, doc_id, n_tokens) rows their packed
     start offsets. Emits every row exactly once (update mode); the

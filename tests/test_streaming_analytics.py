@@ -223,6 +223,65 @@ def test_token_pack_restart_continues_offsets(spark, tmp_path):
     assert got2[3] == (550, 1, False)
 
 
+def test_stream_manifest_restart_continues_chain(spark, tmp_path):
+    """The chained manifest digest must continue from the checkpointed
+    state across a restart: refolding the full sequence in one process
+    and folding it split across two runs must produce the SAME digest —
+    a reset chain or a replayed row would both diverge."""
+    import hashlib
+    import json as _json
+    import os
+
+    from fluvio_demo_apps_rust_spark.streaming.packing import manifest_stream
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir(parents=True)
+
+    def run():
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(out))
+
+        (
+            manifest_stream(
+                spark.readStream.schema("shard string, doc_id long, content string")
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src))
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(180)
+        )
+
+    docs = ["first doc", "second doc", "third doc"]
+    f0 = src / "b0.jsonl"
+    f0.write_text(
+        "\n".join(
+            _json.dumps({"shard": "a", "doc_id": i + 1, "content": c})
+            for i, c in enumerate(docs[:2])
+        )
+        + "\n"
+    )
+    os.utime(f0, (1_700_000_000,) * 2)
+    run()
+
+    f1 = src / "b1.jsonl"
+    f1.write_text(
+        _json.dumps({"shard": "a", "doc_id": 3, "content": docs[2]}) + "\n"
+    )
+    os.utime(f1, (1_700_000_100,) * 2)
+    run()
+
+    rows = spark.read.parquet(str(out)).collect()
+    final = max(rows, key=lambda r: r.n_docs)
+    dg = hashlib.md5(b"").hexdigest()
+    for c in docs:
+        dg = hashlib.md5((dg + hashlib.md5(c.encode()).hexdigest()).encode()).hexdigest()
+    assert (final.n_docs, final.manifest_digest) == (3, dg)
+
+
 def test_sql_sink_renders_pet_statements(spark, tmp_path):
     from fluvio_demo_apps_rust_spark.fixtures import PET_EVENTS
     from fluvio_demo_apps_rust_spark.sources.event_source import read_events_from_strings

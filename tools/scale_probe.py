@@ -209,6 +209,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "q106_stream_web_frontier",
             "q106_stream_frontier_watermarked",
             "q108_stream_token_pack",
+            "q109_stream_manifest",
         ],
     ),
     (
