@@ -104,6 +104,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_hard_negatives",
     "q108_stream_token_pack",
     "q109_stream_manifest",
+    "llm_preference_pairs",
 )
 
 

@@ -275,6 +275,84 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_preference_pairs",
+    tags=("llm", "dedup", "minhash", "quality", "training", "preference"),
+    oracle=f"""
+WITH {_MINHASH_CTE},
+buckets AS (
+  SELECT doc_id, j % 4 AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY j)) AS bucket
+  FROM mh GROUP BY doc_id, band),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id),
+qt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ql AS (
+  SELECT doc_id,
+         floor((0.4 * (len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+                      / len(toks)::DOUBLE)
+               + 0.4 * (len(list_distinct(toks)) / len(toks)::DOUBLE)
+               + 0.2 * least(len(toks)::DOUBLE, 100.0) / 100.0) * 10000 + 0.5) / 10000.0 AS quality
+  FROM qt),
+pq AS (
+  SELECT p.a, p.b, xa.quality AS qa, xb.quality AS qb
+  FROM pairs p
+  JOIN ql xa ON xa.doc_id = p.a
+  JOIN ql xb ON xb.doc_id = p.b
+  WHERE xa.quality <> xb.quality)
+SELECT CASE WHEN qa >= qb THEN a ELSE b END AS chosen,
+       CASE WHEN qa >= qb THEN b ELSE a END AS rejected,
+       CASE WHEN qa >= qb THEN qa ELSE qb END AS q_chosen,
+       CASE WHEN qa >= qb THEN qb ELSE qa END AS q_rejected,
+       floor(abs(qa - qb) * 10000 + 0.5) / 10000.0 AS gap
+FROM pq
+""",
+)
+def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR MINING for DPO/RLHF-style training — pairs of
+    near-similar documents (same MinHash LSH bucket: same topic/
+    template, so the comparison is apples-to-apples) with a STRICT
+    quality difference: the higher-quality one is `chosen`, the other
+    `rejected`; exact quality ties carry no preference signal and are
+    dropped. This is the standard weak-label construction when no
+    human preference data exists — similarity controls the confound,
+    the quality gap supplies the signal (a production run would add a
+    minimum-gap margin; LSH near-dups have near-identical quality by
+    construction — max gap 0.0067 on this corpus — so the margin is a
+    deployment knob, not a semantic). Quality is the repo's pinned
+    4-dp formula, so both engines compute IDENTICAL doubles and the
+    inequality can never straddle.
+
+    100 TB shape: banded equi-joins for candidates (the
+    llm_minhash_lsh_pairs scale path) + two hash joins onto the
+    row-local quality projection — no new shuffle shape; pair volume
+    is the LSH candidate volume, gap-filtered row-locally."""
+    d = load(spark, sf_dir, "documents")
+    q = d.select("doc_id", *TX.quality_columns()).select("doc_id", "quality")
+    pairs = X.lsh_candidate_pairs(
+        X.lsh_band_buckets_wide(X.minhash_wide(d), bands=4)
+    )
+    pq = (
+        pairs.join(
+            q.select(F.col("doc_id").alias("a"), F.col("quality").alias("qa")), "a"
+        )
+        .join(
+            q.select(F.col("doc_id").alias("b"), F.col("quality").alias("qb")), "b"
+        )
+        .where(F.col("qa") != F.col("qb"))
+    )
+    better_a = F.col("qa") >= F.col("qb")
+    return pq.select(
+        F.when(better_a, F.col("a")).otherwise(F.col("b")).alias("chosen"),
+        F.when(better_a, F.col("b")).otherwise(F.col("a")).alias("rejected"),
+        F.when(better_a, F.col("qa")).otherwise(F.col("qb")).alias("q_chosen"),
+        F.when(better_a, F.col("qb")).otherwise(F.col("qa")).alias("q_rejected"),
+        fround(F.abs(F.col("qa") - F.col("qb")), 4).alias("gap"),
+    )
+
+
+@register(
     "llm_dedup_clusters",
     tags=("llm", "dedup", "minhash", "lsh", "iterative"),
     oracle=f"""

@@ -327,6 +327,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_minhash_jaccard_est",
             "llm_containment_dedup",
             "llm_dedup_fuzzy_verify",
+            "llm_preference_pairs",
         ],
     ),
     (
