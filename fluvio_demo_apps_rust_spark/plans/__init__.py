@@ -105,6 +105,7 @@ _FORWARD: tuple[str, ...] = (
     "q108_stream_token_pack",
     "q109_stream_manifest",
     "llm_preference_pairs",
+    "llm_pmi_collocations",
 )
 
 

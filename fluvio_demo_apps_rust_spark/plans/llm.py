@@ -275,6 +275,102 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_pmi_collocations",
+    tags=("llm", "text", "mining", "collocations"),
+    oracle=f"""
+WITH t AS (SELECT {_TOKS} AS ts FROM documents),
+big AS (
+  SELECT unnest(ts[1:len(ts)-1]) AS a, unnest(ts[2:len(ts)]) AS b
+  FROM t WHERE len(ts) >= 2),
+cb AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM big WHERE a <> '' AND b <> ''
+  GROUP BY a, b HAVING count(*) >= 5),
+cu AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ts) AS w FROM t)
+  WHERE w <> '' GROUP BY w),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cu),
+r AS (
+  SELECT cb.a, cb.b, cb.c_ab,
+         (cb.c_ab * (SELECT n FROM n) * 1000000) // (ua.c * ub.c)
+           AS pmi_ratio_micro
+  FROM cb JOIN cu ua ON ua.w = cb.a JOIN cu ub ON ub.w = cb.b)
+SELECT a, b, c_ab, pmi_ratio_micro, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi_ratio_micro DESC, a, b) AS rank
+  FROM r)
+WHERE rank <= 20
+""",
+)
+def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION MINING — the top-20 adjacent word pairs by
+    pointwise mutual information, the classic corpus-analysis pass for
+    finding multiword expressions worth protecting from a tokenizer or
+    auditing in a data card. PMI itself is ln(N·c_ab/(c_a·c_b)); ln is
+    1-ulp engine-dependent (repo transcendental rule), so the RANKING
+    uses the exact integer ratio (c_ab·N·10⁶) DIV (c_a·c_b) — strictly
+    monotone in PMI, engine-exact BIGINT arithmetic, nothing to
+    round. Support floor c_ab ≥ 5 kills singleton noise.
+
+    100 TB shape: one bigram explode + two hash aggregates (bigram
+    and unigram counts, both map-side combinable), the 1-row total
+    joined back (aggregate-below), two vocabulary-sized joins, and a
+    top-20 WindowGroupLimit over the AGGREGATED pair relation (never
+    a corpus-scale global sort). Overflow bound: c_ab·N·10⁶ needs
+    N·c_ab < 9·10¹² — at real corpus sizes the production variant
+    ranks on log-space doubles instead (documented tradeoff; the gate
+    fixture is exact)."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    t = d.select(TX.tokens("text").alias("ts"))
+    big = (
+        t.where(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> struct(ts[i-1] AS a, ts[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .where((F.col("a") != "") & (F.col("b") != ""))
+    )
+    cb = (
+        big.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    cu = (
+        t.select(F.explode("ts").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = cu.agg(F.sum("c").alias("n"))
+    r = (
+        cb.join(cu.select(F.col("w").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(cu.select(F.col("w").alias("b"), F.col("c").alias("c_b")), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.expr("(c_ab * n * 1000000) DIV (c_a * c_b)").alias(
+                "pmi_ratio_micro"
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_ratio_micro"), F.asc("a"), F.asc("b"))
+    return (
+        r.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("a", "b", "c_ab", "pmi_ratio_micro", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@register(
     "llm_preference_pairs",
     tags=("llm", "dedup", "minhash", "quality", "training", "preference"),
     oracle=f"""

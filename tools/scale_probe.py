@@ -372,6 +372,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_quality_calibration",
             "llm_naive_bayes",
             "llm_bpe_merge_counts",
+            "llm_pmi_collocations",
             "llm_robots_filter",
             "llm_corpus_profile",
             "llm_corpus_report",
