@@ -106,6 +106,7 @@ _FORWARD: tuple[str, ...] = (
     "q109_stream_manifest",
     "llm_preference_pairs",
     "llm_pmi_collocations",
+    "llm_snapshot_diff",
 )
 
 

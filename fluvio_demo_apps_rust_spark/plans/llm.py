@@ -275,6 +275,95 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_snapshot_diff",
+    tags=("llm", "curation", "versioning", "diff"),
+    oracle=f"""
+WITH v1 AS (SELECT doc_id, md5(text) AS h, source FROM documents),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 17 = 0 THEN text || ' [edited]' ELSE text END) AS h,
+         source
+  FROM documents WHERE doc_id % 23 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5('new: ' || text), source
+  FROM documents WHERE doc_id % 31 = 0),
+d AS (
+  SELECT COALESCE(v2.source, v1.source) AS source,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.h = v2.h THEN 'unchanged'
+              ELSE 'changed' END AS status,
+         COALESCE(v1.doc_id, v2.doc_id) AS doc_id
+  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+SELECT source, status,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(sum({_HEX60.format(x="CAST(doc_id AS VARCHAR) || '_' || status")}
+                % 1000000000) AS BIGINT) AS member_checksum
+FROM d GROUP BY source, status
+""",
+)
+def llm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF — the dataset-versioning pass a curation pipeline
+    runs between corpus releases: full-outer join of two snapshots on
+    doc_id with a content-hash compare classifying every document as
+    added / removed / changed / unchanged, rolled up per source with
+    an order-independent membership checksum (a single misclassified
+    doc anywhere breaks the hash). v2 is derived DETERMINISTICALLY
+    from v1 on both engines (every 23rd doc deleted, every 17th
+    edited, every 31st cloned as an addition under a shifted id), so
+    the gate pins the diff operator, not the fixture.
+
+    100 TB shape: two row-local hash projections + ONE full-outer
+    shuffle join on the id (the exact shape any snapshot differ pays)
+    + a per-(source,status)-bounded aggregate. No corpus-scale state
+    or collect anywhere."""
+    from ..functions.dedup import md5_int60
+
+    d = load(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", F.md5("text").alias("h"), "source")
+    v2 = (
+        d.where(F.col("doc_id") % 23 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+            "source",
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 31 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5(F.concat(F.lit("new: "), F.col("text"))).alias("h"),
+                "source",
+            )
+        )
+    )
+    joined = v1.alias("v1").join(v2.alias("v2"), "doc_id", "full_outer")
+    diff = joined.select(
+        F.coalesce(F.col("v2.source"), F.col("v1.source")).alias("source"),
+        F.when(F.col("v1.h").isNull(), "added")
+        .when(F.col("v2.h").isNull(), "removed")
+        .when(F.col("v1.h") == F.col("v2.h"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+        F.col("doc_id"),
+    )
+    return diff.groupBy("source", "status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.sum(
+            md5_int60(
+                F.concat(F.col("doc_id").cast("string"), F.lit("_"), F.col("status"))
+            )
+            % 1000000000
+        ).alias("member_checksum"),
+    )
+
+
+@register(
     "llm_pmi_collocations",
     tags=("llm", "text", "mining", "collocations"),
     oracle=f"""

@@ -433,6 +433,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_contamination",
             "llm_pretrain_prep",
             "llm_curation_pipeline",
+            "llm_snapshot_diff",
         ],
     ),
 ]
