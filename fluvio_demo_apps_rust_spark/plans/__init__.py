@@ -107,6 +107,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_preference_pairs",
     "llm_pmi_collocations",
     "llm_snapshot_diff",
+    "llm_dsir_resample",
 )
 
 

@@ -2011,6 +2011,89 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_dsir_resample",
+    tags=("llm", "text", "lm", "sampling", "curation"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS is_tgt, unnest({_TOKS}) AS t FROM documents),
+model AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c_raw,
+         CAST(count(*) FILTER (WHERE is_tgt) AS BIGINT) AS c_tgt
+  FROM tok GROUP BY t),
+tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS tot_raw,
+               CAST(sum(c_tgt) AS BIGINT) AS tot_tgt,
+               CAST(count(*) AS BIGINT) AS v
+        FROM model),
+lr AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(CAST(floor(log2(((c_tgt + 1) * (tot_raw + v))::DOUBLE
+                             / ((c_raw + 1) * (tot_tgt + v))) * 1000000000 + 0.5)
+                  AS BIGINT)) / (count(*) * 1000000000.0) AS log_ratio
+  FROM tok JOIN model USING (t) CROSS JOIN tot
+  GROUP BY doc_id),
+acc AS (
+  SELECT d.lang, lr.doc_id, lr.n_tokens,
+         ({_HEX60.format(x="CAST(lr.doc_id AS VARCHAR) || '_dsir'")} % 1000000)
+           < CAST(floor(least(greatest(0.5 + lr.log_ratio, 0.0), 1.0)
+                        * 1000000 + 0.5) AS BIGINT) AS accepted
+  FROM lr JOIN documents d USING (doc_id))
+SELECT lang, accepted,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum({_HEX60.format(x="CAST(doc_id AS VARCHAR) || '_m'")}
+                % 1000000000) AS BIGINT) AS member_checksum
+FROM acc GROUP BY lang, accepted
+""",
+)
+def llm_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR RESAMPLING — the acceptance-sampling step that APPLIES the
+    llm_dsir_importance weights (which that query only computes):
+    each document is kept with probability p = clip(0.5 + log_ratio,
+    0, 1), drawn against a salted-md5 uniform — so target-like docs
+    (log_ratio > 0.5) are always kept, strongly off-domain docs are
+    always dropped, and the band between resamples proportionally.
+    The LINEAR acceptance is a deliberate surrogate for DSIR's
+    exp-weight sampling: exp is 1-ulp engine-dependent (repo
+    transcendental rule) while clip(0.5 + x) over the identical
+    doubles both engines already compute is bit-exact; production
+    would swap the surrogate for exp-weights and carry the 1-ulp
+    residual instead. The decision compares micro-integers
+    (hash % 10⁶ < floor(p·10⁶ + 0.5)), and per-(lang, accepted)
+    membership is checksum-pinned doc by doc.
+
+    100 TB shape: the importance model is ONE vocabulary-keyed
+    aggregate (the probed llm_dsir_importance shape); the acceptance
+    is row-local; the rollup is ≤ 2·#langs rows."""
+    from ..functions.dedup import md5_int60
+
+    d = load(spark, sf_dir, "documents")
+    lr = TX.dsir_importance(d)
+    p_micro = F.floor(
+        F.least(F.greatest(F.lit(0.5) + F.col("log_ratio"), F.lit(0.0)), F.lit(1.0))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    acc = lr.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        (
+            md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit("_dsir")))
+            % 1000000
+            < p_micro
+        ).alias("accepted"),
+    )
+    return acc.groupBy("lang", "accepted").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(
+            md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit("_m")))
+            % 1000000000
+        ).alias("member_checksum"),
+    )
+
+
+@register(
     "llm_surprise_buckets",
     tags=("llm", "text", "quality", "lm"),
     oracle=f"""

@@ -434,6 +434,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_pretrain_prep",
             "llm_curation_pipeline",
             "llm_snapshot_diff",
+            "llm_dsir_resample",
         ],
     ),
 ]
