@@ -108,6 +108,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_pmi_collocations",
     "llm_snapshot_diff",
     "llm_dsir_resample",
+    "llm_tokenizer_heldout",
 )
 
 

@@ -5417,6 +5417,146 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_tokenizer_heldout",
+    tags=("llm", "text", "tokenizer", "bpe", "eval", "arrow"),
+    oracle=f"""
+WITH RECURSIVE
+twx AS (SELECT unnest({_TOKS}) AS w FROM documents WHERE doc_id % 50 <> 0),
+wq AS (SELECT w FROM twx WHERE length(w) >= 1),
+words AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM wq GROUP BY w),
+st0 AS (
+  SELECT w, c, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+  FROM words),
+{_bpe_gen_sql('st0', 'm1', 'walk1', 'st1', 8)},
+{_bpe_gen_sql('st1', 'm2', 'walk2', 'st2', 8)},
+{_bpe_gen_sql('st2', 'm3', 'walk3', 'st3', 8)},
+base AS (SELECT DISTINCT unnest(string_split(w, '')) AS ch FROM words),
+m_all AS (
+  SELECT a, b, (gen - 1) * 8 + rank AS grank FROM (
+    SELECT a, b, 1 AS gen, rank FROM m1
+    UNION ALL SELECT a, b, 2 AS gen, rank FROM m2
+    UNION ALL SELECT a, b, 3 AS gen, rank FROM m3)),
+rules AS (SELECT a, b, row_number() OVER (ORDER BY grank) AS step FROM m_all),
+hwx AS (
+  SELECT doc_id, unnest({_TOKS}) AS w
+  FROM documents WHERE doc_id % 50 = 0),
+hwq AS (SELECT doc_id, w FROM hwx WHERE length(w) >= 1),
+hst0 AS (
+  SELECT DISTINCT w,
+         ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+  FROM hwq),
+awalk(w, s, i) AS (
+  SELECT w, s, 0 FROM hst0
+  UNION ALL
+  SELECT wk.w,
+         replace(wk.s, ' ' || r.a || ' ' || r.b || ' ', ' ' || r.a || r.b || ' '),
+         wk.i + 1
+  FROM awalk wk JOIN rules r ON r.step = wk.i + 1),
+happ AS (SELECT w, trim(s) AS ts FROM awalk
+         WHERE i = (SELECT count(*) FROM rules)),
+vocab_toks AS (
+  SELECT ch AS tok FROM base
+  UNION SELECT a || b FROM m_all),
+htok AS (SELECT w, unnest(string_split(ts, ' ')) AS tok FROM happ),
+hper AS (
+  SELECT htok.w,
+         CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(count(CASE WHEN v.tok IS NULL THEN 1 END) AS BIGINT) AS n_oov
+  FROM htok LEFT JOIN vocab_toks v USING (tok)
+  GROUP BY htok.w)
+SELECT hwq.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(hper.n_toks) AS BIGINT) AS n_tokens,
+       CAST(sum(hper.n_oov) AS BIGINT) AS n_oov_tokens
+FROM hwq JOIN hper ON hper.w = hwq.w
+GROUP BY hwq.doc_id
+""",
+)
+def llm_tokenizer_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER GENERALIZATION eval — train the BPE on a TRAIN split
+    (doc_id % 50 ≠ 0) and apply it to the HELD-OUT split, the
+    methodology a real tokenizer freeze requires (in-domain fertility
+    on the training corpus, which llm_bpe_tokenize measures, is
+    systematically optimistic): per held-out doc, word/token counts
+    under the train-only merge table plus the OOV token count (tokens
+    outside the train vocabulary — single characters never seen in
+    training; merge outputs are in-vocab by construction). The DuckDB
+    oracle retrains on the train split via the recursive walks and
+    applies the 24 rules to the held-out word table through a
+    rank-ordered apply walk — the exact mirror of shipping a FROZEN
+    merge list to new data.
+
+    100 TB shape: training is the vocabulary-sized shared kernel over
+    the train split; apply is the production Arrow iterator over the
+    held-out split with per-batch unique-word memoization (the
+    llm_bpe_tokenize_arrow shape); the vocab set is a charset+merges
+    closure constant."""
+    import pandas as pd  # noqa: F401
+
+    from ..functions.text import bpe_apply_merges_pandas, bpe_spaced_state, bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 50 != 0)
+    held = d.where(F.col("doc_id") % 50 == 0)
+    words = (
+        train.select(F.explode(TX.tokens("text")).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    _state, merges = bpe_train(bpe_spaced_state(words))
+    base = {
+        r.ch
+        for r in words.select(
+            F.explode(F.expr("filter(split(w, ''), c -> c <> '')")).alias("ch")
+        )
+        .distinct()
+        .collect()
+    }
+    vocab = base | {a + b for a, b in merges}
+
+    def ev(batches):
+        import pandas as pd
+
+        cache: dict[str, tuple[int, int]] = {}  # w -> (n_toks, n_oov)
+
+        for pdf in batches:
+            wls = pdf["text"].str.lower().str.split(
+                r"[ \t\n\x0b\f\r]+", regex=True
+            )
+            fresh = sorted({w for ws in wls for w in ws if w and w not in cache})
+            if fresh:
+                toks = bpe_apply_merges_pandas(pd.Series(fresh), merges)
+                for w, t in zip(fresh, toks):
+                    parts = t.split(" ")
+                    cache[w] = (len(parts), sum(1 for p in parts if p not in vocab))
+            n_words, n_tokens, n_oov = [], [], []
+            for ws in wls:
+                ws = [w for w in ws if w]
+                n_words.append(len(ws))
+                n_tokens.append(sum(cache[w][0] for w in ws))
+                n_oov.append(sum(cache[w][1] for w in ws))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_tokens": pd.Series(n_tokens, dtype="int64"),
+                    "n_oov_tokens": pd.Series(n_oov, dtype="int64"),
+                }
+            )
+
+    return (
+        held.select("doc_id", "text")
+        .repartition(32)
+        .mapInPandas(
+            ev,
+            "doc_id bigint, n_words bigint, n_tokens bigint, n_oov_tokens bigint",
+        )
+        .where(F.col("n_words") >= 1)
+    )
+
+
+@register(
     "llm_pack_token_ids",
     tags=("llm", "curation", "packing", "tokenizer", "bpe"),
     oracle=f"""

@@ -416,7 +416,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
         "corpus word-explode + vocab-join shape; the vocab table is "
         "charset-bounded and fertility adds only a ≤#langs-row "
         "aggregate on top of the same join",
-        ["llm_bpe_vocab", "llm_tokenizer_fertility"],
+        ["llm_bpe_vocab", "llm_tokenizer_fertility", "llm_tokenizer_heldout"],
     ),
     (
         "curation one-scan + bounded aggregate over probed kernels "
