@@ -109,6 +109,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_snapshot_diff",
     "llm_dsir_resample",
     "llm_tokenizer_heldout",
+    "llm_repetition_loops",
 )
 
 

@@ -275,6 +275,62 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_repetition_loops",
+    tags=("llm", "text", "quality", "degenerate"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, substr(text, length(text) - least(length(text), 64) + 1) AS tail
+  FROM documents),
+p AS (
+  SELECT doc_id, tail,
+         list_filter(range(1, 17),
+           p -> length(tail) >= 2 * p
+                AND substr(tail, length(tail) - 2 * p + 1, p)
+                    = substr(tail, length(tail) - p + 1, p)) AS periods
+  FROM t)
+SELECT doc_id,
+       len(periods) > 0 AS has_loop,
+       CAST(COALESCE(periods[1], 0) AS BIGINT) AS min_period,
+       CAST(len(periods) AS BIGINT) AS n_periods
+FROM p
+""",
+)
+def llm_repetition_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGENERATE-LOOP detection — the tail-repetition check a
+    training-data pipeline runs to catch model-generated or
+    scraper-glitched text that ends in a repeating cycle ("the the
+    the", "ha ha ha ha"): over the last 64 chars, a period p ≤ 16 is
+    flagged when the final p chars equal the p chars before them
+    (one cycle of evidence; Gopher-style duplicate-n-gram fractions —
+    llm_doc_repetition — catch global repetition, this catches the
+    TAIL loop an autoregressive generator falls into). Emits the
+    smallest flagged period and the flagged-period count per doc.
+
+    100 TB shape: entirely row-local (one bounded substring + a
+    16-candidate filter in codegen), no shuffle, scan prunes to
+    (doc_id, text)."""
+    d = load(spark, sf_dir, "documents")
+    tail = F.expr("substring(text, length(text) - least(length(text), 64) + 1)")
+    t = d.select("doc_id", tail.alias("tail"))
+    periods = F.expr(
+        "filter(sequence(1, 16), p -> length(tail) >= 2 * p "
+        "AND substring(tail, length(tail) - 2 * p + 1, p) "
+        "= substring(tail, length(tail) - p + 1, p))"
+    )
+    p = t.select("doc_id", periods.alias("periods"))
+    return p.select(
+        "doc_id",
+        (F.size("periods") > 0).alias("has_loop"),
+        # try_element_at: ANSI element_at THROWS on an empty array
+        # (same strictness class as the /0 guards)
+        F.coalesce(F.try_element_at("periods", F.lit(1)), F.lit(0))
+        .cast("long")
+        .alias("min_period"),
+        F.size("periods").cast("long").alias("n_periods"),
+    )
+
+
+@register(
     "llm_snapshot_diff",
     tags=("llm", "curation", "versioning", "diff"),
     oracle=f"""
