@@ -110,6 +110,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_dsir_resample",
     "llm_tokenizer_heldout",
     "llm_repetition_loops",
+    "llm_shard_writer",
 )
 
 

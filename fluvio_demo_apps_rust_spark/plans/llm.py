@@ -6953,14 +6953,30 @@ def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-byte md5 context + two counters per shard-in-partition. Digest
     ties break on doc_id for duplicate texts, so the manifest is
     total-order deterministic at any partition/batch boundary."""
-    d = load(spark, sf_dir, "documents")
+    return _shard_manifest_frame(load(spark, sf_dir, "documents"))
+
+
+def _shard_manifest_frame(d: DataFrame, shard_col: str | None = None) -> DataFrame:
+    """The constant-memory shard-manifest fold over a documents frame:
+    salted-hash 8-way shard assignment, repartition(shard_id) +
+    sortWithinPartitions, streaming chained-md5 per shard (see
+    llm_shard_manifest's docstring). Shared by llm_shard_manifest and
+    llm_shard_writer; the writer passes ``shard_col`` so the fold uses
+    the shard ids READ BACK from the physical directory layout instead
+    of recomputing them — a row written into the wrong shard then
+    shows as a digest mismatch rather than being silently re-derived."""
     from ..functions.curation import md5_int60
 
+    shard_id = (
+        F.col(shard_col).cast("long")
+        if shard_col
+        else (
+            md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit("_shard"))) % 8
+        ).cast("long")
+    )
     s = d.select(
         "doc_id",
-        (md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit("_shard"))) % 8)
-        .cast("long")
-        .alias("shard_id"),
+        shard_id.alias("shard_id"),
         TX.ws_token_count("text").cast("long").alias("n_toks"),
         F.md5("text").alias("h"),
     )
@@ -6998,3 +7014,57 @@ def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold_manifest,
         schema="shard_id long, n_docs long, n_tokens long, manifest_digest string",
     )
+
+
+@register(
+    "llm_shard_writer",
+    tags=("llm", "curation", "shard", "manifest", "write"),
+    oracle=_REGISTRY["llm_shard_manifest"].oracle,
+)
+def llm_shard_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHYSICAL SHARD WRITE + read-back verification — the step that
+    actually ships a curated corpus: documents are written as
+    parquet PARTITIONED BY the salted-hash shard id (the directory
+    layout a trainer's data loader consumes), read back, and the
+    manifest fold runs over the READ-BACK rows using the shard ids
+    recovered from the directory structure. Gated against the
+    IDENTICAL DuckDB oracle as llm_shard_manifest — so the write →
+    directory-partition → read path is pinned content-exact: a
+    dropped/duplicated/mis-partitioned row or any text mangling in
+    the parquet round trip breaks the digest. This is the strongest
+    form of write-path verification short of byte-diffing files.
+
+    100 TB shape: partitionBy(shard_id) writes are the exact physical
+    layout the batch manifest's repartition models; the verification
+    fold is the same constant-memory chained-md5 pass. The tmpdir is
+    removed after a localCheckpoint materializes the result
+    (plans/advanced.py:1405 pattern)."""
+    import shutil
+    import tempfile
+
+    from ..functions.curation import md5_int60
+
+    d = load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="q_shardw_")
+    try:
+        (
+            d.select(
+                "doc_id",
+                "text",
+                (
+                    md5_int60(
+                        F.concat(F.col("doc_id").cast("string"), F.lit("_shard"))
+                    )
+                    % 8
+                )
+                .cast("long")
+                .alias("shard_id"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(out)
+        )
+        back = spark.read.parquet(out)
+        return _shard_manifest_frame(back, shard_col="shard_id").localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -436,6 +436,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_curation_pipeline",
             "llm_snapshot_diff",
             "llm_dsir_resample",
+            "llm_shard_writer",
         ],
     ),
 ]
