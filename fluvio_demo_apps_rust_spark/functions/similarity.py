@@ -278,8 +278,12 @@ def lsh_bucketed_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cos: float | None = None,
 ) -> DataFrame:
-    """ANN: exact rescoring restricted to same-bucket candidates."""
+    """ANN: exact rescoring restricted to same-bucket candidates.
+    ``max_cos`` (exclusive) drops candidates at/above the margin
+    BEFORE ranking — the hard-negative-mining gate (near-duplicates
+    are positives, not negatives); None keeps plain top-k."""
     from pyspark.sql import Window
 
     sig = lsh_signature(vec_col, nb, dim)
@@ -306,6 +310,8 @@ def lsh_bucketed_topk(
             ).alias("cos_sim"),
         )
     )
+    if max_cos is not None:
+        scored = scored.filter(F.col("cos_sim") < max_cos)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -111,6 +111,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_tokenizer_heldout",
     "llm_repetition_loops",
     "llm_shard_writer",
+    "llm_hard_negatives_lsh",
 )
 
 

@@ -858,6 +858,47 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_hard_negatives_lsh",
+    tags=("llm", "similarity", "ann", "lsh", "training"),
+    oracle=f"""
+WITH n AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
+                  {_lsh_sig_sql('embedding')} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, bucket FROM n WHERE vec_id < 10),
+scored AS (
+  SELECT q_id, n.vec_id AS n_id,
+         floor(({_dot_sql('qv', 'n.embedding')} / (qn * n.nrm)) * 1000000 + 0.5) / 1000000.0 AS cos_sim
+  FROM n JOIN q USING (bucket)
+  WHERE n.vec_id <> q_id),
+hard AS (SELECT * FROM scored WHERE cos_sim < 0.95)
+SELECT q_id, n_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+  FROM hard)
+WHERE rank <= 5
+""",
+)
+def llm_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH of llm_hard_negatives: candidates come from the
+    8-bit random-hyperplane LSH bucket join instead of the brute-force
+    cross product — exactly the brute-force→LSH swap the ANN family
+    pins via the llm_ann_topk / llm_ann_lsh pairing, now for the
+    mining gate (cos ≥ 0.95 candidates dropped BEFORE the per-anchor
+    rank: near-duplicates are positives, not negatives). Same-bucket
+    candidates are already similarity-biased, which is what a
+    hard-negative miner wants — the bucket join IS the "hard" part.
+
+    100 TB shape: one shuffle per side on the bucket key, margin
+    filter row-local, per-anchor WindowGroupLimit — no cross
+    product anywhere (the llm_ann_lsh probed shape + one filter)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = S.lsh_bucketed_topk(e, q, k=5, nb=8, dim=64, max_cos=0.95)
+    return out.select(
+        "q_id", "n_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
     "llm_ann_lsh",
     tags=("llm", "similarity", "ann", "lsh"),
     oracle=f"""

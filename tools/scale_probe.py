@@ -394,6 +394,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_gram_matrix",
             "llm_embedding_neardup",
             "llm_hard_negatives",
+            "llm_hard_negatives_lsh",
         ],
     ),
     (
