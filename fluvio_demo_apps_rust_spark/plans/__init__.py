@@ -112,6 +112,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_repetition_loops",
     "llm_shard_writer",
     "llm_hard_negatives_lsh",
+    "q110_events_user_drift",
 )
 
 

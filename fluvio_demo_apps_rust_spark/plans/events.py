@@ -1438,3 +1438,78 @@ def q103_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.sql(f"SELECT mktsegment, n_events, total_value FROM {name}")
+
+
+@register(
+    "q110_events_user_drift",
+    tags=("events", "drift", "analytics"),
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events),
+g AS (
+  SELECT user_id, event_type,
+         CAST(count(CASE WHEN rn * 2 <= cnt THEN 1 END) AS BIGINT) AS c1,
+         CAST(count(CASE WHEN rn * 2 > cnt THEN 1 END) AS BIGINT) AS c2
+  FROM r GROUP BY user_id, event_type),
+t AS (
+  SELECT user_id, CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM g GROUP BY user_id)
+SELECT g.user_id,
+       CAST(t.n1 + t.n2 AS BIGINT) AS n_events,
+       CAST((sum(abs(g.c1 * t.n2 - g.c2 * t.n1)) * 1000000) // (t.n1 * t.n2)
+            AS BIGINT) AS drift_micro
+FROM g JOIN t USING (user_id)
+WHERE t.n1 >= 1 AND t.n2 >= 1
+GROUP BY g.user_id, t.n1, t.n2
+""",
+)
+def q110_events_user_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user BEHAVIORAL DRIFT — how much a user's event-type mix
+    changed between the first and second half of their history (the
+    churn-risk / account-takeover signal an events pipeline computes):
+    L1 distance between the two halves' normalized type distributions,
+    computed EXACTLY as integers — Σ|c1·n2 − c2·n1| is the common-
+    denominator numerator, so drift_micro = (Σ|…|·10⁶) DIV (n1·n2)
+    involves no floating point at all (0 = identical mix, 2·10⁶ =
+    disjoint). The half split is rank-based (rn·2 ≤ cnt), deterministic
+    under the (ts, event_id) total order. Single-event users have an
+    empty second half and are filtered on both engines (mirrored
+    n1/n2 ≥ 1 guards — the ANSI /0 rule).
+
+    100 TB shape: one user-partitioned window (keyed, never global),
+    two hash aggregates, one user-keyed join — all shuffles on
+    user_id, reusable across the stages."""
+    ensure_utc(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    r = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    g = r.groupBy("user_id", "event_type").agg(
+        F.count(F.when(F.col("rn") * 2 <= F.col("cnt"), 1)).alias("c1"),
+        F.count(F.when(F.col("rn") * 2 > F.col("cnt"), 1)).alias("c2"),
+    )
+    t = g.groupBy("user_id").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    j = g.join(t, "user_id").where((F.col("n1") >= 1) & (F.col("n2") >= 1))
+    return (
+        j.groupBy("user_id", "n1", "n2")
+        .agg(
+            F.sum(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).alias("num")
+        )
+        .select(
+            "user_id",
+            (F.col("n1") + F.col("n2")).cast("long").alias("n_events"),
+            F.expr("(num * 1000000) DIV (n1 * n2)").alias("drift_micro"),
+        )
+    )

@@ -287,6 +287,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "q75_events_anomaly",
             "q76_events_transitions",
             "q86_ewma_smoothing",
+            "q110_events_user_drift",
         ],
     ),
     (
