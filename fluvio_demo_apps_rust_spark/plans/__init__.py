@@ -113,6 +113,8 @@ _FORWARD: tuple[str, ...] = (
     "llm_shard_writer",
     "llm_hard_negatives_lsh",
     "q110_events_user_drift",
+    "llm_heaps_law",
+    "llm_ngram_novelty",
 )
 
 

@@ -7109,3 +7109,140 @@ def llm_shard_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _shard_manifest_frame(back, shard_col="shard_id").localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "llm_heaps_law",
+    tags=("llm", "text", "stats", "vocabulary"),
+    oracle=f"""
+WITH m AS (SELECT max(doc_id) + 1 AS m FROM documents),
+tk AS (
+  SELECT least(9, doc_id * 10 // (SELECT m FROM m)) AS bucket,
+         unnest({_TOKS}) AS w
+  FROM documents),
+tok AS (SELECT bucket, w FROM tk WHERE w <> ''),
+tot AS (SELECT bucket, count(*) AS toks FROM tok GROUP BY bucket),
+firstb AS (SELECT w, min(bucket) AS fb FROM tok GROUP BY w),
+nv AS (SELECT fb AS bucket, count(*) AS new_types FROM firstb GROUP BY fb)
+SELECT CAST(t.bucket AS BIGINT) AS bucket,
+       CAST(sum(t.toks) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(n.new_types, 0)) OVER (ORDER BY t.bucket) AS BIGINT)
+         AS cum_types
+FROM tot t LEFT JOIN nv n ON n.bucket = t.bucket
+""",
+)
+def llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY-GROWTH CURVE (Heaps'-law audit) — cumulative token
+    count vs cumulative distinct-type count at ten corpus-order
+    checkpoints. The data-card statistic that tells a tokenizer team
+    whether vocabulary is still growing at the corpus tail (natural
+    text: V ≈ K·Nᵝ, β≈0.5; a FLAT tail is the signature of template/
+    boilerplate saturation, a LINEAR tail of unfiltered noise/UUIDs).
+    Checkpoints are deciles of doc_id order, derived from max(doc_id)
+    rather than a global row_number — no corpus-scale global window.
+    Everything is exact BIGINT counting: nothing to round, nothing
+    transcendental.
+
+    100 TB shape: one token explode feeding two map-side-combinable
+    hash aggregates (per-bucket totals; min-bucket per type — the
+    vocabulary-keyed shuffle shared with llm_unigram_surprise), then a
+    10-row join + 10-row cumulative window OVER THE AGGREGATE (the
+    two-phase prefix-sum pattern; the lint's reduced-window rule).
+    The 1-row max(doc_id) aggregate is broadcast below the bucket
+    projection — aggregate-below, never an sf-linear broadcast."""
+    d = load(spark, sf_dir, "documents")
+    m = d.agg((F.max("doc_id") + F.lit(1)).cast("long").alias("m"))
+    tok = (
+        d.crossJoin(F.broadcast(m))
+        .select(
+            F.least(F.lit(9).cast("long"), F.expr("doc_id * 10 DIV m")).alias(
+                "bucket"
+            ),
+            F.explode(TX.tokens("text")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    tot = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("toks"))
+    nv = (
+        tok.groupBy("w")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tot.join(nv, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.sum("toks").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_types"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_types"),
+        )
+    )
+
+
+@register(
+    "llm_ngram_novelty",
+    tags=("llm", "text", "dedup", "novelty"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS g FROM t WHERE len(t) >= 3),
+firstd AS (SELECT g, min(doc_id) AS fd FROM sh GROUP BY g),
+per AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM sh s JOIN firstd f ON f.g = s.g
+  GROUP BY s.doc_id)
+SELECT doc_id, n_grams, n_novel,
+       CAST((n_novel * 1000000) // n_grams AS BIGINT) AS novelty_ppm
+FROM per
+""",
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD-ORDER NOVELTY LEDGER — for every document, the fraction
+    of its distinct 3-gram shingles never seen in any EARLIER document
+    (doc_id order = ingestion order). This is the per-snapshot "how
+    much of this crawl is actually new" statistic a continuously-fed
+    training pipeline reports before deciding whether a refresh is
+    worth tokenizing, and the per-doc novelty score used to downweight
+    recombinations of already-seen text (a doc built from old shingles
+    scores ~0 even when its exact hash is new). A gram's first owner
+    is min(doc_id) over its posting list, so ties are impossible and
+    the ledger is deterministic under any partitioning. Exact BIGINT
+    counting end to end; the ppm ratio is integer division (n_grams
+    ≥ 1 by the len ≥ 3 filter — no ANSI divide-by-zero surface).
+
+    100 TB shape: distinct-shingle explode → min(doc_id) per gram
+    (map-side combinable; the posting-list shuffle shared with the
+    probed llm_dedup_ngram_jaccard kernel) → join back on the gram
+    key → one per-doc hash aggregate. No pair fan-out at all — unlike
+    the Jaccard kernels this never multiplies posting lists, so there
+    is no hot-shingle cap to tune."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.where(F.size(TX.tokens("text")) >= 3)
+        .select("doc_id", F.explode(X.word_shingles("text", 3)).alias("g"))
+    )
+    firstd = sh.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    per = (
+        sh.join(firstd, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("fd") == F.col("doc_id"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.expr("(n_novel * 1000000) DIV n_grams").alias("novelty_ppm"),
+    )

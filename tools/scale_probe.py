@@ -342,6 +342,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_doc_chunking",
             "llm_line_boilerplate",
             "llm_incremental_dedup",
+            "llm_ngram_novelty",
             "llm_dedup_clusters",
             "llm_dedup_keep_best",
             "llm_fingerprint",
@@ -369,6 +370,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_tfidf_topterms",
             "llm_bm25_topk",
             "llm_vocab_entropy",
+            "llm_heaps_law",
             "llm_wer_eval",
             "llm_quality_ablation",
             "llm_quality_calibration",
