@@ -115,6 +115,7 @@ _FORWARD: tuple[str, ...] = (
     "q110_events_user_drift",
     "llm_heaps_law",
     "llm_ngram_novelty",
+    "llm_embedding_sq8",
 )
 
 

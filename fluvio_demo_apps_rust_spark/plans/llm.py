@@ -7246,3 +7246,86 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_novel",
         F.expr("(n_novel * 1000000) DIV n_grams").alias("novelty_ppm"),
     )
+
+
+@register(
+    "llm_embedding_sq8",
+    tags=("llm", "embeddings", "quantization", "compression"),
+    oracle="""
+WITH v AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, 64) AS t(i)),
+st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM v GROUP BY dim),
+q AS (
+  SELECT v.dim, v.x, st.mn, st.mx,
+         CASE WHEN st.mx = st.mn THEN 0
+              ELSE CAST(floor(((v.x - st.mn) / (st.mx - st.mn)) * 255.0 + 0.5)
+                        AS BIGINT)
+         END AS code
+  FROM v JOIN st ON st.dim = v.dim),
+e AS (
+  SELECT dim, mn, mx,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(abs(x - (mn + (code * (mx - mn)) / 255.0))
+                             * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS err_nano
+  FROM q GROUP BY dim, mn, mx)
+SELECT CAST(dim AS BIGINT) AS dim, mn, mx, n, err_nano FROM e
+""",
+)
+def llm_embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR (int8) EMBEDDING QUANTIZATION — the per-dimension
+    min/max affine codec every production vector store offers as its
+    cheapest 4× compression (SQ8), with an exact reconstruction-error
+    ledger per dimension. Complements the trained-codebook PQ path
+    (llm_ann_pq): SQ8 needs no training loop, just one stats pass, so
+    it is the first compression a 100 TB embedding corpus gets.
+
+    Engine-exactness: min/max are order-independent; the affine code
+    floor(((x−mn)/span)·255 + 0.5) and the dequantized error are the
+    SAME IEEE double expression on both engines (float32 inputs widen
+    exactly), and the error is quantized per-row to nano-unit BIGINTs
+    BEFORE summation (repo money rule), so aggregation order cannot
+    matter. The span=0 constant-dimension case is CASE-guarded on
+    both sides — ANSI mode never sees the zero division (repo ANSI /0
+    rule).
+
+    100 TB shape: posexplode to (dim, x) — a 64× row fan-out but a
+    3-column projection — into ONE map-side-combinable 64-row
+    min/max aggregate; the stats join back is a 64-row build side
+    (aggregate-below, AQE broadcasts it at runtime — never hinted);
+    then one 64-group hash aggregate. No corpus-keyed shuffle at all:
+    both aggregates key on the dimension."""
+    e = load(spark, sf_dir, "embeddings")
+    v = (
+        e.select(F.posexplode("embedding").alias("p", "xr"))
+        .select(
+            (F.col("p") + 1).cast("long").alias("dim"),
+            F.col("xr").cast("double").alias("x"),
+        )
+    )
+    st = v.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    q = v.join(st, "dim").withColumn(
+        "code",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long")).otherwise(
+            F.floor(
+                ((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+                * F.lit(255.0)
+                + F.lit(0.5)
+            ).cast("long")
+        ),
+    )
+    err = F.abs(
+        F.col("x")
+        - (F.col("mn") + (F.col("code") * (F.col("mx") - F.col("mn"))) / F.lit(255.0))
+    )
+    return (
+        q.groupBy("dim", "mn", "mx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(err * F.lit(1000000000.0) + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("err_nano"),
+        )
+        .select("dim", "mn", "mx", "n", "err_nano")
+    )

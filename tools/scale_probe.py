@@ -398,6 +398,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_embedding_neardup",
             "llm_hard_negatives",
             "llm_hard_negatives_lsh",
+            "llm_embedding_sq8",
         ],
     ),
     (
