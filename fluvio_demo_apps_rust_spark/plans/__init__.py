@@ -116,6 +116,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_heaps_law",
     "llm_ngram_novelty",
     "llm_embedding_sq8",
+    "q111_decimal_pricing",
 )
 
 

@@ -674,3 +674,49 @@ def q23_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # UTC the ltz hop yields the same epoch DuckDB's epoch() computes.
         F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("order_epoch"),
     )
+
+
+@register(
+    "q111_decimal_pricing",
+    tags=("agg", "decimal", "money"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q111_decimal_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-DECIMAL MONEY AGGREGATION — the q01 pricing rollup
+    computed in DECIMAL arithmetic end to end, pinning the engine's
+    fixed-point path (the one a finance-grade pipeline uses instead of
+    the repo's quantize-to-BIGINT money rule). The source columns are
+    exact 2-dp values, so CAST(double AS DECIMAL(18,2)) is
+    value-identical on both engines (same binary double in, same
+    2-dp decimal out); DECIMAL(18,2) × DECIMAL(18,2) is exact at
+    scale 4 (precision 37 ≤ 38 — no precision-loss rounding on either
+    engine, verified: products agree digit-for-digit at sf0.01), and
+    decimal SUM is exact integer arithmetic — no float summation
+    order anywhere. The driver canon renders Decimal distinctly from
+    float/int, so this query also pins the Arrow decimal128 transfer
+    path on both sides (the q77 driver-failure class, now exercised
+    deliberately).
+
+    100 TB shape: identical to q01 — one map-side-combinable hash
+    aggregate over a 6-group key; decimal sums carry 16-byte state
+    per group. Catalyst pushes the 4-column projection into the
+    scan."""
+    li = load(spark, sf_dir, "lineitem")
+    base = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(base).alias("sum_base"),
+            F.sum(base * disc).alias("sum_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

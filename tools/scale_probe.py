@@ -269,6 +269,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "q81_zorder_layout",
             "q85_rfm_segmentation",
             "q104_skew_profile",
+            "q111_decimal_pricing",
         ],
     ),
     (
