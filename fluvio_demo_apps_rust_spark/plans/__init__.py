@@ -117,6 +117,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_ngram_novelty",
     "llm_embedding_sq8",
     "q111_decimal_pricing",
+    "cdc_sequence_audit",
 )
 
 

@@ -881,3 +881,97 @@ def cdc_binlog_rotation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("birth", "yyyy-MM-dd").alias("birth"),
         F.date_format("last_vaccine", "yyyy-MM-dd").alias("last_vaccine"),
     )
+
+
+@register(
+    "cdc_sequence_audit",
+    tags=("cdc", "audit", "sequence"),
+    oracle="""
+WITH kept AS (
+  SELECT o_orderkey + 1 AS seq,
+         CASE WHEN o_orderkey % 101 = 7 THEN 2 ELSE 1 END AS copies
+  FROM orders WHERE o_orderkey % 97 <> 3)
+SELECT 'binlog.000001' AS file_name,
+       CAST(sum(copies) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_seq,
+       CAST(sum(copies) - count(*) AS BIGINT) AS n_dups,
+       CAST(max(seq) - min(seq) + 1 - count(*) AS BIGINT) AS gap_count,
+       CAST(min(seq) AS BIGINT) AS min_seq,
+       CAST(max(seq) AS BIGINT) AS max_seq
+FROM kept
+""",
+)
+def cdc_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-CONTINUITY MONITOR — the replication-health audit a
+    CDC consumer runs continuously over the wire stream: per binlog
+    file, how many events arrived, how many DISTINCT sequence numbers
+    (reference T4, cdc-mysql/src/.../sequence assignment), how many
+    same-sequence replays (the duplicates reference F4's same-offset
+    dedup exists to drop), and how many sequence numbers are MISSING
+    inside the observed range (lost events — the alarm that forces a
+    re-snapshot). The fixture renders one Add per order with
+    seq = o_orderkey + 1, deterministically DROPS every key % 97 == 3
+    (gaps) and REPLAYS every key % 101 == 7 (duplicates); events go
+    through the real wire render + codec.parse_events decode, so the
+    audit exercises the production parse path end to end, while the
+    oracle computes the same ledger arithmetically from orders.
+
+    100 TB shape: render is one scan + explode; the audit is ONE
+    map-side-combinable aggregate keyed by file_name with an exact
+    count(DISTINCT sequence) (two-phase partial dedup — never a
+    driver-side set), constant output per file."""
+    o = load(spark, sf_dir, "orders")
+
+    def ev(seq: F.Column) -> F.Column:
+        return F.concat(
+            F.lit('{"uri":"flv://mysql-srv1/cdcdb/orders_q","sequence":'),
+            seq.cast("string"),
+            F.lit(',"bn_file":{"fileName":"binlog.000001","offset":'),
+            seq.cast("string"),
+            F.lit('},"columns":["o_orderkey"],'
+                  '"operation":{"Add":{"rows":[{"cols":['),
+            F.to_json(F.struct(F.col("o_orderkey").alias("SignedInteger"))),
+            F.lit("]}]}}}"),
+        )
+
+    par = spark.sparkContext.defaultParallelism
+    rendered = (
+        o.where(F.col("o_orderkey") % 97 != 3)
+        .repartition(par)
+        .select(
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        ev(F.col("o_orderkey") + 1),
+                        F.when(
+                            F.col("o_orderkey") % 101 == 7,
+                            ev(F.col("o_orderkey") + 1),
+                        ),
+                    )
+                )
+            ).alias("value")
+        )
+    )
+    from ..codec import parse_events
+
+    events = parse_events(rendered).where(F.col("op_type") == "Add")
+    return (
+        events.groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("sequence").alias("n_seq"),
+            F.min("sequence").alias("min_seq"),
+            F.max("sequence").alias("max_seq"),
+        )
+        .select(
+            "file_name",
+            "n_events",
+            "n_seq",
+            (F.col("n_events") - F.col("n_seq")).alias("n_dups"),
+            (F.col("max_seq") - F.col("min_seq") + 1 - F.col("n_seq")).alias(
+                "gap_count"
+            ),
+            "min_seq",
+            "max_seq",
+        )
+    )

@@ -175,15 +175,16 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
         ],
     ),
     (
-        "same render→decode→apply CDC kernel as the probed "
-        "cdc_mixed_workload (sf-linear wire events through codec.py + "
-        "operators/apply.py)",
+        "same render→decode CDC kernel as the probed "
+        "cdc_mixed_workload (sf-linear wire events through codec.py, "
+        "then operators/apply.py or a constant-output audit aggregate)",
         [
             "cdc_orders_roundtrip",
             "cdc_update_storm",
             "cdc_incremental_agg",
             "cdc_scd2",
             "cdc_scd2_asof",
+            "cdc_sequence_audit",
         ],
     ),
     (
