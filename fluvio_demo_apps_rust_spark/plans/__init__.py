@@ -118,6 +118,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_embedding_sq8",
     "q111_decimal_pricing",
     "cdc_sequence_audit",
+    "q112_bucketed_join",
 )
 
 

@@ -720,3 +720,91 @@ def q111_decimal_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def _bucketed_join_tables(spark: SparkSession, sf_dir: str):
+    """Write orders + lineitem BUCKETED by their join key into scratch
+    external tables and return (orders_df, lineitem_df, cleanup_fn).
+    Shared by q112_bucketed_join and the plan test that pins the join
+    as exchange-free."""
+    import shutil
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    to, tl = f"q112_orders_{tag}", f"q112_lineitem_{tag}"
+    root = tempfile.mkdtemp(prefix="q112_bucketed_")
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{root}/{to}")
+        .mode("overwrite")
+        .saveAsTable(to)
+    )
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{root}/{tl}")
+        .mode("overwrite")
+        .saveAsTable(tl)
+    )
+
+    def cleanup() -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+        spark.sql(f"DROP TABLE IF EXISTS {tl}")
+        shutil.rmtree(root, ignore_errors=True)
+
+    return spark.table(to), spark.table(tl), cleanup
+
+
+@register(
+    "q112_bucketed_join",
+    tags=("join", "bucketing", "layout"),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_li,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def q112_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED CO-LOCATED JOIN — the storage-layout answer to the
+    biggest recurring shuffle in a warehouse: both fact tables are
+    WRITTEN bucketed (hash-partitioned into files) by the join key, so
+    every subsequent orders⋈lineitem is planned WITHOUT an Exchange on
+    either side — the join runs bucket-by-bucket against the layout
+    (tests/test_plan_invariants.py pins the join stage exchange-free).
+    At 100 TB this is the difference between re-shuffling ~100 TB per
+    join and never shuffling it again after one write: the standard
+    posture for a fact table joined daily. Bucket count 8 here; a real
+    deployment sizes buckets to ~executor-memory-sized splits
+    (thousands) — the plan shape is bucket-count-independent. The
+    aggregate quantizes price to exact cents per row before summation
+    (repo money rule); the oracle is the plain join on the source
+    parquet, so the bucketed write → read → join path is value-pinned
+    end to end.
+
+    100 TB shape: one-time bucketed write (a full shuffle, amortized
+    across every later join), then exchange-free sort-merge joins; the
+    only runtime shuffle left is the 5-group aggregate."""
+    bo, bl, cleanup = _bucketed_join_tables(spark, sf_dir)
+    try:
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        return (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_li"),
+                F.sum(quant(F.col("l_extendedprice"), 2)).cast("long").alias(
+                    "price_cents"
+                ),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        cleanup()

@@ -252,3 +252,43 @@ def test_bench_queries_are_registered_and_classified():
         assert REGISTRY[name].oracle, f"bench query {name} has no oracle"
         assert name in bench.FAMILY, f"bench query {name} missing family label"
     assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """q112's whole point: both sides written bucketed by the join key
+    ⇒ the join stage plans with ZERO Exchange nodes (the scan layout
+    satisfies the join's distribution requirement). If bucketing info
+    ever stops reaching the planner (catalog regression, bucketing
+    disabled, key mismatch), this fires before the oracle ever could —
+    the VALUES would still match through a shuffle."""
+    from fluvio_demo_apps_rust_spark.plans.relational import _bucketed_join_tables
+
+    bo, bl, cleanup = _bucketed_join_tables(spark, SF_SMOKE)
+    # At smoke scale the planner rightly BROADCASTS the tiny side (and
+    # disables bucketed reading) — the at-100TB path this test pins is
+    # the sort-merge join, where co-located buckets are what remove the
+    # Exchange. Suppress broadcasting for the assertion only.
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert "Exchange" not in plan, (
+            "bucketed orders⋈lineitem planned a shuffle:\n" + plan
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        cleanup()

@@ -271,6 +271,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "q85_rfm_segmentation",
             "q104_skew_profile",
             "q111_decimal_pricing",
+            "q112_bucketed_join",
         ],
     ),
     (
