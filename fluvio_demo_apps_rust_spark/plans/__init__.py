@@ -119,6 +119,7 @@ _FORWARD: tuple[str, ...] = (
     "q111_decimal_pricing",
     "cdc_sequence_audit",
     "q112_bucketed_join",
+    "q113_partition_pruned_scan",
 )
 
 

@@ -1513,3 +1513,72 @@ def q110_events_user_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(num * 1000000) DIV (n1 * n2)").alias("drift_micro"),
         )
     )
+
+
+def _partition_pruned_scan(spark: SparkSession, sf_dir: str):
+    """Write events partitioned by event_type into a scratch directory,
+    read back with a single-partition filter, and return
+    (filtered_df, cleanup_fn). Shared by q113_partition_pruned_scan and
+    the plan test that pins the scan as partition-PRUNED (only the
+    event_type=click directory is ever listed/read)."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="q113_part_")
+    _events(spark, sf_dir).write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(d)
+    back = spark.read.parquet(d).where(F.col("event_type") == "click")
+
+    def cleanup() -> None:
+        shutil.rmtree(d, ignore_errors=True)
+
+    return back, cleanup
+
+
+@register(
+    "q113_partition_pruned_scan",
+    tags=("events", "layout", "partitioning", "pruning"),
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE event_type = 'click'
+GROUP BY day
+""",
+)
+def q113_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIVE-PARTITIONED WRITE + PARTITION-PRUNED READ — the other half
+    of the physical-layout story next to q112's bucketing and q81's
+    z-ordering: events are written partitioned by event_type (the
+    directory-per-value layout every data lake uses for its hottest
+    filter column), and the read-side predicate prunes to ONE
+    directory before any file is opened — PartitionFilters in the
+    scan, pinned by tests/test_plan_invariants.py via df.inputFiles()
+    (every surviving file lives under event_type=click/). At 100 TB
+    partition pruning is the first 10-100× win any query gets: the
+    filter never reaches row-level evaluation because non-matching
+    data is never LISTED. The oracle aggregates the same slice from
+    the source parquet, so the write → partition → prune → read path
+    is value-pinned end to end (a row landing in the wrong directory
+    shows as a value/count diff, not just a plan diff).
+
+    100 TB shape: one-time partitioned write (amortized, like q112's
+    bucketed write), then scans touch only matching directories; the
+    day aggregate is one map-side-combinable shuffle."""
+    back, cleanup = _partition_pruned_scan(spark, sf_dir)
+    try:
+        return (
+            back.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+                .cast("long")
+                .alias("value_cents"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        cleanup()

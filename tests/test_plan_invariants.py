@@ -292,3 +292,32 @@ def test_bucketed_join_is_exchange_free(spark):
             else:
                 spark.conf.set(k, v)
         cleanup()
+
+
+def test_partitioned_scan_is_pruned(spark):
+    """q113's point: the event_type filter is satisfied by DIRECTORY
+    pruning — every file the scan will read lives under the
+    event_type=click partition, and the scan carries a PartitionFilter
+    (never a row-level Filter on the partition column)."""
+    from fluvio_demo_apps_rust_spark.plans.events import _partition_pruned_scan
+
+    import pyspark.sql.functions as F
+
+    back, cleanup = _partition_pruned_scan(spark, SF_SMOKE)
+    try:
+        # inputFiles() lists the relation BEFORE pruning; the files the
+        # scan actually READS are what pruning bounds.
+        files = [
+            r.f
+            for r in back.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ]
+        assert files, "pruned scan read zero files"
+        assert all("event_type=click" in f for f in files), files
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "event_type" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0], plan
+    finally:
+        cleanup()

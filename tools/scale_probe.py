@@ -291,6 +291,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "q76_events_transitions",
             "q86_ewma_smoothing",
             "q110_events_user_drift",
+            "q113_partition_pruned_scan",
         ],
     ),
     (
