@@ -120,6 +120,7 @@ _FORWARD: tuple[str, ...] = (
     "cdc_sequence_audit",
     "q112_bucketed_join",
     "q113_partition_pruned_scan",
+    "llm_stupid_backoff",
 )
 
 

@@ -7329,3 +7329,200 @@ def llm_embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("dim", "mn", "mx", "n", "err_nano")
     )
+
+
+@register(
+    "llm_stupid_backoff",
+    tags=("llm", "text", "lm", "backoff", "eval"),
+    oracle=f"""
+WITH tt AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+train AS (SELECT * FROM tt WHERE doc_id % 5 <> 0),
+test AS (SELECT * FROM tt WHERE doc_id % 5 = 0 AND len(ts) >= 3),
+tr3 AS (
+  SELECT unnest(ts[1:len(ts)-2]) AS a, unnest(ts[2:len(ts)-1]) AS b,
+         unnest(ts[3:len(ts)]) AS c
+  FROM train WHERE len(ts) >= 3),
+c3 AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS c3 FROM tr3 GROUP BY 1,2,3),
+bi AS (
+  SELECT unnest(ts[1:len(ts)-1]) AS a, unnest(ts[2:len(ts)]) AS b
+  FROM train WHERE len(ts) >= 2),
+c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY 1,2),
+un AS (SELECT unnest(ts) AS w FROM train),
+c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM un GROUP BY w),
+nn AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
+pos AS (
+  SELECT doc_id, unnest(ts[1:len(ts)-2]) AS a, unnest(ts[2:len(ts)-1]) AS b,
+         unnest(ts[3:len(ts)]) AS c
+  FROM test),
+sc AS (
+  SELECT p.doc_id,
+    CASE
+      WHEN t3.c3 IS NOT NULL THEN CAST(t3.c3 AS DOUBLE) / ctx.c2
+      WHEN b2.c2 IS NOT NULL
+        THEN CAST(0.4 AS DOUBLE) * (CAST(b2.c2 AS DOUBLE) / u1.c1)
+      WHEN u0.c1 IS NOT NULL
+        THEN CAST(0.4 AS DOUBLE)
+             * (CAST(0.4 AS DOUBLE)
+                * (CAST(u0.c1 AS DOUBLE) / (SELECT n FROM nn)))
+      ELSE CAST(0.4 AS DOUBLE)
+           * (CAST(0.4 AS DOUBLE)
+              * (CAST(1 AS DOUBLE) / (SELECT n FROM nn)))
+    END AS s,
+    CASE WHEN t3.c3 IS NOT NULL THEN 3
+         WHEN b2.c2 IS NOT NULL THEN 2 ELSE 1 END AS lvl
+  FROM pos p
+  LEFT JOIN c3 t3 ON t3.a = p.a AND t3.b = p.b AND t3.c = p.c
+  LEFT JOIN c2 ctx ON ctx.a = p.a AND ctx.b = p.b
+  LEFT JOIN c2 b2 ON b2.a = p.b AND b2.b = p.c
+  LEFT JOIN c1 u1 ON u1.w = p.b
+  LEFT JOIN c1 u0 ON u0.w = p.c)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_pos,
+       CAST(sum(CAST(floor(s * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS score_micro_sum,
+       CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+       CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+       CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni
+FROM sc GROUP BY doc_id
+""",
+)
+def llm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STUPID-BACKOFF n-GRAM LM SCORING (Brants et al. 2007 — the LM
+    Google built precisely because it's the one that scales to
+    web-corpus counts with NO normalization pass): a trigram model is
+    counted on the 80 % train split and every held-out document
+    (doc_id % 5 == 0) is scored position-by-position — c₃/c₂ when the
+    trigram was seen, else 0.4·(c₂/c₁), else 0.4²·(c₁/N), with an OOV
+    floor of 0.4²·(1/N). This is the perplexity-proxy quality filter
+    of CCNet/KenLM pipelines, expressed in pure count ratios — NO
+    log/exp anywhere, so unlike the naive-bayes/LR scorers there is
+    no transcendental residual: every score is a division of exact
+    BIGINTs (IEEE-identical on both engines), every backoff constant
+    is explicitly CAST(0.4 AS DOUBLE) with pinned association (a bare
+    DuckDB `0.4 * 0.4` would be exact DECIMAL arithmetic and diverge
+    from Spark's double 0.16000000000000003), and per-position scores
+    are quantized to micro-BIGINTs BEFORE the per-doc sum (repo money
+    rule — summation order can't matter). The per-doc backoff-level
+    histogram (n_tri/n_bi/n_uni) pins the join logic in exact
+    integers independently of the arithmetic.
+
+    100 TB shape: three map-side-combinable count aggregates (n-gram
+    vocabularies — sublinear in corpus size), then the held-out
+    positions LEFT-JOIN the count tables on n-gram keys: the same
+    vocabulary-keyed shuffle family as the probed llm_bigram_lm, five
+    joins instead of two. The 1-row N total is an aggregate-below
+    broadcast. Nothing corpus-keyed except the final per-doc
+    aggregate."""
+    d = load(spark, sf_dir, "documents")
+    tt = d.select("doc_id", TX.tokens("text").alias("ts"))
+    train = tt.where(F.col("doc_id") % 5 != 0)
+    test = tt.where((F.col("doc_id") % 5 == 0) & (F.size("ts") >= 3))
+
+    def tri(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.size("ts") >= 3)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ts) - 2), "
+                        "i -> struct(ts[i-1] AS a, ts[i] AS b, ts[i+1] AS c))"
+                    )
+                ).alias("p"),
+            )
+            .select("doc_id", "p.*")
+        )
+
+    c3 = tri(train).groupBy("a", "b", "c").agg(F.count(F.lit(1)).alias("c3"))
+    c2 = (
+        train.where(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> struct(ts[i-1] AS a, ts[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c1 = (
+        train.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    nn = c1.agg(F.sum("c1").alias("n"))
+
+    pos = tri(test)
+    j = (
+        pos.join(
+            c3.select(
+                F.col("a").alias("t3a"), F.col("b").alias("t3b"),
+                F.col("c").alias("t3c"), "c3",
+            ),
+            (F.col("a") == F.col("t3a"))
+            & (F.col("b") == F.col("t3b"))
+            & (F.col("c") == F.col("t3c")),
+            "left",
+        )
+        .join(
+            c2.select(
+                F.col("a").alias("cxa"), F.col("b").alias("cxb"),
+                F.col("c2").alias("ctx_c2"),
+            ),
+            (F.col("a") == F.col("cxa")) & (F.col("b") == F.col("cxb")),
+            "left",
+        )
+        .join(
+            c2.select(
+                F.col("a").alias("b2a"), F.col("b").alias("b2b"),
+                F.col("c2").alias("b2_c2"),
+            ),
+            (F.col("b") == F.col("b2a")) & (F.col("c") == F.col("b2b")),
+            "left",
+        )
+        .join(
+            c1.select(F.col("w").alias("u1w"), F.col("c1").alias("u1_c1")),
+            F.col("b") == F.col("u1w"),
+            "left",
+        )
+        .join(
+            c1.select(F.col("w").alias("u0w"), F.col("c1").alias("u0_c1")),
+            F.col("c") == F.col("u0w"),
+            "left",
+        )
+        .crossJoin(F.broadcast(nn))
+    )
+    alpha = F.lit(0.4)
+    s = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("ctx_c2"))
+        .when(
+            F.col("b2_c2").isNotNull(),
+            alpha * (F.col("b2_c2").cast("double") / F.col("u1_c1")),
+        )
+        .when(
+            F.col("u0_c1").isNotNull(),
+            alpha * (alpha * (F.col("u0_c1").cast("double") / F.col("n"))),
+        )
+        .otherwise(alpha * (alpha * (F.lit(1.0) / F.col("n"))))
+    )
+    lvl = (
+        F.when(F.col("c3").isNotNull(), F.lit(3))
+        .when(F.col("b2_c2").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return (
+        j.select("doc_id", s.alias("s"), lvl.alias("lvl"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(F.floor(F.col("s") * F.lit(1000000.0) + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("score_micro_sum"),
+            F.sum(F.when(F.col("lvl") == 3, 1).otherwise(0)).cast("long").alias("n_tri"),
+            F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0)).cast("long").alias("n_bi"),
+            F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0)).cast("long").alias("n_uni"),
+        )
+    )

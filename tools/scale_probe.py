@@ -380,6 +380,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_quality_calibration",
             "llm_naive_bayes",
             "llm_bpe_merge_counts",
+            "llm_stupid_backoff",
             "llm_pmi_collocations",
             "llm_robots_filter",
             "llm_corpus_profile",
