@@ -121,6 +121,8 @@ _FORWARD: tuple[str, ...] = (
     "q112_bucketed_join",
     "q113_partition_pruned_scan",
     "llm_stupid_backoff",
+    "q114_schema_evolution",
+    "llm_dup_rate_sample",
 )
 
 

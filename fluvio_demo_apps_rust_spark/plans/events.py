@@ -1582,3 +1582,69 @@ def q113_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         cleanup()
+
+
+@register(
+    "q114_schema_evolution",
+    tags=("events", "layout", "schema-evolution"),
+    oracle="""
+SELECT CASE WHEN event_id % 2 = 1 THEN event_type ELSE '__missing__' END
+         AS etype,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY etype
+""",
+)
+def q114_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-EVOLUTION READ (mergeSchema) — the lake-format reality
+    check: a dataset written in two generations, the second adding a
+    column (event_type), read back as ONE table with
+    ``mergeSchema=true`` — old-generation rows surface the new column
+    as NULL, and the aggregate coalesces them into an explicit
+    '__missing__' bucket. This is the semantics every long-lived
+    100 TB dataset depends on (backfills and producers never upgrade
+    atomically); the oracle recomputes the same generations
+    arithmetically from the source table, so a reader that dropped
+    old-generation rows, mis-aligned columns positionally, or
+    defaulted the missing column to anything but NULL breaks the
+    value hash.
+
+    100 TB shape: schema merge is a FOOTER-level operation (Spark
+    samples file footers; data pages are untouched), then one
+    map-side-combinable aggregate. The two-generation write is
+    scratch fixture setup, not the measured operator."""
+    import shutil
+    import tempfile
+
+    ev = _events(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="q114_evo_")
+    try:
+        (
+            ev.where(F.col("event_id") % 2 == 0)
+            .select("event_id", "value")
+            .write.parquet(f"{d}/gen=1")
+        )
+        (
+            ev.where(F.col("event_id") % 2 == 1)
+            .select("event_id", "value", "event_type")
+            .write.parquet(f"{d}/gen=2")
+        )
+        back = spark.read.option("mergeSchema", "true").parquet(d)
+        return (
+            back.groupBy(
+                F.coalesce(F.col("event_type"), F.lit("__missing__")).alias(
+                    "etype"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+                .cast("long")
+                .alias("value_cents"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

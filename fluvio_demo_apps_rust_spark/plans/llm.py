@@ -7526,3 +7526,71 @@ def llm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0)).cast("long").alias("n_uni"),
         )
     )
+
+
+@register(
+    "llm_dup_rate_sample",
+    tags=("llm", "dedup", "sampling", "estimation"),
+    oracle="""
+WITH h AS (SELECT md5(text) AS h FROM documents),
+f AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_full,
+         CAST(count(*) - count(DISTINCT h) AS BIGINT) AS dup_full
+  FROM h),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_samp,
+         CAST(count(*) - count(DISTINCT h) AS BIGINT) AS dup_samp
+  FROM h WHERE ('0x' || substr(md5(h), 1, 15))::BIGINT % 8 = 0)
+SELECT n_full, dup_full,
+       CAST((dup_full * 1000000) // n_full AS BIGINT) AS dup_full_ppm,
+       n_samp, dup_samp,
+       CAST((dup_samp * 1000000) // n_samp AS BIGINT) AS est_ppm,
+       CAST(abs((dup_full * 1000000) // n_full
+                - (dup_samp * 1000000) // n_samp) AS BIGINT) AS err_ppm
+FROM f, s
+""",
+)
+def llm_dup_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUP-RATE ESTIMATION BY CONTENT-HASH-BUCKET SAMPLING — the O(N/8)
+    audit a team runs BEFORE committing a full 100 TB dedup job: sample
+    documents by a hash OF THEIR CONTENT HASH (1 bucket in 8), measure
+    the exact duplicate fraction inside the sample, and compare to the
+    true corpus rate. Bucketing on the content hash is the part that
+    makes the estimator honest: duplicates share a content hash, so a
+    duplicate GROUP is either fully in or fully out of the sample —
+    unlike uniform row sampling, which destroys pairs and biases the
+    rate toward zero quadratically. The emitted err_ppm IS the
+    estimator-quality check (at this corpus size it is also exactly
+    reproducible, so it gates the whole construction). All counting is
+    exact BIGINT; the sampling predicate is the repo's portable
+    md5→60-bit mapping, deterministic on both engines.
+
+    100 TB shape: one scan to content hashes; the full-corpus side is
+    one exact distinct (two-phase partial dedup) and the sample side
+    the same over 1/8 of the data — in production you run ONLY the
+    sample side, which is the point. The two 1-row aggregates meet in
+    a broadcast nested-loop of 1×1 rows (aggregate-below hint)."""
+    from ..functions.dedup import md5_int60
+
+    d = load(spark, sf_dir, "documents")
+    h = d.select(F.md5("text").alias("h"))
+    f = h.agg(
+        F.count(F.lit(1)).alias("n_full"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("dup_full"),
+    )
+    s = h.where(md5_int60(F.col("h")) % 8 == 0).agg(
+        F.count(F.lit(1)).alias("n_samp"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("dup_samp"),
+    )
+    return f.crossJoin(F.broadcast(s)).select(
+        "n_full",
+        "dup_full",
+        F.expr("(dup_full * 1000000) DIV n_full").alias("dup_full_ppm"),
+        "n_samp",
+        "dup_samp",
+        F.expr("(dup_samp * 1000000) DIV n_samp").alias("est_ppm"),
+        F.abs(
+            F.expr("(dup_full * 1000000) DIV n_full")
+            - F.expr("(dup_samp * 1000000) DIV n_samp")
+        ).alias("err_ppm"),
+    )

@@ -292,6 +292,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "q86_ewma_smoothing",
             "q110_events_user_drift",
             "q113_partition_pruned_scan",
+            "q114_schema_evolution",
         ],
     ),
     (
@@ -346,6 +347,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_doc_chunking",
             "llm_line_boilerplate",
             "llm_incremental_dedup",
+            "llm_dup_rate_sample",
             "llm_ngram_novelty",
             "llm_dedup_clusters",
             "llm_dedup_keep_best",
