@@ -123,6 +123,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_stupid_backoff",
     "q114_schema_evolution",
     "llm_dup_rate_sample",
+    "q115_column_stats",
 )
 
 

@@ -808,3 +808,101 @@ def q112_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         cleanup()
+
+
+@register(
+    "q115_column_stats",
+    tags=("stats", "analyze", "metadata"),
+    oracle="""
+WITH a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(l_orderkey) AS BIGINT) AS nn_ok,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_ok,
+         CAST(min(l_orderkey) AS VARCHAR) AS mn_ok,
+         CAST(max(l_orderkey) AS VARCHAR) AS mx_ok,
+         CAST(count(l_suppkey) AS BIGINT) AS nn_sk,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS ndv_sk,
+         CAST(min(l_suppkey) AS VARCHAR) AS mn_sk,
+         CAST(max(l_suppkey) AS VARCHAR) AS mx_sk,
+         CAST(count(l_returnflag) AS BIGINT) AS nn_rf,
+         CAST(count(DISTINCT l_returnflag) AS BIGINT) AS ndv_rf,
+         min(l_returnflag) AS mn_rf,
+         max(l_returnflag) AS mx_rf,
+         CAST(count(l_extendedprice) AS BIGINT) AS nn_ep,
+         CAST(count(DISTINCT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS ndv_ep,
+         CAST(min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS VARCHAR) AS mn_ep,
+         CAST(max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS VARCHAR) AS mx_ep,
+         CAST(count(l_shipdate) AS BIGINT) AS nn_sd,
+         CAST(count(DISTINCT l_shipdate) AS BIGINT) AS ndv_sd,
+         strftime(min(l_shipdate), '%Y-%m-%d') AS mn_sd,
+         strftime(max(l_shipdate), '%Y-%m-%d') AS mx_sd
+  FROM lineitem)
+SELECT 'l_orderkey' AS col, n, n - nn_ok AS n_null, ndv_ok AS ndv,
+       mn_ok AS min_s, mx_ok AS max_s FROM a
+UNION ALL
+SELECT 'l_suppkey', n, n - nn_sk, ndv_sk, mn_sk, mx_sk FROM a
+UNION ALL
+SELECT 'l_returnflag', n, n - nn_rf, ndv_rf, mn_rf, mx_rf FROM a
+UNION ALL
+SELECT 'l_extendedprice_cents', n, n - nn_ep, ndv_ep, mn_ep, mx_ep FROM a
+UNION ALL
+SELECT 'l_shipdate', n, n - nn_sd, ndv_sd, mn_sd, mx_sd FROM a
+""",
+)
+def q115_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-STATISTICS COLLECTION (ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR COLUMNS) — per-column row count, null count, exact
+    NDV, and min/max, the statistics a cost-based optimizer consumes
+    for join reordering and the statistics a data-quality monitor
+    diffs between snapshots. One scan, ONE aggregate computes all five
+    columns' stats simultaneously (Spark plans multi-distinct via
+    EXPAND — still map-side partial, never N scans), then the 1-row
+    result unpivots into the (col, stats) catalog shape. Money NDV is
+    over exact cents (repo quantization rule); min/max stringify only
+    exact types (BIGINT, VARCHAR, date-formatted timestamp) — never a
+    raw double repr.
+
+    100 TB shape: exactly the ANALYZE job you'd run nightly — one
+    pass, partial aggregation, EXPAND fan-out ×5 on the map side,
+    output O(columns). Exact NDV at 100 TB would normally drop to HLL
+    (q89's sketch path); the exact two-phase distinct here IS the
+    expensive-but-available option and the oracle gate."""
+    ensure_utc(spark)
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    a = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("l_orderkey").alias("nn_ok"),
+        F.countDistinct("l_orderkey").alias("ndv_ok"),
+        F.min("l_orderkey").cast("string").alias("mn_ok"),
+        F.max("l_orderkey").cast("string").alias("mx_ok"),
+        F.count("l_suppkey").alias("nn_sk"),
+        F.countDistinct("l_suppkey").alias("ndv_sk"),
+        F.min("l_suppkey").cast("string").alias("mn_sk"),
+        F.max("l_suppkey").cast("string").alias("mx_sk"),
+        F.count("l_returnflag").alias("nn_rf"),
+        F.countDistinct("l_returnflag").alias("ndv_rf"),
+        F.min("l_returnflag").alias("mn_rf"),
+        F.max("l_returnflag").alias("mx_rf"),
+        F.count("l_extendedprice").alias("nn_ep"),
+        F.countDistinct(cents).alias("ndv_ep"),
+        F.min(cents).cast("string").alias("mn_ep"),
+        F.max(cents).cast("string").alias("mx_ep"),
+        F.count("l_shipdate").alias("nn_sd"),
+        F.countDistinct("l_shipdate").alias("ndv_sd"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("mn_sd"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("mx_sd"),
+    )
+    return a.selectExpr(
+        """stack(5,
+           'l_orderkey',            n - nn_ok, ndv_ok, mn_ok, mx_ok,
+           'l_suppkey',             n - nn_sk, ndv_sk, mn_sk, mx_sk,
+           'l_returnflag',          n - nn_rf, ndv_rf, mn_rf, mx_rf,
+           'l_extendedprice_cents', n - nn_ep, ndv_ep, mn_ep, mx_ep,
+           'l_shipdate',            n - nn_sd, ndv_sd, mn_sd, mx_sd
+         ) AS (col, n_null, ndv, min_s, max_s)""",
+        "n",
+    ).select("col", "n", "n_null", "ndv", "min_s", "max_s")

@@ -272,6 +272,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "q104_skew_profile",
             "q111_decimal_pricing",
             "q112_bucketed_join",
+            "q115_column_stats",
         ],
     ),
     (
