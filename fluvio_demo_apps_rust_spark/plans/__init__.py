@@ -124,6 +124,7 @@ _FORWARD: tuple[str, ...] = (
     "q114_schema_evolution",
     "llm_dup_rate_sample",
     "q115_column_stats",
+    "cdc_tx_histogram",
 )
 
 

@@ -975,3 +975,96 @@ def cdc_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_seq",
         )
     )
+
+
+@register(
+    "cdc_tx_histogram",
+    tags=("cdc", "audit", "transactions"),
+    oracle="""
+WITH k AS (
+  SELECT o_orderkey AS key FROM orders WHERE o_orderstatus <> 'F'),
+tx AS (
+  SELECT key // 10 AS tx, CAST(count(*) AS BIGINT) AS sz
+  FROM k GROUP BY 1)
+SELECT sz AS tx_size, CAST(count(*) AS BIGINT) AS n_txs
+FROM tx GROUP BY sz
+""",
+)
+def cdc_tx_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSACTION-SIZE PROFILE through the real BEGIN-skip filter
+    (reference F3, binlog_parser.rs:276-281) — the workload-shape
+    statistic a replication operator watches to size apply batches
+    (many single-row transactions ⇒ per-commit overhead dominates;
+    few giant ones ⇒ lag spikes and lock pressure). The fixture
+    renders each 10-key block of orders as one transaction: a BEGIN
+    Query marker plus one Add per surviving (non-'F') order, all
+    through the wire render + codec.parse_events decode; the BEGIN
+    markers MUST be dropped by skip_begin_statements before counting
+    — if F3 ever leaks them, every transaction's size inflates by one
+    and the histogram shifts off the oracle, which computes the same
+    distribution arithmetically from orders.
+
+    100 TB shape: render is one scan + explode; the profile is two
+    map-side-combinable aggregates (per-tx count, then per-size
+    count) — the same two-phase histogram kernel as
+    q67_order_count_histogram, fed by the streaming-decode path."""
+    from ..codec import parse_events
+    from ..operators.filters import skip_begin_statements
+
+    o = load(spark, sf_dir, "orders")
+
+    def add_ev(seq: F.Column) -> F.Column:
+        return F.concat(
+            F.lit('{"uri":"flv://mysql-srv1/cdcdb/orders_t","sequence":'),
+            seq.cast("string"),
+            F.lit(',"bn_file":{"fileName":"binlog.000001","offset":'),
+            seq.cast("string"),
+            F.lit('},"columns":["o_orderkey"],'
+                  '"operation":{"Add":{"rows":[{"cols":['),
+            F.to_json(F.struct(F.col("o_orderkey").alias("SignedInteger"))),
+            F.lit("]}]}}}"),
+        )
+
+    def begin_ev(seq: F.Column) -> F.Column:
+        return F.concat(
+            F.lit('{"uri":"flv://mysql-srv1/cdcdb","sequence":'),
+            seq.cast("string"),
+            F.lit(',"bn_file":{"fileName":"binlog.000001","offset":'),
+            seq.cast("string"),
+            F.lit('},"operation":{"Query":"BEGIN"}}'),
+        )
+
+    par = spark.sparkContext.defaultParallelism
+    n = 1 << 40  # BEGIN sequences sort above all Add sequences
+    rendered = (
+        o.repartition(par)
+        .select(
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        # one BEGIN marker per 10-key transaction block
+                        F.when(
+                            F.col("o_orderkey") % 10 == 0,
+                            begin_ev(F.col("o_orderkey") + F.lit(n)),
+                        ),
+                        # one Add per surviving order
+                        F.when(
+                            F.col("o_orderstatus") != "F",
+                            add_ev(F.col("o_orderkey")),
+                        ),
+                    )
+                )
+            ).alias("value")
+        )
+    )
+    events = skip_begin_statements(parse_events(rendered))
+    # Deliberately NO op_type filter after F3: if skip_begin ever
+    # leaked a BEGIN, it would land in a (huge-sequence) phantom tx
+    # and shift the histogram off the oracle — the filter is load-
+    # bearing, not decorative.
+    tx = events.groupBy(F.expr("sequence DIV 10").alias("tx")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return tx.groupBy(F.col("sz").alias("tx_size")).agg(
+        F.count(F.lit(1)).alias("n_txs")
+    )

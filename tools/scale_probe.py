@@ -185,6 +185,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "cdc_scd2",
             "cdc_scd2_asof",
             "cdc_sequence_audit",
+            "cdc_tx_histogram",
         ],
     ),
     (
