@@ -125,6 +125,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_dup_rate_sample",
     "q115_column_stats",
     "cdc_tx_histogram",
+    "llm_temperature_mixture",
 )
 
 

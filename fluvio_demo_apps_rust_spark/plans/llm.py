@@ -7594,3 +7594,63 @@ def llm_dup_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("(dup_samp * 1000000) DIV n_samp")
         ).alias("err_ppm"),
     )
+
+
+@register(
+    "llm_temperature_mixture",
+    tags=("llm", "curation", "mixture", "sampling"),
+    oracle=f"""
+WITH per AS (SELECT source, len({_TOKS}) AS t FROM documents),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(t) AS BIGINT) AS n_tokens
+  FROM per GROUP BY source),
+q AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+                 AS BIGINT) AS s_micro
+  FROM s),
+tot AS (SELECT CAST(sum(s_micro) AS BIGINT) AS tot FROM q)
+SELECT source, n_docs, n_tokens, s_micro,
+       CAST((s_micro * 1000000) // (SELECT tot FROM tot) AS BIGINT) AS w_ppm,
+       CAST((s_micro * 100000) // (SELECT tot FROM tot) AS BIGINT) AS draws
+FROM q
+""",
+)
+def llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED SOURCE MIXTURE (the T5/mT5 sampling rule,
+    α = 0.5) — per-source sampling weights proportional to
+    (token mass)^α, the standard fix for head-domain domination: a
+    source with 100× the tokens gets only 10× the sampling weight.
+    α = 0.5 is computed as sqrt — IEEE-correctly-rounded on BOTH
+    engines (unlike pow/exp/ln, sqrt carries no transcendental
+    residual), and each source's scaled mass is quantized to a
+    micro-BIGINT BEFORE the normalizing sum, so the weight ratios and
+    the per-source draw counts (for a 100k-doc budget) are exact
+    integer arithmetic end to end. Complements llm_domain_mixture /
+    llm_epoch_upsample (uniform-target importance weights): this is
+    the power-law-target variant an actual pretrain mix uses.
+
+    100 TB shape: one map-side-combinable per-source aggregate
+    (O(sources) rows), then scalar arithmetic against the 1-row total
+    (aggregate-below broadcast). Nothing corpus-keyed after the first
+    aggregate."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.ws_token_count("text").cast("long")).cast("long").alias("n_tokens"),
+    )
+    q = s.withColumn(
+        "s_micro",
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("long"),
+    )
+    tot = q.agg(F.sum("s_micro").cast("long").alias("tot"))
+    return q.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "s_micro",
+        F.expr("(s_micro * 1000000) DIV tot").alias("w_ppm"),
+        F.expr("(s_micro * 100000) DIV tot").alias("draws"),
+    )

@@ -451,6 +451,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_snapshot_diff",
             "llm_dsir_resample",
             "llm_shard_writer",
+            "llm_temperature_mixture",
         ],
     ),
 ]
