@@ -126,6 +126,7 @@ _FORWARD: tuple[str, ...] = (
     "q115_column_stats",
     "cdc_tx_histogram",
     "llm_temperature_mixture",
+    "q116_max_concurrency",
 )
 
 

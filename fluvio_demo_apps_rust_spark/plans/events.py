@@ -1648,3 +1648,77 @@ def q114_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "q116_max_concurrency",
+    tags=("events", "intervals", "sweep", "window"),
+    oracle="""
+WITH b AS (
+  SELECT event_type, ts AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 300 SECOND, -1 FROM events),
+r AS (
+  SELECT event_type,
+         sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM b)
+SELECT event_type, CAST(max(c) AS BIGINT) AS max_concurrent
+FROM r GROUP BY event_type
+""",
+)
+def q116_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX-CONCURRENCY INTERVAL SWEEP — each event opens a 5-minute
+    visit; the answer is the peak number of simultaneously-open visits
+    per event type (the capacity-planning statistic: peak concurrent
+    sessions, peak open connections). Classic sweep line: +1/−1
+    boundary stream, running sum, max. Ties order (t, d) so closings
+    process before openings at a touching boundary — and the running
+    MAX is invariant under any further tie permutation, so the result
+    is deterministic under any partitioning.
+
+    The ORACLE is the naive formulation — one global-order running
+    sum per type — which is exactly the plan that DIES at 100 TB (a
+    whale event type becomes one window partition holding its entire
+    history). The Spark side is the scalable TWO-PHASE decomposition
+    (the llm_sequence_pack prefix-sum pattern applied to a sweep):
+    running sums within (type, hour-bucket) partitions — state
+    bounded by events-per-hour, a deployment knob, not corpus size —
+    then a per-type prefix sum over the BUCKET aggregate supplies
+    each bucket's starting offset, and the peak is
+    max(bucket_offset + within-bucket running max). Gating the
+    decomposition against the naive sweep is the point of the
+    oracle."""
+    ev = _events(spark, sf_dir)
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("d")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    b = starts.unionByName(ends).withColumn(
+        "bucket",
+        F.floor(F.col("t").cast("timestamp_ltz").cast("long") / 3600).cast("long"),
+    )
+    w_in = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = b.withColumn("rs", F.sum("d").over(w_in))
+    per_bucket = run.groupBy("event_type", "bucket").agg(
+        F.max("rs").alias("mx_rel"), F.sum("d").alias("bd")
+    )
+    w_b = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = per_bucket.withColumn(
+        "off", F.coalesce(F.sum("bd").over(w_b), F.lit(0))
+    )
+    return off.groupBy("event_type").agg(
+        F.max(F.col("off") + F.col("mx_rel")).cast("long").alias("max_concurrent")
+    )

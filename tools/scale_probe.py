@@ -295,6 +295,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "q110_events_user_drift",
             "q113_partition_pruned_scan",
             "q114_schema_evolution",
+            "q116_max_concurrency",
         ],
     ),
     (
