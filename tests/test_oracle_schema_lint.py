@@ -43,8 +43,17 @@ def duck_class(t: str) -> str:
     t = str(t).upper()
     if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "LIST", "ARRAY", "UNION")):
         return "forbidden:nested (driver canon cannot hash it — q57 class)"
-    if t.startswith(("HUGEINT", "UHUGEINT", "DECIMAL")):
+    if t.startswith(("HUGEINT", "UHUGEINT")):
         return f"forbidden:{t} (CAST the aggregate — q77 class)"
+    if t.startswith("DECIMAL"):
+        # decimal is canon-SAFE iff both sides are decimal with the
+        # SAME SCALE: the driver canon renders via str(Decimal), which
+        # depends on scale ('3.1' vs '3.10') but not precision. A
+        # decimal against an int/float side still fails as a class
+        # mismatch (the original q77 hazard). q111_decimal_pricing is
+        # the deliberate exercise of this path.
+        scale = t.rsplit(",", 1)[-1].rstrip(")") if "," in t else "0"
+        return f"decimal:{scale.strip()}"
     if t.startswith("TIMESTAMP"):
         return "forbidden:timestamp (emit epoch BIGINT or a string)"
     if t in _DUCK_INT:
@@ -64,6 +73,8 @@ def spark_class(dt) -> str:
     name = dt.typeName()
     if name in _SPARK_CLASS:
         return _SPARK_CLASS[name]
+    if name == "decimal":
+        return f"decimal:{dt.scale}"  # see duck_class: scale-keyed
     if name.startswith("timestamp"):
         return "forbidden:timestamp (emit epoch BIGINT or a string)"
     return f"forbidden:{name} (driver canon cannot hash it — q57 class)"
@@ -131,3 +142,24 @@ def test_lint_catches_regressed_oracles(duck):
 
     ts = _oracle_schema(duck, "SELECT TIMESTAMP '2020-01-01 00:00:00' AS ts")
     assert ts["ts"].startswith("forbidden:timestamp")
+
+
+def test_decimal_scale_keying(duck):
+    """Decimal handling: same-scale decimal on both sides aligns;
+    scale drift or decimal-vs-int still fails (str(Decimal) renders
+    '3.10' for scale 2 and '3.1' for scale 1 — values equal, hash
+    not)."""
+    d2 = _oracle_schema(duck, "SELECT CAST(1.5 AS DECIMAL(18,2)) AS v")
+    assert d2["v"] == "decimal:2"
+    d4 = _oracle_schema(
+        duck,
+        "SELECT sum(CAST(1.5 AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(18,2))) AS v "
+        "FROM (VALUES (1)) t(x)",
+    )
+    assert d4["v"] == "decimal:4"  # DuckDB sum(DECIMAL(36,4)) keeps scale 4
+    from pyspark.sql.types import DecimalType
+
+    assert spark_class(DecimalType(38, 2)) == "decimal:2"
+    assert spark_class(DecimalType(22, 4)) == "decimal:4"
+    # decimal vs int is a class mismatch, never silently equal
+    assert spark_class(DecimalType(38, 2)) != "int"
