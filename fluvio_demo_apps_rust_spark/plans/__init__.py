@@ -127,6 +127,8 @@ _FORWARD: tuple[str, ...] = (
     "cdc_tx_histogram",
     "llm_temperature_mixture",
     "q116_max_concurrency",
+    "llm_ann_mrr",
+    "q117_time_weighted_avg",
 )
 
 

@@ -1722,3 +1722,80 @@ def q116_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return off.groupBy("event_type").agg(
         F.max(F.col("off") + F.col("mx_rel")).cast("long").alias("max_concurrent")
     )
+
+
+@register(
+    "q117_time_weighted_avg",
+    tags=("events", "twap", "intervals", "window"),
+    oracle="""
+WITH w AS (
+  SELECT user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nt
+  FROM events),
+iv AS (SELECT user_id, cents, nt - t AS dur FROM w WHERE nt IS NOT NULL)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(dur) AS BIGINT) AS total_dur_us,
+       CAST(sum(cents * dur) AS BIGINT) AS vwsum,
+       CAST((CAST(sum(cents * dur) AS BIGINT) * 100)
+            // CAST(sum(dur) AS BIGINT) AS BIGINT) AS twap_centicents
+FROM iv GROUP BY user_id
+HAVING sum(dur) > 0
+""",
+)
+def q117_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE (TWAP) per user — each observation holds
+    its value until the next one, so the average weights every value
+    by how long it was in force (the finance/metering semantics that
+    a plain AVG silently gets wrong whenever sampling is irregular).
+    Durations are exact epoch-MICROSECOND BIGINTs (never truncated
+    seconds), the weighted sum accumulates exact cent·µs integers,
+    and the TWAP is one integer division at the end (emitted in
+    hundredths of a cent: the ×100 head-room keeps cent·µs × scale
+    inside BIGINT even for month-long gaps — ×10⁴ overflowed at
+    sf0.001, caught by Spark's ANSI overflow check) — zero floating
+    point. The lead() ordering tie-breaks on event_id, so two events
+    sharing a timestamp assign the zero-length interval
+    deterministically on both engines. Each user's last observation
+    has no successor and is excluded (TWAP over the observed span);
+    the HAVING > 0 guard mirrors Spark's ANSI division rule for the
+    degenerate all-one-instant user.
+
+    100 TB shape: one lead() window partitioned by user_id (state
+    bounded per user — the q12 running-total class), then one
+    map-side-combinable aggregate. Whale users are a skew concern,
+    not a correctness one; AQE skew handling applies."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    base = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        t.alias("t"),
+        "ts",
+        "event_id",
+    )
+    iv = (
+        base.withColumn("nt", F.lead("t").over(w))
+        .where(F.col("nt").isNotNull())
+        .select("user_id", "cents", (F.col("nt") - F.col("t")).alias("dur"))
+    )
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur").cast("long").alias("total_dur_us"),
+            F.sum(F.col("cents") * F.col("dur")).cast("long").alias("vwsum"),
+        )
+        .where(F.col("total_dur_us") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_dur_us",
+            "vwsum",
+            F.expr("(vwsum * 100) DIV total_dur_us").alias("twap_centicents"),
+        )
+    )

@@ -7654,3 +7654,92 @@ def llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(s_micro * 1000000) DIV tot").alias("w_ppm"),
         F.expr("(s_micro * 100000) DIV tot").alias("draws"),
     )
+
+
+@register(
+    "llm_ann_mrr",
+    tags=("llm", "similarity", "ann", "quality", "mrr"),
+    oracle=f"""
+WITH n AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
+                  {_lsh_sig_sql('embedding')} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, bucket
+      FROM n WHERE vec_id < 10),
+brute AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q_id
+             ORDER BY floor(({_dot_sql('qv', 'n.embedding')} / (qn * n.nrm))
+                            * 1000000 + 0.5) / 1000000.0 DESC, n.vec_id)
+             AS rank
+    FROM n CROSS JOIN q
+    WHERE n.vec_id <> q_id)
+  WHERE rank = 1),
+lshk AS (
+  SELECT q_id, n_id, rank FROM (
+    SELECT q_id, n.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q_id
+             ORDER BY floor(({_dot_sql('qv', 'n.embedding')} / (qn * n.nrm))
+                            * 1000000 + 0.5) / 1000000.0 DESC, n.vec_id)
+             AS rank
+    FROM n JOIN q USING (bucket)
+    WHERE n.vec_id <> q_id)
+  WHERE rank <= 10),
+per AS (
+  SELECT b.q_id, b.n_id AS true1,
+         CAST(coalesce(l.rank, 0) AS BIGINT) AS lsh_rank,
+         CAST(CASE WHEN l.rank IS NOT NULL THEN 1000000 // l.rank
+                   ELSE 0 END AS BIGINT) AS rr_micro
+  FROM brute b LEFT JOIN lshk l ON l.q_id = b.q_id AND l.n_id = b.n_id),
+tot AS (SELECT CAST(sum(rr_micro) // count(*) AS BIGINT) AS mrr_micro FROM per)
+SELECT q_id, true1, lsh_rank, rr_micro, (SELECT mrr_micro FROM tot) AS mrr_micro
+FROM per
+""",
+)
+def llm_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN MEAN RECIPROCAL RANK — the graded retrieval metric next to
+    llm_ann_recall's set-overlap recall@5: for each probe, WHERE in
+    the LSH index's top-10 does the TRUE nearest neighbor (brute-force
+    rank 1) land? rr = 1/rank, 0 if it missed the bucket entirely.
+    Recall says "did the right answers show up"; MRR says "do they
+    show up FIRST", which is what an embedding-dedup or RAG cutoff
+    actually consumes. Every reciprocal is the exact integer
+    1000000 DIV rank (rank ≤ 10) and the mean is integer-floored —
+    zero floating point in the metric itself, so unlike textbook
+    MRR there is nothing to round and nothing engine-dependent.
+
+    100 TB shape: both rankings are the existing probe-broadcast
+    kernels (brute = the recall baseline, LSH = the production path);
+    the metric adds one probe-sized left join and a 1-row aggregate
+    broadcast back (aggregate-below)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    true1 = (
+        S.brute_force_topk(e, q, k=1)
+        .where(F.col("rank") == 1)
+        .select("q_id", F.col("n_id").alias("true1"))
+    )
+    lsh = S.lsh_bucketed_topk(e, q, k=10, nb=8, dim=64).select(
+        "q_id", F.col("n_id").alias("true1"), F.col("rank").cast("long").alias("lsh_rank0")
+    )
+    per = (
+        true1.join(lsh, ["q_id", "true1"], "left")
+        .select(
+            "q_id",
+            "true1",
+            F.coalesce(F.col("lsh_rank0"), F.lit(0)).cast("long").alias("lsh_rank"),
+            F.when(
+                F.col("lsh_rank0").isNotNull(),
+                F.expr("1000000 DIV lsh_rank0"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rr_micro"),
+        )
+    )
+    tot = per.agg(
+        F.expr("sum(rr_micro) DIV count(1)").cast("long").alias("mrr_micro")
+    )
+    return per.crossJoin(F.broadcast(tot))

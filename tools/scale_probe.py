@@ -296,6 +296,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "q113_partition_pruned_scan",
             "q114_schema_evolution",
             "q116_max_concurrency",
+            "q117_time_weighted_avg",
         ],
     ),
     (
@@ -404,6 +405,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_ann_recall",
             "llm_ann_pq_recall",
             "llm_knn_classify",
+            "llm_ann_mrr",
             "llm_gram_matrix",
             "llm_embedding_neardup",
             "llm_hard_negatives",
