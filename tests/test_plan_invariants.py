@@ -104,6 +104,7 @@ _BROADCAST_ALLOW = {
     ("llm_ann_lsh", "embeddings"),
     ("llm_ann_ivf", "embeddings"),
     ("llm_ann_recall", "embeddings"),
+    ("llm_ann_mrr", "embeddings"),
     ("llm_hard_negatives", "embeddings"),
     ("llm_hard_negatives_lsh", "embeddings"),
     # decontamination benchmark: a fixed held-out suite in reality,
