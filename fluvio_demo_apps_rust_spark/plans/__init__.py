@@ -129,6 +129,7 @@ _FORWARD: tuple[str, ...] = (
     "q116_max_concurrency",
     "llm_ann_mrr",
     "q117_time_weighted_avg",
+    "q118_mad_robust_stats",
 )
 
 

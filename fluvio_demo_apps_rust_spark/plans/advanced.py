@@ -1406,3 +1406,60 @@ def q107_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+@register(
+    "q118_mad_robust_stats",
+    tags=("agg", "selection", "robust", "mad"),
+    oracle="""
+WITH s AS (SELECT value AS x FROM events WHERE value IS NOT NULL),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+c AS (SELECT CAST(floor(x * 100 + 0.5) AS BIGINT) AS c FROM s),
+rc AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM c),
+med AS (SELECT c AS mc FROM rc, n WHERE rn = (n.n + 1) // 2),
+dev AS (
+  SELECT CAST(floor(abs(x - (SELECT mc FROM med) / CAST(100 AS DOUBLE))
+                    * 100 + 0.5) AS BIGINT) AS dc
+  FROM s),
+rd AS (SELECT dc, row_number() OVER (ORDER BY dc) AS rn FROM dev),
+mad AS (SELECT dc AS madc FROM rd, n WHERE rn = (n.n + 1) // 2)
+SELECT n.n AS n, (SELECT mc FROM med) AS median_cents,
+       (SELECT madc FROM mad) AS mad_cents
+FROM n
+""",
+)
+def q118_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN ABSOLUTE DEVIATION — the robust dispersion statistic
+    (the anomaly-threshold denominator that, unlike stddev, a single
+    corrupted value cannot blow up), computed by COMPOSING the exact
+    histogram-selection kernel twice: median of the values, then
+    median of the absolute deviations from it. Each selection is the
+    q101 three-pass narrowing (bounded histograms on the driver,
+    never data); the deviation column is derived row-locally from the
+    broadcast scalar median, so the second selection runs over a
+    projection, not a materialization. Medians are lower-medians at
+    exact cents; the deviation quantizes floor(|x−m|·100+0.5) with m
+    = cents/100.0 divided identically on both engines — every emitted
+    number is an exact BIGINT.
+
+    The oracle is the naive formulation — two full sorts via global
+    row_number — which is exactly what dies on a 100 TB column; the
+    Spark side is the plan that survives (same contrast as q101,
+    which stays deliberately 39× slower than DuckDB's in-memory sort
+    at sf0.1 because bounded memory is the point).
+
+    100 TB shape: six bounded-histogram aggregates (three per
+    selection), one row collected per pass, O(bins) driver state."""
+    from ..operators.selection import selection_kth
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.where(F.col("value").isNotNull())
+    n = s.count()
+    k = (n + 1) // 2
+    m = selection_kth(s, "value", k)
+    dev = s.select(F.abs(F.col("value") - F.lit(m)).alias("dev"))
+    mad = selection_kth(dev, "dev", k)
+    return spark.createDataFrame(
+        [(n, int(round(m * 100)), int(round(mad * 100)))],
+        "n bigint, median_cents bigint, mad_cents bigint",
+    )

@@ -321,10 +321,13 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
     ),
     (
         "iterative bounded-state loop (per-round checkpointed joins, "
-        "driver holds only the model/labels): per-round volume is the "
-        "probed join/agg shapes; llm_multimodal_dedup_clusters probes "
-        "the label-propagation rounds",
-        ["q79_pagerank", "llm_kmeans", "llm_quality_lr"],
+        "driver holds only the model/labels/histograms): per-round "
+        "volume is the probed join/agg shapes; "
+        "llm_multimodal_dedup_clusters probes the label-propagation "
+        "rounds and q101_selection_median the histogram-selection "
+        "passes q118 composes twice",
+        ["q79_pagerank", "llm_kmeans", "llm_quality_lr",
+         "q118_mad_robust_stats"],
     ),
     (
         "capped pair fan-out over banded/posting-list candidates: "
