@@ -130,6 +130,7 @@ _FORWARD: tuple[str, ...] = (
     "llm_ann_mrr",
     "q117_time_weighted_avg",
     "q118_mad_robust_stats",
+    "llm_span_corruption",
 )
 
 

@@ -7743,3 +7743,76 @@ def llm_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(rr_micro) DIV count(1)").cast("long").alias("mrr_micro")
     )
     return per.crossJoin(F.broadcast(tot))
+
+
+@register(
+    "llm_span_corruption",
+    tags=("llm", "curation", "training", "denoising"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+m AS (
+  SELECT doc_id, len(ts) AS n_tokens,
+         [('0x' || substr(md5(doc_id::VARCHAR || '_sc_' || i::VARCHAR), 1, 15))::BIGINT % 100 < 15
+          for i in generate_series(1, len(ts))] AS noisy
+  FROM t WHERE len(ts) >= 1)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(noisy, x -> x)) AS BIGINT) AS n_noisy,
+       CAST(len(list_filter([noisy[i] AND (i = 1 OR NOT noisy[i-1])
+                             for i in generate_series(1, len(noisy))],
+                            x -> x)) AS BIGINT) AS n_spans
+FROM m
+""",
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-CORRUPTION LAYOUT (T5 denoising objective prep) — for each
+    document, the deterministic noise mask a span-corruption trainer
+    applies: position i is corrupted iff a salted hash of (doc_id, i)
+    lands under the 15 % rate, and each MAXIMAL RUN of corrupted
+    positions becomes one sentinel span. Emits the per-doc ledger the
+    packing step consumes — token count, corrupted-token count, and
+    span count (= positions where a noisy run STARTS). Salted-hash
+    masking instead of an RNG is the repo's determinism rule: the
+    same doc gets the same mask on any executor, any retry, any
+    engine — both sides compute the identical md5-derived mask, so
+    every count is exact. Run detection pins the span semantics
+    (noisy[i] ∧ ¬noisy[i−1]), not just the marginal rate.
+
+    100 TB shape: ENTIRELY row-local — the mask, the filter, and the
+    run detection are higher-order array expressions inside one
+    projection (no explode, no shuffle before the driver-side
+    collect the gate does); the noisy array is LET-bound per row by
+    the list comprehension, never recomputed per reference (README
+    plan-audit #2 class)."""
+    d = load(spark, sf_dir, "documents")
+    from ..functions.dedup import md5_int60  # noqa: F401  (formula doc)
+
+    noisy = (
+        "transform(sequence(1, size(ts)), i -> "
+        "cast(conv(substring(md5(concat(cast(doc_id AS string), '_sc_', "
+        "cast(i AS string))), 1, 15), 16, 10) AS bigint) % 100 < 15)"
+    )
+    m = (
+        d.select("doc_id", TX.tokens("text").alias("ts"))
+        .where(F.size("ts") >= 1)
+        .select(
+            "doc_id",
+            F.size("ts").cast("long").alias("n_tokens"),
+            F.expr(noisy).alias("noisy"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("size(filter(noisy, x -> x))").cast("long").alias("n_noisy"),
+        # IF guards the i=1 case so noisy[-1] is NEVER evaluated (ANSI
+        # INVALID_ARRAY_INDEX — same class as the try_element_at rule;
+        # the oracle's 1-based noisy[0] is a safe NULL absorbed by OR)
+        F.expr(
+            "size(filter(transform(sequence(1, size(noisy)), "
+            "i -> IF(i = 1, noisy[0], noisy[i-1] AND NOT noisy[i-2])), "
+            "x -> x))"
+        )
+        .cast("long")
+        .alias("n_spans"),
+    )

@@ -375,6 +375,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_c4_clean",
             "llm_doc_repetition",
             "llm_repetition_loops",
+            "llm_span_corruption",
             "llm_token_stats",
             "llm_pii_scrub",
             "llm_surprise_buckets",
