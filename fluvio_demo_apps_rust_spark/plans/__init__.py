@@ -131,6 +131,7 @@ _FORWARD: tuple[str, ...] = (
     "q117_time_weighted_avg",
     "q118_mad_robust_stats",
     "llm_span_corruption",
+    "llm_text_export_roundtrip",
 )
 
 

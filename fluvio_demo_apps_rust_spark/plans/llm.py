@@ -7816,3 +7816,68 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_spans"),
     )
+
+
+@register(
+    "llm_text_export_roundtrip",
+    tags=("llm", "curation", "export", "write"),
+    oracle="""
+WITH l AS (
+  SELECT doc_id::VARCHAR || chr(9) || text AS line FROM documents),
+h AS (
+  SELECT ('0x' || substr(md5(line), 1, 15))::BIGINT % 1000000007 AS hm
+  FROM l)
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(hm) AS BIGINT) AS line_checksum
+FROM h
+""",
+)
+def llm_text_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-ORIENTED TEXT EXPORT + READ-BACK INTEGRITY — the third
+    physical sink next to the parquet shard writer and the hive
+    partition layout: curated documents exported as delimited TEXT
+    lines (what a trainer's streaming loader actually tails when it
+    doesn't speak parquet), read back through the text SOURCE, and
+    checksummed line-by-line. The checksum is an order-insensitive
+    exact SUM of per-line md5-residues (mod 1e9+7 keeps 500k lines
+    inside BIGINT with 10⁶× head-room — README finding #13 class),
+    computed on the READ-BACK lines by Spark and on the rendered
+    lines directly by DuckDB: a dropped, duplicated, truncated,
+    re-encoded, or newline-mangled line anywhere in the write → read
+    path moves the sum. Fixture text is single-line ASCII, so the
+    TAB delimiter is injective here; a production exporter escapes —
+    that's a format choice, the gate pins the TRANSPORT.
+
+    100 TB shape: text write is partition-parallel (one file per
+    task, no shuffle); the checksum is one map-side-combinable
+    aggregate over the read-back scan."""
+    import shutil
+    import tempfile
+
+    from ..functions.dedup import md5_int60
+
+    d = load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="q_textexp_")
+    try:
+        (
+            d.select(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("\t"), F.col("text")
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(out)
+        )
+        back = spark.read.text(out)
+        return (
+            back.select(
+                (md5_int60(F.col("value")) % F.lit(1000000007)).alias("hm")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum("hm").cast("long").alias("line_checksum"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

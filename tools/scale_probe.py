@@ -459,6 +459,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_dsir_resample",
             "llm_shard_writer",
             "llm_temperature_mixture",
+            "llm_text_export_roundtrip",
         ],
     ),
 ]
