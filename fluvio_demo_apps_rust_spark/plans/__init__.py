@@ -15,78 +15,75 @@ from . import llm  # noqa: F401
 from . import advanced  # noqa: F401
 from . import mining  # noqa: F401
 
-# Driver-sampling rotation — ROUND 10 ACTIVE. The correctness driver
+# Driver-sampling rotation — ROUND 11 ACTIVE. The correctness driver
 # samples the FIRST ~50 registered queries; rounds 1-3 sampled the
 # relational/events/cdc prefix, r4 the llm/mining/sketch rotation,
-# r5 the staged never-sampled set, r6 the never-driver-green 14 plus
-# plan-changed re-confirmations, r7 the 41 r1-3-stale names, r8 the
-# llm_url_dedup + 49 r4-stale names, r9 the 16 r8 _FORWARD names +
-# 34 r5-stale (50/50 green — cumulative record 198/214 sampled, all
-# green). This head is VERDICT r9 task #2: the 16 round-9 additions
-# that have never had a driver row (the 15 r9 _FORWARD names plus
-# q106_stream_web_frontier, which r9 ADVICE flagged as accidentally
-# left out of _FORWARD), then the 5 remaining r5-stale names, then
-# the 29 alphabetically-first of the 43 names whose latest driver
-# sample is r6 — 16 + 5 + 29 = the 50-query sample EXACTLY. The 14
-# remaining r6-stale names (q63_binational_volume, q64_market_share,
-# q65–q68, q90–q93, q95, q96, q98, q99) rotate in round 11. New
-# round-10 queries land in _FORWARD (positions 51+): locally gated
-# this round, rotated into the head next round.
+# r5 the staged never-sampled set, r6 the never-driver-green 14, r7
+# the 41 r1-3-stale names, r8 llm_url_dedup + 49 r4-stale, r9 the 16
+# r8 _FORWARD names + 34 r5-stale, r10 the 16 r9 additions + 5
+# r5-stale + 29 r6-stale (50/50 green — cumulative 214/251 sampled,
+# all green). This head is VERDICT r10 task #1: the 37 round-10-
+# continuation additions that have never had a driver row
+# (alphabetical), then 13 of the 14 remaining r6-stale names —
+# 37 + 13 = the 50-query sample EXACTLY. q99_stream_outer_join is
+# slot 51 (first in _FORWARD; it already has a green r6 driver row,
+# so 251/251 driver-confirmed closes this round regardless) — lead
+# the r12 head with it. New round-11 queries land in _FORWARD
+# (positions 52+): locally gated this round, rotated in next round.
 _PRIORITY: tuple[str, ...] = (
-    # the 16 round-9 additions — never driver-sampled; MUST get
-    # their first CORRECTNESS row this round
-    "llm_bpe_tokenize",
-    "llm_bpe_tokenize_arrow",
-    "llm_html_extract",
-    "llm_robots_filter",
-    "llm_web_pipeline",
-    "llm_wer_eval",
-    "llm_decontam_ngram_overlap",
-    "q105_negative_median",
-    "llm_random_projection",
-    "llm_dedup_cascade",
-    "q106_stream_web_frontier",
-    "q107_corrupt_quarantine",
-    "llm_event_sequences",
-    "llm_quality_calibration",
-    "llm_stream_quality_monitor",
-    "llm_shard_manifest",
-    # the 5 remaining r5-stale names (latest sample r5)
-    "q83_graph_triangles",
-    "q84_market_basket",
-    "q85_rfm_segmentation",
-    "q86_ewma_smoothing",
-    "q89_hll_distinct",
-    # the 29 alphabetically-first r6-stale names (latest sample r6)
-    "cdc_binlog_real_pet",
-    "cdc_incremental_agg",
-    "cdc_mixed_workload",
-    "cdc_orders_roundtrip",
-    "cdc_pet_replay",
-    "cdc_scd2",
-    "cdc_update_storm",
-    "llm_ahash_pairs",
-    "llm_audio_fingerprint",
-    "llm_image_ahash",
-    "llm_multimodal_dedup_clusters",
-    "llm_naive_bayes",
-    "llm_png_decode",
-    "llm_png_resize",
-    "llm_video_frames",
-    "llm_video_phash",
-    "llm_vocab_coverage",
-    "llm_wav_decode",
-    "llm_winnow_fingerprint",
-    "llm_winnow_pairs",
-    "q05_nation_volume",
-    "q21_part_brand_stats",
-    "q43_rank_family",
-    "q52_approx_distinct",
-    "q57_array_ops",
-    "q59_profit_rollup",
-    "q60_min_cost_supplier",
-    "q61_waiting_suppliers",
-    "q62_idle_rich_customers",
+    # the 37 round-10-continuation additions — never driver-sampled;
+    # MUST get their first CORRECTNESS row this round
+    "cdc_sequence_audit",
+    "cdc_tx_histogram",
+    "llm_ann_mrr",
+    "llm_bpe_encode_ids",
+    "llm_bpe_vocab",
+    "llm_dsir_resample",
+    "llm_dup_rate_sample",
+    "llm_embedding_sq8",
+    "llm_hard_negatives",
+    "llm_hard_negatives_lsh",
+    "llm_heaps_law",
+    "llm_mixture_materialize",
+    "llm_ngram_novelty",
+    "llm_pack_token_ids",
+    "llm_pmi_collocations",
+    "llm_preference_pairs",
+    "llm_repetition_loops",
+    "llm_shard_writer",
+    "llm_snapshot_diff",
+    "llm_span_corruption",
+    "llm_stupid_backoff",
+    "llm_temperature_mixture",
+    "llm_text_export_roundtrip",
+    "llm_tokenizer_fertility",
+    "llm_tokenizer_heldout",
+    "q106_stream_frontier_watermarked",
+    "q108_stream_token_pack",
+    "q109_stream_manifest",
+    "q110_events_user_drift",
+    "q111_decimal_pricing",
+    "q112_bucketed_join",
+    "q113_partition_pruned_scan",
+    "q114_schema_evolution",
+    "q115_column_stats",
+    "q116_max_concurrency",
+    "q117_time_weighted_avg",
+    "q118_mad_robust_stats",
+    # 13 of the 14 remaining r6-stale names
+    "q63_binational_volume",
+    "q64_market_share",
+    "q65_value_windows",
+    "q66_shipmode_buckets",
+    "q67_order_count_histogram",
+    "q68_large_orders",
+    "q90_histogram_quantiles",
+    "q91_stream_hll",
+    "q92_hll_setops",
+    "q93_hll_rollup",
+    "q95_bloom_semijoin",
+    "q96_stream_countmin",
+    "q98_approx_percentile",
 )
 
 # Names of queries EXPECTED to be registered later this round. They
@@ -95,43 +92,7 @@ _PRIORITY: tuple[str, ...] = (
 # the full local gate this round and rotate into the head next round.
 # Unlike _PRIORITY, missing names here are skipped, not fatal.
 _FORWARD: tuple[str, ...] = (
-    "llm_bpe_encode_ids",
-    "q106_stream_frontier_watermarked",
-    "llm_bpe_vocab",
-    "llm_tokenizer_fertility",
-    "llm_mixture_materialize",
-    "llm_pack_token_ids",
-    "llm_hard_negatives",
-    "q108_stream_token_pack",
-    "q109_stream_manifest",
-    "llm_preference_pairs",
-    "llm_pmi_collocations",
-    "llm_snapshot_diff",
-    "llm_dsir_resample",
-    "llm_tokenizer_heldout",
-    "llm_repetition_loops",
-    "llm_shard_writer",
-    "llm_hard_negatives_lsh",
-    "q110_events_user_drift",
-    "llm_heaps_law",
-    "llm_ngram_novelty",
-    "llm_embedding_sq8",
-    "q111_decimal_pricing",
-    "cdc_sequence_audit",
-    "q112_bucketed_join",
-    "q113_partition_pruned_scan",
-    "llm_stupid_backoff",
-    "q114_schema_evolution",
-    "llm_dup_rate_sample",
-    "q115_column_stats",
-    "cdc_tx_histogram",
-    "llm_temperature_mixture",
-    "q116_max_concurrency",
-    "llm_ann_mrr",
-    "q117_time_weighted_avg",
-    "q118_mad_robust_stats",
-    "llm_span_corruption",
-    "llm_text_export_roundtrip",
+    "q99_stream_outer_join",
 )
 
 

@@ -7,6 +7,8 @@ range join) checked against DuckDB's native ASOF JOIN.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -1459,7 +1461,11 @@ def q118_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = selection_kth(s, "value", k)
     dev = s.select(F.abs(F.col("value") - F.lit(m)).alias("dev"))
     mad = selection_kth(dev, "dev", k)
+    # repo rounding standard (floor(x*100+0.5)), not Python round():
+    # selection_kth returns cents/100.0 so x*100 is within ~1e-7 of an
+    # integer and floor(+0.5) recovers it exactly (r10 ADVICE).
+    cents = lambda x: int(math.floor(x * 100 + 0.5))  # noqa: E731
     return spark.createDataFrame(
-        [(n, int(round(m * 100)), int(round(mad * 100)))],
+        [(n, cents(m), cents(mad))],
         "n bigint, median_cents bigint, mad_cents bigint",
     )

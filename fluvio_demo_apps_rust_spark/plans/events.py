@@ -1588,7 +1588,8 @@ def q113_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q114_schema_evolution",
     tags=("events", "layout", "schema-evolution"),
     oracle="""
-SELECT CASE WHEN event_id % 2 = 1 THEN event_type ELSE '__missing__' END
+SELECT CASE WHEN event_id % 2 = 1 THEN coalesce(event_type, '__missing__')
+            ELSE '__missing__' END
          AS etype,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)

@@ -7542,11 +7542,11 @@ s AS (
          CAST(count(*) - count(DISTINCT h) AS BIGINT) AS dup_samp
   FROM h WHERE ('0x' || substr(md5(h), 1, 15))::BIGINT % 8 = 0)
 SELECT n_full, dup_full,
-       CAST((dup_full * 1000000) // n_full AS BIGINT) AS dup_full_ppm,
+       CAST((dup_full * 1000000) // greatest(n_full, 1) AS BIGINT) AS dup_full_ppm,
        n_samp, dup_samp,
-       CAST((dup_samp * 1000000) // n_samp AS BIGINT) AS est_ppm,
-       CAST(abs((dup_full * 1000000) // n_full
-                - (dup_samp * 1000000) // n_samp) AS BIGINT) AS err_ppm
+       CAST((dup_samp * 1000000) // greatest(n_samp, 1) AS BIGINT) AS est_ppm,
+       CAST(abs((dup_full * 1000000) // greatest(n_full, 1)
+                - (dup_samp * 1000000) // greatest(n_samp, 1)) AS BIGINT) AS err_ppm
 FROM f, s
 """,
 )
@@ -7582,16 +7582,19 @@ def llm_dup_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_samp"),
         (F.count(F.lit(1)) - F.countDistinct("h")).alias("dup_samp"),
     )
+    # greatest(n, 1) mirrors the oracle: an empty 1-in-8 sample on a
+    # tiny fixture must yield est_ppm=0, not ANSI DIVIDE_BY_ZERO, and
+    # identically on both engines (r10 ADVICE).
     return f.crossJoin(F.broadcast(s)).select(
         "n_full",
         "dup_full",
-        F.expr("(dup_full * 1000000) DIV n_full").alias("dup_full_ppm"),
+        F.expr("(dup_full * 1000000) DIV greatest(n_full, 1)").alias("dup_full_ppm"),
         "n_samp",
         "dup_samp",
-        F.expr("(dup_samp * 1000000) DIV n_samp").alias("est_ppm"),
+        F.expr("(dup_samp * 1000000) DIV greatest(n_samp, 1)").alias("est_ppm"),
         F.abs(
-            F.expr("(dup_full * 1000000) DIV n_full")
-            - F.expr("(dup_samp * 1000000) DIV n_samp")
+            F.expr("(dup_full * 1000000) DIV greatest(n_full, 1)")
+            - F.expr("(dup_samp * 1000000) DIV greatest(n_samp, 1)")
         ).alias("err_ppm"),
     )
 
