@@ -114,6 +114,32 @@ BENCH_QUERIES = [
     "llm_bpe_tokenize",
     "llm_bpe_tokenize_arrow",
     "llm_web_pipeline",
+    # round 11 additions (r10 verdict #3): the 20 round-10-continuation
+    # queries (q110..llm_text_export_roundtrip) plus the LSH
+    # hard-negative miner r10 verdict #6 called out — every registered
+    # query family now has bench coverage. Totals before r11 exclude
+    # these 21 (52-query list), compare per-query/per-family.
+    "q110_events_user_drift",
+    "llm_heaps_law",
+    "llm_ngram_novelty",
+    "llm_embedding_sq8",
+    "q111_decimal_pricing",
+    "cdc_sequence_audit",
+    "q112_bucketed_join",
+    "q113_partition_pruned_scan",
+    "llm_stupid_backoff",
+    "q114_schema_evolution",
+    "llm_dup_rate_sample",
+    "q115_column_stats",
+    "cdc_tx_histogram",
+    "llm_temperature_mixture",
+    "q116_max_concurrency",
+    "llm_ann_mrr",
+    "q117_time_weighted_avg",
+    "q118_mad_robust_stats",
+    "llm_span_corruption",
+    "llm_text_export_roundtrip",
+    "llm_hard_negatives_lsh",
 ]
 
 # Per-family subtotals so cross-round regressions (CDC vs dedup vs ANN)
@@ -171,6 +197,27 @@ FAMILY = {
     "llm_bpe_tokenize": "text",
     "llm_bpe_tokenize_arrow": "text",
     "llm_web_pipeline": "dedup",
+    "q110_events_user_drift": "events",
+    "llm_heaps_law": "text",
+    "llm_ngram_novelty": "text",
+    "llm_embedding_sq8": "ann",
+    "q111_decimal_pricing": "relational",
+    "cdc_sequence_audit": "cdc",
+    "q112_bucketed_join": "relational",
+    "q113_partition_pruned_scan": "relational",
+    "llm_stupid_backoff": "text",
+    "q114_schema_evolution": "events",
+    "llm_dup_rate_sample": "dedup",
+    "q115_column_stats": "relational",
+    "cdc_tx_histogram": "cdc",
+    "llm_temperature_mixture": "curation",
+    "q116_max_concurrency": "events",
+    "llm_ann_mrr": "ann",
+    "q117_time_weighted_avg": "events",
+    "q118_mad_robust_stats": "mining",
+    "llm_span_corruption": "curation",
+    "llm_text_export_roundtrip": "curation",
+    "llm_hard_negatives_lsh": "ann",
 }
 
 
