@@ -449,32 +449,33 @@ def cdc_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cdc_orders_roundtrip",
-    tags=("cdc", "codec", "apply", "scale"),
-    oracle="""
-SELECT o_orderkey, o_orderstatus, floor((o_totalprice) * 100 + 0.5) / 100.0 AS o_totalprice
-FROM orders
-""",
+ORDERS_DDL_EVENT = (
+    '{"uri":"flv://mysql-srv1/cdcdb","sequence":0,'
+    '"bn_file":{"fileName":"binlog.000001","offset":4},'
+    '"operation":{"Query":"CREATE TABLE orders_r (o_orderkey BIGINT, '
+    'o_orderstatus VARCHAR(1), o_totalprice DOUBLE)"}}'
 )
-def cdc_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orders → wire JSON Add events → codec → apply → table == source."""
+
+
+def orders_wire_events(
+    spark: SparkSession, sf_dir: str, ordered: bool = False
+) -> DataFrame:
+    """Wire-format Add events for every orders row (one JSON envelope
+    per row, ``value string``), built JVM-side. The Value union is
+    externally tagged with heterogeneous payloads, so each cell is
+    rendered with its own to_json and the envelope is assembled by
+    string concat — all inside whole-stage codegen. Shared by
+    cdc_orders_roundtrip (batch apply) and tools/bench_stream.py
+    (streaming-throughput fixture), so both paths measure the same
+    event volume.
+
+    ``ordered=True`` range-partitions on the order key so file k holds
+    strictly lower sequences than file k+1 — the topic-ordering
+    guarantee a real broker provides, required when a paced
+    (maxFilesPerTrigger) stream consumes the directory: the per-table
+    sequence watermark (F4) correctly drops out-of-order re-delivery,
+    so cross-batch admission must be sequence-monotone."""
     o = load(spark, sf_dir, "orders")
-    ddl = spark.createDataFrame(
-        [
-            (
-                '{"uri":"flv://mysql-srv1/cdcdb","sequence":0,'
-                '"bn_file":{"fileName":"binlog.000001","offset":4},'
-                '"operation":{"Query":"CREATE TABLE orders_r (o_orderkey BIGINT, '
-                'o_orderstatus VARCHAR(1), o_totalprice DOUBLE)"}}',
-            )
-        ],
-        "value string",
-    )
-    # Wire-format Add events, built JVM-side (one event per order row).
-    # The Value union is externally tagged with heterogeneous payloads, so
-    # each cell is rendered with its own to_json and the envelope is
-    # assembled by string concat — all inside whole-stage codegen.
     event = F.concat(
         F.lit('{"uri":"flv://mysql-srv1/cdcdb/orders_r","sequence":'),
         (F.col("o_orderkey") + 1).cast("string"),
@@ -494,7 +495,27 @@ def cdc_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale the source already has many splits and this is a no-op
     # cost-wise relative to the decode it parallelizes).
     par = spark.sparkContext.defaultParallelism
-    adds = o.repartition(par).select(event.alias("value"))
+    if ordered:
+        return (
+            o.repartitionByRange(par, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .select(event.alias("value"))
+        )
+    return o.repartition(par).select(event.alias("value"))
+
+
+@register(
+    "cdc_orders_roundtrip",
+    tags=("cdc", "codec", "apply", "scale"),
+    oracle="""
+SELECT o_orderkey, o_orderstatus, floor((o_totalprice) * 100 + 0.5) / 100.0 AS o_totalprice
+FROM orders
+""",
+)
+def cdc_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → wire JSON Add events → codec → apply → table == source."""
+    ddl = spark.createDataFrame([(ORDERS_DDL_EVENT,)], "value string")
+    adds = orders_wire_events(spark, sf_dir)
     from ..codec import parse_events
 
     events = parse_events(ddl.unionByName(adds))
