@@ -8,6 +8,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .base import REGISTRY, QuerySpec  # noqa: F401
+from .canonical_order import ORDER as _CANONICAL
 from . import relational  # noqa: F401  (registers queries)
 from . import events  # noqa: F401
 from . import cdc  # noqa: F401
@@ -93,6 +94,10 @@ _PRIORITY: tuple[str, ...] = (
 # Unlike _PRIORITY, missing names here are skipped, not fatal.
 _FORWARD: tuple[str, ...] = (
     "q99_stream_outer_join",
+    # round-11 additions (locally gated this round, head next round)
+    "q119_interval_coverage",
+    "cdc_changelog_compaction",
+    "llm_priority_sample",
 )
 
 
@@ -103,7 +108,14 @@ def _rotate_registry() -> None:
     head = list(dict.fromkeys(_PRIORITY))
     head += [n for n in _FORWARD if n in REGISTRY and n not in head]
     prioritized = set(head)
-    ordered = head + [n for n in REGISTRY if n not in prioritized]
+    # The tail follows canonical_order.ORDER, NOT raw registration
+    # order — module organization (import order, intra-file position)
+    # can never reshuffle the driver-visible enumeration. Names missing
+    # from ORDER sort last in registration order; the registry-order
+    # test fails loudly until they are appended to ORDER.
+    ordered = head + [n for n in _CANONICAL if n in REGISTRY and n not in prioritized]
+    listed = set(ordered)
+    ordered += [n for n in REGISTRY if n not in listed]
     snapshot = {n: REGISTRY[n] for n in ordered}
     REGISTRY.clear()
     REGISTRY.update(snapshot)

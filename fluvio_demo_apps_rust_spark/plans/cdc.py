@@ -1089,3 +1089,80 @@ def cdc_tx_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.groupBy(F.col("sz").alias("tx_size")).agg(
         F.count(F.lit(1)).alias("n_txs")
     )
+
+
+@register(
+    "cdc_changelog_compaction",
+    tags=("cdc", "apply", "compaction", "snapshot"),
+    oracle="""
+WITH chg AS (
+  SELECT o_orderkey AS k, o_orderkey * 4 + 1 AS seq, 'I' AS op,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderkey * 4 + 2, 'U',
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 1000
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderkey * 4 + 3, 'D', NULL
+  FROM orders WHERE o_orderkey % 7 = 0),
+latest AS (
+  SELECT k,
+         arg_max(op, seq) AS op,
+         arg_max(price_cents, seq) AS price_cents,
+         CAST(max(seq) AS BIGINT) AS last_seq,
+         CAST(count(*) AS BIGINT) AS n_versions
+  FROM chg GROUP BY k)
+SELECT k AS o_orderkey, price_cents, last_seq, n_versions
+FROM latest WHERE op <> 'D'
+""",
+)
+def cdc_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGELOG COMPACTION — the read-optimized-snapshot operator every
+    CDC lake pipeline runs between full replays: given a parsed
+    changelog of (key, sequence, op, payload) rows, materialize the
+    latest surviving row per key in ONE hash aggregate (max_by on the
+    sequence), dropping keys whose latest op is a delete tombstone.
+    This is the Hudi/Delta-style compaction counterpart of
+    operators/apply.py's general sequential fold: the fold handles
+    arbitrary interleavings streamingly; compaction exploits that for a
+    snapshot only the LAST version matters, collapsing the whole
+    history with a single shuffle and map-side partial aggregation —
+    the plan that wins when the changelog is 100x the live key count.
+
+    The changelog is derived deterministically from orders (insert for
+    every key at seq 4k+1, a +10.00 price correction for keys % 3 = 0
+    at 4k+2, a tombstone for keys % 7 = 0 at 4k+3) so the DuckDB
+    oracle rebuilds it arithmetically; prices are quantized to exact
+    cents BEFORE any aggregation per the repo rounding standard.
+
+    100 TB shape: one shuffle on the key, partial max_by combine on
+    the map side (state = one row per distinct key per partition),
+    tombstone filter AFTER the aggregate — never a window over a
+    whale key's full history (sequence ties cannot occur: sequences
+    are distinct per key by construction)."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    k = F.col("o_orderkey")
+    ins = o.select(
+        k.alias("k"), (k * 4 + 1).alias("seq"), F.lit("I").alias("op"),
+        cents.alias("price_cents"),
+    )
+    upd = o.where(k % 3 == 0).select(
+        k.alias("k"), (k * 4 + 2).alias("seq"), F.lit("U").alias("op"),
+        (cents + 1000).alias("price_cents"),
+    )
+    dele = o.where(k % 7 == 0).select(
+        k.alias("k"), (k * 4 + 3).alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("price_cents"),
+    )
+    chg = ins.unionByName(upd).unionByName(dele)
+    latest = chg.groupBy("k").agg(
+        F.expr("max_by(op, seq)").alias("op"),
+        F.expr("max_by(price_cents, seq)").alias("price_cents"),
+        F.max("seq").cast("long").alias("last_seq"),
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+    )
+    return latest.where(F.col("op") != "D").select(
+        F.col("k").alias("o_orderkey"), "price_cents", "last_seq", "n_versions"
+    )

@@ -1800,3 +1800,108 @@ def q117_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(vwsum * 100) DIV total_dur_us").alias("twap_centicents"),
         )
     )
+
+
+@register(
+    "q119_interval_coverage",
+    tags=("events", "intervals", "sweep", "window"),
+    oracle="""
+WITH b AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) + 300, -1 FROM events),
+r AS (
+  SELECT event_type, t,
+         sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         lead(t) OVER (PARTITION BY event_type ORDER BY t, d) AS nt
+  FROM b)
+SELECT event_type,
+       CAST(sum(CASE WHEN c > 0 AND nt IS NOT NULL THEN nt - t ELSE 0 END)
+            AS BIGINT) AS covered_sec
+FROM r GROUP BY event_type
+""",
+)
+def q119_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-UNION COVERAGE — each event opens a 5-minute visit; the
+    answer is the total number of seconds per event type during which
+    AT LEAST ONE visit was open (the utilization/SLA statistic: "how
+    long was the system busy", the companion of q116's "how busy did it
+    peak"). Same sweep-line boundary stream (+1/-1), but the aggregate
+    is the summed length of the count>0 segments, not the running max.
+    All arithmetic is exact epoch-second BIGINTs; segment lengths
+    between tied boundaries are zero, so any tie permutation yields the
+    same sum on both engines.
+
+    The ORACLE is the naive one-global-window-per-type sweep that dies
+    on a whale event type at 100 TB. The Spark side is the scalable
+    TWO-PHASE decomposition (q116's bucket pattern, extended because
+    coverage — unlike max — needs the entry count c0 per row, not per
+    bucket): running sums within (type, hour-bucket), a per-bucket
+    boundary-sum prefix supplies each bucket's entry count c0, joined
+    back (an O(types x hours) relation, AQE-broadcast at runtime), and
+    each bucket contributes its interior covered gaps plus a head
+    segment [bucket_start, first boundary) when c0 > 0 and a tail
+    segment [last boundary, bucket_end) when c0 + bd > 0. A bucket
+    with no boundaries at all is never covered: an open 300 s visit
+    always closes inside the next hour bucket, so c0 > 0 implies a
+    boundary in the bucket — the decomposition is exact, not
+    approximate.
+
+    100 TB shape: state per window partition is bounded by boundaries
+    per (type, hour) — a deployment knob — and the cross-bucket pass
+    runs over the bucket AGGREGATE (types x hours rows), never the
+    events."""
+    ev = _events(spark, sf_dir)
+    t = F.col("ts").cast("timestamp_ltz").cast("long")
+    starts = ev.select("event_type", t.alias("t"), F.lit(1).alias("d"))
+    ends = ev.select("event_type", (t + 300).alias("t"), F.lit(-1).alias("d"))
+    b = starts.unionByName(ends).withColumn(
+        "bucket", F.floor(F.col("t") / 3600).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lead = Window.partitionBy("event_type", "bucket").orderBy("t", "d")
+    rows = b.withColumn("rs", F.sum("d").over(w_in)).withColumn(
+        "nt", F.lead("t").over(w_lead)
+    )
+    per_bucket = b.groupBy("event_type", "bucket").agg(F.sum("d").alias("bd"))
+    w_b = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c0 = per_bucket.withColumn(
+        "c0", F.coalesce(F.sum("bd").over(w_b), F.lit(0))
+    ).select("event_type", "bucket", "bd", "c0")
+    seg = rows.join(c0, ["event_type", "bucket"])
+    bucket_cov = seg.groupBy("event_type", "bucket").agg(
+        F.sum(
+            F.when(
+                (F.col("rs") + F.col("c0") > 0) & F.col("nt").isNotNull(),
+                F.col("nt") - F.col("t"),
+            ).otherwise(F.lit(0))
+        ).alias("interior"),
+        F.min("t").alias("t_first"),
+        F.max("t").alias("t_last"),
+        F.first("bd").alias("bd"),
+        F.first("c0").alias("c0"),
+    )
+    cov = bucket_cov.select(
+        "event_type",
+        (
+            F.col("interior")
+            + F.when(F.col("c0") > 0, F.col("t_first") - F.col("bucket") * 3600)
+            .otherwise(F.lit(0))
+            + F.when(
+                F.col("bd") + F.col("c0") > 0,
+                (F.col("bucket") + 1) * 3600 - F.col("t_last"),
+            ).otherwise(F.lit(0))
+        ).alias("cv"),
+    )
+    return cov.groupBy("event_type").agg(
+        F.sum("cv").cast("long").alias("covered_sec")
+    )

@@ -153,6 +153,24 @@ QUERIES = [
     "q107_corrupt_quarantine",
     "llm_shard_manifest",
     "llm_bpe_encode_ids",
+    # r11 (VERDICT r10 #6): the heaviest additions that sat in EXEMPT
+    # with only sibling evidence — the LSH hard-negative miner (banded
+    # join + per-bucket dot verify), the held-out BPE apply (train on
+    # split A, apply to split B — a second corpus join the tokenize
+    # probe doesn't cover), the trigram backoff LM (three n-gram
+    # aggregates + a scored join), and the two-phase interval sweep
+    # (bucketed running sums + bucket-offset prefix).
+    "llm_hard_negatives_lsh",
+    "llm_tokenizer_heldout",
+    "llm_stupid_backoff",
+    "q116_max_concurrency",
+    # r11 additions: the coverage sweep (a NEW two-phase decomposition —
+    # per-row entry counts, not per-bucket scalars), the one-shuffle
+    # max_by changelog compaction, and the adaptive-threshold priority
+    # sampler (window input bounded by construction — probed to pin it).
+    "q119_interval_coverage",
+    "cdc_changelog_compaction",
+    "llm_priority_sample",
 ]
 
 # Every registered query that is NOT probed must appear here with the
@@ -295,7 +313,6 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "q110_events_user_drift",
             "q113_partition_pruned_scan",
             "q114_schema_evolution",
-            "q116_max_concurrency",
             "q117_time_weighted_avg",
         ],
     ),
@@ -390,7 +407,6 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_quality_calibration",
             "llm_naive_bayes",
             "llm_bpe_merge_counts",
-            "llm_stupid_backoff",
             "llm_pmi_collocations",
             "llm_robots_filter",
             "llm_corpus_profile",
@@ -413,7 +429,6 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_gram_matrix",
             "llm_embedding_neardup",
             "llm_hard_negatives",
-            "llm_hard_negatives_lsh",
             "llm_embedding_sq8",
         ],
     ),
@@ -438,7 +453,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
         "corpus word-explode + vocab-join shape; the vocab table is "
         "charset-bounded and fertility adds only a ≤#langs-row "
         "aggregate on top of the same join",
-        ["llm_bpe_vocab", "llm_tokenizer_fertility", "llm_tokenizer_heldout"],
+        ["llm_bpe_vocab", "llm_tokenizer_fertility"],
     ),
     (
         "curation one-scan + bounded aggregate over probed kernels "
