@@ -54,22 +54,19 @@ from fluvio_demo_apps_rust_spark.session import get_spark
 from fluvio_demo_apps_rust_spark.streaming.pipeline import CdcPipeline
 
 
-def main() -> int:
-    sf_dir = (
-        sys.argv[1]
-        if len(sys.argv) > 1
-        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    )
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-    spark = get_spark("bench-stream")
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1000).count()  # JVM warm
-    par = spark.sparkContext.defaultParallelism
-    spark.range(par * 4, numPartitions=par).mapInPandas(
-        lambda it: (pdf for pdf in it), schema="id long"
-    ).write.format("noop").mode("overwrite").save()  # Python worker warm
+VARIANTS: dict[str, dict] = {
+    "python_codec": {},
+    "jvm_codec": {"jvm_decode": True},
+    "paced_8_files": {"jvm_decode": True, "max_files_per_trigger": 8},
+}
 
+
+def measure(spark, sf_dir: str, variants: dict[str, dict] | None = None) -> dict:
+    """Build the topic fixture, drain it through the full CdcPipeline
+    once per variant, verify the applied replica row count, and return
+    the result dict (see module docstring). Separated from main() so
+    tests can pin the fixture-ordering semantics at sf0.001."""
+    variants = VARIANTS if variants is None else variants
     work = Path(tempfile.mkdtemp(prefix="bench_stream_"))
     try:
         # ---- fixture: the topic directory (NOT timed) ------------------
@@ -107,11 +104,6 @@ def main() -> int:
             for _ in f.open()
         )
 
-        variants = {
-            "python_codec": {},
-            "jvm_codec": {"jvm_decode": True},
-            "paced_8_files": {"jvm_decode": True, "max_files_per_trigger": 8},
-        }
         out: dict[str, dict[str, float]] = {}
         for name, kw in variants.items():
             vdir = work / name
@@ -137,20 +129,35 @@ def main() -> int:
                 "events_per_sec": round(n_events / wall, 1),
                 "applied_rows": applied,
             }
-        print(
-            json.dumps(
-                {
-                    "metric": "cdc stream apply throughput "
-                    "(readStream->codec->filter->foreachBatch apply, availableNow)",
-                    "sf": sf,
-                    "events": n_events,
-                    "variants": out,
-                }
-            )
-        )
-        return 0
+        return {
+            "metric": "cdc stream apply throughput "
+            "(readStream->codec->filter->foreachBatch apply, availableNow)",
+            "events": n_events,
+            "variants": out,
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> int:
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench-stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()  # JVM warm
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4, numPartitions=par).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).write.format("noop").mode("overwrite").save()  # Python worker warm
+    result = measure(spark, sf_dir)
+    result["sf"] = sf
+    print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":
