@@ -869,9 +869,14 @@ def q115_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, partial aggregation, EXPAND fan-out ×5 on the map side,
     output O(columns). Exact NDV at 100 TB would normally drop to HLL
     (q89's sketch path); the exact two-phase distinct here IS the
-    expensive-but-available option and the oracle gate."""
+    expensive-but-available option and the oracle gate. The fixture
+    parquet is ONE row group, which would serialize the EXPAND's
+    partial distinct into a single task (r11 bench: 7.1 s → 1.9 s) —
+    repartition first; at cluster scale the source has many splits and
+    this is a no-op."""
     ensure_utc(spark)
-    li = load(spark, sf_dir, "lineitem")
+    par = spark.sparkContext.defaultParallelism
+    li = load(spark, sf_dir, "lineitem").repartition(par)
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     a = li.agg(
         F.count(F.lit(1)).alias("n"),
