@@ -1157,12 +1157,22 @@ def cdc_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("price_cents"),
     )
     chg = ins.unionByName(upd).unionByName(dele)
+    return compact_changelog(chg).select(
+        F.col("k").alias("o_orderkey"), "price_cents", "last_seq", "n_versions"
+    )
+
+
+def compact_changelog(chg: DataFrame) -> DataFrame:
+    """ONE-aggregate snapshot compaction over (k, seq, op, *payload)
+    changelog rows: max_by every payload column on seq, drop keys whose
+    latest op is a 'D' tombstone. Latest-wins by construction, so a
+    re-insert AFTER a tombstone resurrects the key (pinned by
+    tests/test_interval_ops.py). Sequences must be distinct per key."""
+    payload = [c for c in chg.columns if c not in ("k", "seq", "op")]
     latest = chg.groupBy("k").agg(
         F.expr("max_by(op, seq)").alias("op"),
-        F.expr("max_by(price_cents, seq)").alias("price_cents"),
+        *[F.expr(f"max_by({c}, seq)").alias(c) for c in payload],
         F.max("seq").cast("long").alias("last_seq"),
         F.count(F.lit(1)).cast("long").alias("n_versions"),
     )
-    return latest.where(F.col("op") != "D").select(
-        F.col("k").alias("o_orderkey"), "price_cents", "last_seq", "n_versions"
-    )
+    return latest.where(F.col("op") != "D").drop("op")

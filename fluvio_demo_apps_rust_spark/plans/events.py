@@ -1854,10 +1854,30 @@ def q119_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     events."""
     ev = _events(spark, sf_dir)
     t = F.col("ts").cast("timestamp_ltz").cast("long")
-    starts = ev.select("event_type", t.alias("t"), F.lit(1).alias("d"))
-    ends = ev.select("event_type", (t + 300).alias("t"), F.lit(-1).alias("d"))
+    return interval_coverage(
+        ev.select("event_type", t.alias("t")), duration=300, bucket=3600
+    )
+
+
+def interval_coverage(
+    starts_df: DataFrame, duration: int, bucket: int
+) -> DataFrame:
+    """Two-phase interval-union coverage kernel over (event_type,
+    t BIGINT seconds) start rows; each start opens [t, t+duration).
+    Requires duration <= bucket (the q119 docstring's exactness
+    argument — an open interval always produces a boundary in the next
+    bucket, so a bucket with no boundaries is never covered). Unit
+    tests pin boundary-aligned edge cases (tests/test_interval_ops.py);
+    the q119 oracle gates it against the naive global sweep at all
+    three SFs."""
+    if duration > bucket:
+        raise ValueError("interval_coverage requires duration <= bucket")
+    starts = starts_df.select("event_type", "t", F.lit(1).alias("d"))
+    ends = starts_df.select(
+        "event_type", (F.col("t") + duration).alias("t"), F.lit(-1).alias("d")
+    )
     b = starts.unionByName(ends).withColumn(
-        "bucket", F.floor(F.col("t") / 3600).cast("long")
+        "bucket", F.floor(F.col("t") / bucket).cast("long")
     )
     w_in = (
         Window.partitionBy("event_type", "bucket")
@@ -1894,11 +1914,12 @@ def q119_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (
             F.col("interior")
-            + F.when(F.col("c0") > 0, F.col("t_first") - F.col("bucket") * 3600)
-            .otherwise(F.lit(0))
+            + F.when(
+                F.col("c0") > 0, F.col("t_first") - F.col("bucket") * bucket
+            ).otherwise(F.lit(0))
             + F.when(
                 F.col("bd") + F.col("c0") > 0,
-                (F.col("bucket") + 1) * 3600 - F.col("t_last"),
+                (F.col("bucket") + 1) * bucket - F.col("t_last"),
             ).otherwise(F.lit(0))
         ).alias("cv"),
     )
