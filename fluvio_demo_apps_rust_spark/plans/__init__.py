@@ -98,6 +98,7 @@ _FORWARD: tuple[str, ...] = (
     "q119_interval_coverage",
     "cdc_changelog_compaction",
     "llm_priority_sample",
+    "llm_allpairs_prefix_join",
 )
 
 

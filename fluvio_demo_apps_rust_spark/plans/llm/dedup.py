@@ -1956,3 +1956,100 @@ def llm_dup_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("(dup_samp * 1000000) DIV greatest(n_samp, 1)")
         ).alias("err_ppm"),
     )
+
+
+@register(
+    "llm_allpairs_prefix_join",
+    tags=("llm", "dedup", "similarity", "join"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS tok
+  FROM t WHERE len(t) >= 3),
+f AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tok),
+r AS (
+  SELECT t.doc_id, t.tok,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY f.tf, t.tok) AS rk,
+         count(*) OVER (PARTITION BY t.doc_id) AS n
+  FROM tok t JOIN f USING (tok)),
+p AS (SELECT doc_id, tok FROM r WHERE rk <= n - (3 * n + 4) // 5 + 1),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM p x JOIN p y USING (tok) WHERE x.doc_id < y.doc_id),
+na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+i AS (
+  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.a
+  JOIN tok tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+  GROUP BY c.a, c.b)
+SELECT i.a, i.b, i.inter,
+       CAST(x.n + y.n - i.inter AS BIGINT) AS uni,
+       CAST((i.inter * 1000) // (x.n + y.n - i.inter) AS BIGINT) AS jac_permille
+FROM i JOIN na x ON x.doc_id = i.a JOIN na y ON y.doc_id = i.b
+WHERE (i.inter * 1000) // (x.n + y.n - i.inter) >= 600
+""",
+)
+def llm_allpairs_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-RECALL set-similarity self-join by PREFIX FILTERING — the
+    AllPairs/ppjoin algorithm (Bayardo et al., WWW'07), the
+    deterministic complement of the MinHash-LSH family: order every
+    document's distinct 3-gram SHINGLES by ascending GLOBAL frequency
+    (ties by shingle), keep only the first n - ceil(0.6·n) + 1 as
+    candidate keys, and equi-join on those prefix shingles. The prefix
+    lemma guarantees any pair with Jaccard >= 0.6 shares at least one
+    prefix shingle, so unlike LSH banding the candidate set has NO
+    false negatives; the ordering puts the globally RAREST shingles in
+    the prefixes, so frequent patterns never become join keys.
+    Candidates are verified with the exact integer Jaccard
+    (|A∩B|·1000 DIV |A∪B|, threshold 600 permille). The element domain
+    matters: on this template-generated fixture a UNIGRAM prefix
+    filter degenerates to all-pairs (tiny closed vocabulary — every
+    "rare" token is shared corpus-wide, 12.4M candidates at sf0.1),
+    while the combinatorial 3-gram shingle vocabulary keeps prefixes
+    genuinely rare (300k candidates, the true near-dup suspects) —
+    the same reason the MinHash family shingles before hashing.
+
+    100 TB shape: one shuffle on the token for global frequencies, a
+    per-document window over that document's OWN distinct tokens
+    (bounded by document length, never corpus size), one equi-join on
+    rare prefix tokens, and a postings-intersection verify join that
+    touches only candidate pairs. Every number is an exact BIGINT."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.where(F.size(TX.tokens("text")) >= 3).select(
+        "doc_id", F.explode(X.word_shingles("text")).alias("tok")
+    )
+    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    w_rank = Window.partitionBy("doc_id").orderBy("tf", "tok")
+    w_n = Window.partitionBy("doc_id")
+    r = (
+        tok.join(tf, "tok")
+        .withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+    )
+    prefix = r.where(F.col("rk") <= F.col("n") - F.expr("(3 * n + 4) DIV 5") + 1)
+    pa = prefix.select(F.col("doc_id").alias("a"), "tok")
+    pb = prefix.select(F.col("doc_id").alias("b"), "tok")
+    cand = (
+        pa.join(pb, "tok")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    na = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ta = tok.select(F.col("doc_id").alias("a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("b"), "tok")
+    inter = (
+        cand.join(ta, "a")
+        .join(tb, ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    out = (
+        inter.join(na.select(F.col("doc_id").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(na.select(F.col("doc_id").alias("b"), F.col("n").alias("n_b")), "b")
+        .withColumn("uni", (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("long"))
+        .withColumn("jac_permille", F.expr("(inter * 1000) DIV uni").cast("long"))
+        .where(F.col("jac_permille") >= 600)
+    )
+    return out.select("a", "b", "inter", "uni", "jac_permille")

@@ -171,6 +171,10 @@ QUERIES = [
     "q119_interval_coverage",
     "cdc_changelog_compaction",
     "llm_priority_sample",
+    # the exact-recall prefix-filter join: a NEW candidate-generation
+    # scheme (rare-token prefixes, no banding) — probed so a fan-out
+    # regression (e.g. losing the frequency ordering) shows as growth.
+    "llm_allpairs_prefix_join",
 ]
 
 # Every registered query that is NOT probed must appear here with the
