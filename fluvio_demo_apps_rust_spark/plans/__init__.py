@@ -16,75 +16,77 @@ from . import llm  # noqa: F401
 from . import advanced  # noqa: F401
 from . import mining  # noqa: F401
 
-# Driver-sampling rotation — ROUND 11 ACTIVE. The correctness driver
+# Driver-sampling rotation — ROUND 12 ACTIVE. The correctness driver
 # samples the FIRST ~50 registered queries; rounds 1-3 sampled the
 # relational/events/cdc prefix, r4 the llm/mining/sketch rotation,
 # r5 the staged never-sampled set, r6 the never-driver-green 14, r7
 # the 41 r1-3-stale names, r8 llm_url_dedup + 49 r4-stale, r9 the 16
 # r8 _FORWARD names + 34 r5-stale, r10 the 16 r9 additions + 5
-# r5-stale + 29 r6-stale (50/50 green — cumulative 214/251 sampled,
-# all green). This head is VERDICT r10 task #1: the 37 round-10-
-# continuation additions that have never had a driver row
-# (alphabetical), then 13 of the 14 remaining r6-stale names —
-# 37 + 13 = the 50-query sample EXACTLY. q99_stream_outer_join is
-# slot 51 (first in _FORWARD; it already has a green r6 driver row,
-# so 251/251 driver-confirmed closes this round regardless) — lead
-# the r12 head with it. New round-11 queries land in _FORWARD
-# (positions 52+): locally gated this round, rotated in next round.
+# r5-stale + 29 r6-stale, r11 the 37 r10-continuation additions + 13
+# r6-stale (50/50 green — cumulative 251/255 sampled, all green).
+# This head is VERDICT r11 task #1: lead with q99_stream_outer_join
+# (the pinned slot-51 promise from r11; its last driver row is r6 —
+# the single oldest name in the registry), then the 4 round-11
+# additions that have never had a driver row, then 45 of the 50
+# r7-stale names (alphabetical) — 1 + 4 + 45 = the 50-query sample
+# EXACTLY. A green r12 sample closes cumulative driver coverage at
+# 255/255. The 5 r7-stale names that didn't fit lead _FORWARD
+# (slots 51-55); new round-12 queries land after them.
 _PRIORITY: tuple[str, ...] = (
-    # the 37 round-10-continuation additions — never driver-sampled;
-    # MUST get their first CORRECTNESS row this round
-    "cdc_sequence_audit",
-    "cdc_tx_histogram",
-    "llm_ann_mrr",
-    "llm_bpe_encode_ids",
-    "llm_bpe_vocab",
-    "llm_dsir_resample",
-    "llm_dup_rate_sample",
-    "llm_embedding_sq8",
-    "llm_hard_negatives",
-    "llm_hard_negatives_lsh",
-    "llm_heaps_law",
-    "llm_mixture_materialize",
-    "llm_ngram_novelty",
-    "llm_pack_token_ids",
-    "llm_pmi_collocations",
-    "llm_preference_pairs",
-    "llm_repetition_loops",
-    "llm_shard_writer",
-    "llm_snapshot_diff",
-    "llm_span_corruption",
-    "llm_stupid_backoff",
-    "llm_temperature_mixture",
-    "llm_text_export_roundtrip",
-    "llm_tokenizer_fertility",
-    "llm_tokenizer_heldout",
-    "q106_stream_frontier_watermarked",
-    "q108_stream_token_pack",
-    "q109_stream_manifest",
-    "q110_events_user_drift",
-    "q111_decimal_pricing",
-    "q112_bucketed_join",
-    "q113_partition_pruned_scan",
-    "q114_schema_evolution",
-    "q115_column_stats",
-    "q116_max_concurrency",
-    "q117_time_weighted_avg",
-    "q118_mad_robust_stats",
-    # 13 of the 14 remaining r6-stale names
-    "q63_binational_volume",
-    "q64_market_share",
-    "q65_value_windows",
-    "q66_shipmode_buckets",
-    "q67_order_count_histogram",
-    "q68_large_orders",
-    "q90_histogram_quantiles",
-    "q91_stream_hll",
-    "q92_hll_setops",
-    "q93_hll_rollup",
-    "q95_bloom_semijoin",
-    "q96_stream_countmin",
-    "q98_approx_percentile",
+    # the pinned slot-51 promise — oldest driver row in the registry (r6)
+    "q99_stream_outer_join",
+    # the 4 round-11 additions — never driver-sampled; MUST get their
+    # first CORRECTNESS row this round (closes coverage at 255/255)
+    "q119_interval_coverage",
+    "cdc_changelog_compaction",
+    "llm_priority_sample",
+    "llm_allpairs_prefix_join",
+    # 45 of the 50 r7-stale names (alphabetical)
+    "cdc_binlog_geometry",
+    "cdc_binlog_typed_replay",
+    "cdc_replica_join",
+    "cdc_scd2_asof",
+    "cdc_stream_stats",
+    "llm_bigram_lm",
+    "llm_dedup_exact",
+    "llm_incremental_minhash",
+    "llm_simhash",
+    "llm_source_overlap",
+    "llm_substring_dedup",
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q04_semi_join",
+    "q06_revenue_delta",
+    "q07_anti_join",
+    "q08_left_join_agg",
+    "q09_having",
+    "q10_set_ops",
+    "q11_topk_per_group",
+    "q12_running_total",
+    "q13_lag_gap",
+    "q14_rollup",
+    "q15_cube",
+    "q16_grouping_sets",
+    "q17_global_topk",
+    "q18_distinct_count",
+    "q19_scalar_funcs",
+    "q20_case_agg",
+    "q22_order_lineitem_stats",
+    "q23_datetime_funcs",
+    "q30_events_tumbling",
+    "q31_events_sliding",
+    "q32_events_session",
+    "q33_events_dedup",
+    "q34_events_json_props",
+    "q35_events_rate",
+    "q36_events_gapfill",
+    "q37_stream_windowed",
+    "q38_stream_dedup",
+    "q39_stream_late_data",
+    "q71_events_funnel",
+    "q72_events_cohort",
+    "q73_stream_session",
+    "q74_stream_stateful",
 )
 
 # Names of queries EXPECTED to be registered later this round. They
@@ -93,12 +95,15 @@ _PRIORITY: tuple[str, ...] = (
 # the full local gate this round and rotate into the head next round.
 # Unlike _PRIORITY, missing names here are skipped, not fatal.
 _FORWARD: tuple[str, ...] = (
-    "q99_stream_outer_join",
-    # round-11 additions (locally gated this round, head next round)
-    "q119_interval_coverage",
-    "cdc_changelog_compaction",
-    "llm_priority_sample",
-    "llm_allpairs_prefix_join",
+    # the 5 r7-stale names that didn't fit the r12 head — lead the
+    # r13 head with these
+    "q75_events_anomaly",
+    "q76_events_transitions",
+    "q78_trajectory_similarity",
+    "q94_sessionization",
+    "q97_rolling_distinct",
+    # round-12 additions (locally gated this round, head next round)
+    "llm_substring_trim",
 )
 
 
