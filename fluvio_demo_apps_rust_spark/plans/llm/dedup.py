@@ -960,6 +960,151 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_substring_trim",
+    tags=("llm", "dedup", "substring", "span", "trim"),
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, text,
+         unnest(range(1, length(text) - {_SSD_K} + 2)) AS pos
+  FROM documents WHERE length(text) >= {_SSD_K}),
+h AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(substr(text, CAST(pos AS INTEGER), {_SSD_K})), 1, 15))::BIGINT
+             AS ghash
+  FROM g),
+dupg AS (SELECT ghash FROM h GROUP BY ghash HAVING count(*) >= 2),
+dp AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS s, CAST(pos + {_SSD_K} AS BIGINT) AS e
+  FROM h WHERE ghash IN (SELECT ghash FROM dupg)),
+m AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER wp IS NULL OR s > max(e) OVER wp
+              THEN 1 ELSE 0 END AS ns
+  FROM dp
+  WINDOW wp AS (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+sp AS (
+  SELECT doc_id, s, e,
+         sum(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM m),
+spans AS (
+  SELECT doc_id, span_id, min(s) AS s, max(e) AS e
+  FROM sp GROUP BY doc_id, span_id),
+per AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s) AS BIGINT) AS n_dup_chars,
+         list({{'s': s, 'e': e}} ORDER BY s) AS sl
+  FROM spans GROUP BY doc_id),
+asm AS (
+  SELECT d.doc_id, per.n_spans, per.n_dup_chars,
+         CASE WHEN per.sl IS NULL THEN d.text ELSE
+           concat(
+             coalesce(array_to_string(list_transform(per.sl, (x, i) ->
+               substr(d.text,
+                      CAST(CASE WHEN i = 1 THEN 1 ELSE per.sl[i-1].e END AS INTEGER),
+                      CAST(x.s - CASE WHEN i = 1 THEN 1 ELSE per.sl[i-1].e END
+                           AS INTEGER))), ''), ''),
+             substr(d.text, CAST(per.sl[len(per.sl)].e AS INTEGER)))
+         END AS post_trim
+  FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id)
+SELECT doc_id,
+       CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(n_dup_chars, 0) AS BIGINT) AS n_dup_chars,
+       CAST(length(post_trim) AS BIGINT) AS post_trim_len,
+       md5(post_trim) AS trim_digest
+FROM asm
+""",
+)
+def llm_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span TRIM materialization — the second half of the
+    Lee et al. 2022 ExactSubstr dedup story: llm_substring_dedup COUNTS
+    the duplicated {_SSD_K}-char windows; this operator CUTS them out
+    and emits the trimmed corpus evidence per document — merged
+    duplicated-span intervals (count + total chars) and the md5 digest
+    of the post-trim text, so a downstream trainer (or the oracle) can
+    verify the exact surviving bytes, not just a statistic.
+
+    Pipeline: the same corpus-wide k-gram frequency join as
+    llm_substring_dedup but keeping each window's POSITION; windows
+    whose gram occurs >= 2 times anywhere in the corpus become
+    [pos, pos+{_SSD_K}) spans; spans merge per document through
+    operators/intervals.merge_intervals (running-max sweep — touching
+    spans merge, half-open adjacency leaves no kept gap); the
+    post-trim text is reassembled ROW-LOCALLY from the bounded
+    per-document span array (kept segment before each span via an
+    indexed transform — DuckDB's (x,i) lambda is 1-based, Spark's
+    0-based, offsets mirrored per the repo rule) plus the tail after
+    the last span. Both engines hash the identical reassembled string,
+    so the digest pins every cut boundary exactly.
+
+    100 TB shape: two hash shuffles (per-doc gram pre-agg is skipped
+    here because POSITIONS are needed, but the dup-gram join is still
+    a gram-key equi-join, never all-pairs), one per-document window
+    pass with state bounded by spans-per-doc (= doc length / gap
+    structure, a per-document bound independent of corpus size), and
+    a final row-local reassembly — no collect, no self-join. Reuses
+    the merge kernel extracted for exactly this purpose (r11 verdict
+    task #5)."""
+    from ...operators.intervals import merge_intervals
+
+    d = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    k = _SSD_K
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - F.lit(k - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(F.col("text"), i, F.lit(k))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    g = (
+        d.repartition(par)
+        .where(F.length("text") >= k)
+        .select("doc_id", F.posexplode(grams).alias("pos0", "ghash"))
+    )
+    dupg = g.groupBy("ghash").agg(F.count(F.lit(1)).alias("k_tot")).filter(
+        F.col("k_tot") >= 2
+    )
+    dp = g.join(dupg, "ghash").select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("s"),
+        (F.col("pos0") + 1 + k).cast("long").alias("e"),
+    )
+    spans = merge_intervals(dp, ["doc_id"])
+    per = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("n_dup_chars"),
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("sl"),
+    )
+    prev_e = "IF(i = 0, 1L, try_element_at(sl, i).e)"
+    post_trim = F.expr(
+        f"""CASE WHEN sl IS NULL THEN text ELSE concat(
+              array_join(transform(sl, (x, i) -> substring(text,
+                  CAST({prev_e} AS INT),
+                  CAST(x.s - {prev_e} AS INT))), ''),
+              substring(text, CAST(try_element_at(sl, size(sl)).e AS INT)))
+            END"""
+    )
+    return (
+        d.select("doc_id", "text")
+        .join(per, "doc_id", "left")
+        .withColumn("post_trim", post_trim)
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_dup_chars"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_chars"),
+            F.length("post_trim").cast("long").alias("post_trim_len"),
+            F.md5("post_trim").alias("trim_digest"),
+        )
+    )
+
+
+@register(
     "llm_incremental_minhash",
     tags=("llm", "dedup", "minhash", "lsh", "incremental"),
     oracle=f"""

@@ -175,6 +175,11 @@ QUERIES = [
     # scheme (rare-token prefixes, no banding) — probed so a fan-out
     # regression (e.g. losing the frequency ordering) shows as growth.
     "llm_allpairs_prefix_join",
+    # r12: span-trim materialization — positional gram join (no per-doc
+    # pre-agg: positions are the payload) + per-doc merge window +
+    # row-local reassembly; probed because the positional shuffle is
+    # strictly heavier than the probed llm_substring_dedup's.
+    "llm_substring_trim",
 ]
 
 # Every registered query that is NOT probed must appear here with the
