@@ -1167,7 +1167,17 @@ def compact_changelog(chg: DataFrame) -> DataFrame:
     changelog rows: max_by every payload column on seq, drop keys whose
     latest op is a 'D' tombstone. Latest-wins by construction, so a
     re-insert AFTER a tombstone resurrects the key (pinned by
-    tests/test_interval_ops.py). Sequences must be distinct per key."""
+    tests/test_interval_ops.py). Sequences must be distinct per key.
+
+    NULL-payload asymmetry (r11 ADVICE): Spark max_by(c, seq) returns
+    the payload of the max-seq row even when that payload is NULL;
+    DuckDB arg_max(c, seq) SKIPS rows whose ARG is NULL and returns
+    the payload of the latest row where c IS NOT NULL. The two agree
+    only when every I/U row carries non-null payloads (true here: the
+    sole NULL payloads ride 'D' rows, whose keys are filtered out).
+    Reusing this kernel against an arg_max oracle with nullable I/U
+    payloads WILL silently diverge — either require non-null payloads
+    or oracle with DuckDB's last(c ORDER BY seq) instead."""
     payload = [c for c in chg.columns if c not in ("k", "seq", "op")]
     latest = chg.groupBy("k").agg(
         F.expr("max_by(op, seq)").alias("op"),

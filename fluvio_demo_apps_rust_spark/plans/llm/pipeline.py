@@ -1628,7 +1628,8 @@ s AS (
   SELECT d.source, d.doc_id, d.h, n.n_docs
   FROM d JOIN n USING (source)
   WHERE d.h % 1000000 < (80 * 1000000) // n.n_docs),
-r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY h % 1000000, h, doc_id) AS rn
       FROM s)
 SELECT source,
        CAST(any_value(n_docs) AS BIGINT) AS n_docs,
@@ -1640,12 +1641,21 @@ FROM r WHERE rn <= 20 GROUP BY source
 def llm_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRIORITY SAMPLING (bottom-k by content-keyed hash) — the
     deterministic, RNG-free way to draw a fixed-size uniform sample per
-    source from a corpus of ANY size: rank every document by an md5
+    source from a corpus of ANY size: rank every document by a hash
     priority and keep the k smallest. Unlike rand()-based sampling it
     is reproducible across engines, re-runs, and cluster layouts, and
     membership is stable under corpus growth (a doc only leaves the
     sample when displaced by a lower priority) — the property data-card
     and eval-set pipelines rely on.
+
+    The PRIORITY is the lexicographic key (h %% 1e6, h, doc_id) — the
+    same quantity the pre-filter thresholds on leads the ordering, so
+    the filter is a true PREFIX of the priority order (r11 ADVICE fix:
+    ranking by raw h while filtering on the low bits made membership
+    depend on the threshold, i.e. on corpus size). With that
+    alignment, the filtered window computes the EXACT global bottom-k
+    whenever at least k candidates survive (expected ~4k), and the
+    sample is genuinely growth-stable.
 
     The SCALE story is the two-phase shape: a per-source count (one
     map-side-combinable aggregate, O(sources) rows joined back at
@@ -1675,7 +1685,9 @@ def llm_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = d.join(n, "source").where(
         F.col("h") % 1000000 < F.expr(f"({4 * k} * 1000000) DIV n_docs")
     )
-    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        (F.col("h") % 1000000).asc(), F.col("h").asc(), F.col("doc_id").asc()
+    )
     r = s.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
     return r.groupBy("source").agg(
         F.first("n_docs").alias("n_docs"),
