@@ -857,57 +857,110 @@ def q115_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     STATISTICS FOR COLUMNS) — per-column row count, null count, exact
     NDV, and min/max, the statistics a cost-based optimizer consumes
     for join reordering and the statistics a data-quality monitor
-    diffs between snapshots. One scan, ONE aggregate computes all five
-    columns' stats simultaneously (Spark plans multi-distinct via
-    EXPAND — still map-side partial, never N scans), then the 1-row
-    result unpivots into the (col, stats) catalog shape. Money NDV is
-    over exact cents (repo quantization rule); min/max stringify only
-    exact types (BIGINT, VARCHAR, date-formatted timestamp) — never a
-    raw double repr.
+    diffs between snapshots. Money NDV is over exact cents (repo
+    quantization rule); min/max stringify only exact types (BIGINT,
+    VARCHAR, date-formatted timestamp) — never a raw double repr.
 
-    100 TB shape: exactly the ANALYZE job you'd run nightly — one
-    pass, partial aggregation, EXPAND fan-out ×5 on the map side,
-    output O(columns). Exact NDV at 100 TB would normally drop to HLL
-    (q89's sketch path); the exact two-phase distinct here IS the
+    Plan (r12, VERDICT r11 #2 — replaces the single EXPAND x5
+    multi-distinct aggregate): TWO passes. Pass 1 computes every
+    non-distinct statistic (n, per-column null counts, min/max) in one
+    zero-distinct hash aggregate. Pass 2 computes the five exact NDVs
+    by UNPIVOTING to narrow (cid, value-string) pairs (stack — casts
+    are injective per column type, so string NDV == value NDV), then a
+    two-phase distinct: groupBy(cid, v) with map-side partial dedup,
+    then a 5-row count. The controlled decomposition
+    (tools/decompose_q115.py, sf0.1, 3-rep min, idle host) measured:
+    scan+repartition 0.46 s, pass-1 agg 1.00 s, CURRENT EXPAND x5
+    2.05 s, split EXPAND (distinct-only buffers) 1.78 s, THIS plan
+    1.44 s — the EXPAND tax is real (x5 row replication dragging the
+    22-buffer aggregate state), not a stage floor.
+
+    100 TB shape: exactly the ANALYZE job you'd run nightly. The
+    trade is one extra column-pruned scan (pass 2) for removing the
+    EXPAND's 5x row replication: pass-2 shuffle rows are narrow
+    (int, string) pairs already deduped map-side — strictly less
+    traffic than EXPAND's replicated rows carrying the full aggregate
+    buffer schema — and pass-1 shuffles one partial row per partition.
+    The 5-row NDV relation joins the 5-row unpivoted stats relation
+    with no hint (AQE broadcasts; both sides are O(columns) aggregate
+    outputs). Exact NDV at 100 TB would normally drop to HLL (q89's
+    sketch path); the exact two-phase distinct here IS the
     expensive-but-available option and the oracle gate. The fixture
-    parquet is ONE row group, which would serialize the EXPAND's
-    partial distinct into a single task (r11 bench: 7.1 s → 1.9 s) —
-    repartition first; at cluster scale the source has many splits and
-    this is a no-op."""
+    parquet is ONE row group — repartition first; at cluster scale
+    the source has many splits and this is a no-op."""
     ensure_utc(spark)
     par = spark.sparkContext.defaultParallelism
-    li = load(spark, sf_dir, "lineitem").repartition(par)
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    a = li.agg(
+
+    def base() -> DataFrame:
+        return (
+            load(spark, sf_dir, "lineitem")
+            .repartition(par)
+            .select(
+                "l_orderkey",
+                "l_suppkey",
+                "l_returnflag",
+                "l_extendedprice",
+                "l_shipdate",
+                cents.alias("cents"),
+            )
+        )
+
+    a = base().agg(
         F.count(F.lit(1)).alias("n"),
         F.count("l_orderkey").alias("nn_ok"),
-        F.countDistinct("l_orderkey").alias("ndv_ok"),
         F.min("l_orderkey").cast("string").alias("mn_ok"),
         F.max("l_orderkey").cast("string").alias("mx_ok"),
         F.count("l_suppkey").alias("nn_sk"),
-        F.countDistinct("l_suppkey").alias("ndv_sk"),
         F.min("l_suppkey").cast("string").alias("mn_sk"),
         F.max("l_suppkey").cast("string").alias("mx_sk"),
         F.count("l_returnflag").alias("nn_rf"),
-        F.countDistinct("l_returnflag").alias("ndv_rf"),
         F.min("l_returnflag").alias("mn_rf"),
         F.max("l_returnflag").alias("mx_rf"),
         F.count("l_extendedprice").alias("nn_ep"),
-        F.countDistinct(cents).alias("ndv_ep"),
-        F.min(cents).cast("string").alias("mn_ep"),
-        F.max(cents).cast("string").alias("mx_ep"),
+        F.min("cents").cast("string").alias("mn_ep"),
+        F.max("cents").cast("string").alias("mx_ep"),
         F.count("l_shipdate").alias("nn_sd"),
-        F.countDistinct("l_shipdate").alias("ndv_sd"),
         F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("mn_sd"),
         F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("mx_sd"),
     )
-    return a.selectExpr(
+    stacked = a.selectExpr(
         """stack(5,
-           'l_orderkey',            n - nn_ok, ndv_ok, mn_ok, mx_ok,
-           'l_suppkey',             n - nn_sk, ndv_sk, mn_sk, mx_sk,
-           'l_returnflag',          n - nn_rf, ndv_rf, mn_rf, mx_rf,
-           'l_extendedprice_cents', n - nn_ep, ndv_ep, mn_ep, mx_ep,
-           'l_shipdate',            n - nn_sd, ndv_sd, mn_sd, mx_sd
-         ) AS (col, n_null, ndv, min_s, max_s)""",
+           'l_orderkey',            n - nn_ok, mn_ok, mx_ok,
+           'l_suppkey',             n - nn_sk, mn_sk, mx_sk,
+           'l_returnflag',          n - nn_rf, mn_rf, mx_rf,
+           'l_extendedprice_cents', n - nn_ep, mn_ep, mx_ep,
+           'l_shipdate',            n - nn_sd, mn_sd, mx_sd
+         ) AS (col, n_null, min_s, max_s)""",
         "n",
-    ).select("col", "n", "n_null", "ndv", "min_s", "max_s")
+    )
+    # injective-per-column string encodings: long/date/string casts
+    # never collide within a column, so string NDV == value NDV
+    ndv = (
+        base()
+        .selectExpr(
+            """stack(5,
+               'l_orderkey',            CAST(l_orderkey AS STRING),
+               'l_suppkey',             CAST(l_suppkey AS STRING),
+               'l_returnflag',          l_returnflag,
+               'l_extendedprice_cents', CAST(cents AS STRING),
+               'l_shipdate',            CAST(l_shipdate AS STRING)
+             ) AS (col, v)"""
+        )
+        .where(F.col("v").isNotNull())
+        .groupBy("col", "v")
+        .agg(F.lit(1))
+        .groupBy("col")
+        .agg(F.count(F.lit(1)).cast("long").alias("ndv"))
+    )
+    return (
+        stacked.join(ndv, "col", "left")
+        .select(
+            "col",
+            "n",
+            "n_null",
+            F.coalesce(F.col("ndv"), F.lit(0)).cast("long").alias("ndv"),
+            "min_s",
+            "max_s",
+        )
+    )

@@ -113,6 +113,20 @@ def main() -> int:
     def stage_d_ndv_only():
         return ndv_unpivot(base())
 
+    def stage_e():
+        # EXPAND x5 multi-distinct but with ONLY the 5 distinct buffers
+        # (min/max/count split into the cheap B agg): isolates how much
+        # of C is the 22-buffer agg state riding the x5-replicated rows
+        b = agg_no_distinct(base())
+        ndv = base().agg(
+            F.countDistinct("l_orderkey").alias("ndv_ok"),
+            F.countDistinct("l_suppkey").alias("ndv_sk"),
+            F.countDistinct("l_returnflag").alias("ndv_rf"),
+            F.countDistinct("cents").alias("ndv_ep"),
+            F.countDistinct("l_shipdate").alias("ndv_sd"),
+        )
+        return ndv.crossJoin(F.broadcast(b))
+
     out = {
         "sf_dir": sf_dir,
         "A_scan_repartition": _time(stage_a),
@@ -120,6 +134,7 @@ def main() -> int:
         "C_current_expand_x5": _time(stage_c),
         "D_ndv_unpivot_only": _time(stage_d_ndv_only),
         "D_full_unpivot_plan": _time(stage_d),
+        "E_split_expand_distinct_only": _time(stage_e),
     }
     print(json.dumps(out))
     return 0
