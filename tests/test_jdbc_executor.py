@@ -205,3 +205,116 @@ def test_replay_pet_scenario_into_sqlite_follower(spark, tmp_path):
             "SELECT name, owner, species, sex, birth, last_vaccine FROM pet ORDER BY name"
         ).fetchall()
     assert rows == sorted(PET_GOLDEN)
+
+
+def test_update_delete_storm_follower_equals_spark_apply(spark, tmp_path):
+    """K5 live-follower e2e, UPDATE/DELETE-heavy (r11 VERDICT #4): a
+    deterministic 150-op storm (inserts with duplicate rows and NULLs,
+    then full-row-match updates/deletes, some targeting absent rows)
+    flows BOTH ways from the same parsed events — through the
+    distributed apply kernel (operators/apply.py) AND through
+    render_statements → execute_statements into a real sqlite
+    follower — and the two tables must be multiset-equal. This is the
+    reference's leader==follower equality
+    (cdc-mysql/scripts/mysql-validate-result.sh:70-75) with the Spark
+    materialization standing in for the leader, exercising the
+    renderer's is-NULL full-row WHERE and all-duplicates semantics
+    against a real SQL engine rather than a recording fake."""
+    import json
+    import sqlite3
+
+    from fluvio_demo_apps_rust_spark.codec import parse_events
+    from fluvio_demo_apps_rust_spark.operators.apply import apply_changes
+    from fluvio_demo_apps_rust_spark.sources.event_source import (
+        read_events_from_strings,
+    )
+    from fluvio_demo_apps_rust_spark.streaming.sql_sink import render_statements
+
+    cols = ["k", "v"]
+
+    def cell(x):
+        return "Null" if x is None else {"SignedInteger": x}
+
+    def event(seq, payload, *, query=False):
+        obj = {
+            "uri": "flv://srv/stormdb" + ("" if query else "/t"),
+            "sequence": seq,
+            "bn_file": {"fileName": "binlog.000001", "offset": seq},
+            "operation": payload,
+        }
+        if not query:
+            obj["columns"] = cols
+        return json.dumps(obj)
+
+    x = 424242
+
+    def rnd(n):
+        nonlocal x
+        x = (1103515245 * x + 12345) % (1 << 31)
+        return x % n
+
+    def rand_row():
+        return tuple(None if rnd(5) == 0 else rnd(4) for _ in cols)
+
+    model: list[tuple] = []
+    events = [event(0, {"Query": "CREATE TABLE t (k INT, v INT)"}, query=True)]
+    for seq in range(1, 151):
+        kind = rnd(10)
+        if kind < 3 or not model:  # 30% inserts, 2 rows each
+            rows = [rand_row(), rand_row()]
+            model.extend(rows)
+            payload = {
+                "Add": {"rows": [{"cols": [cell(a), cell(b)]} for a, b in rows]}
+            }
+        elif kind < 7:  # 40% updates (full-row match, all duplicates)
+            before = model[rnd(len(model))] if rnd(5) else rand_row()
+            after = rand_row()
+            while after == before:  # renderer needs >=1 changed column
+                after = rand_row()
+            payload = {
+                "Update": {
+                    "rows": [
+                        {
+                            "before_cols": [cell(before[0]), cell(before[1])],
+                            "after_cols": [cell(after[0]), cell(after[1])],
+                        }
+                    ]
+                }
+            }
+            model = [after if r == before else r for r in model]
+        else:  # 30% deletes (full-row match, all duplicates)
+            target = model[rnd(len(model))] if rnd(5) else rand_row()
+            payload = {
+                "Delete": {"rows": [{"cols": [cell(target[0]), cell(target[1])]}]}
+            }
+            model = [r for r in model if r != target]
+        events.append(event(seq, payload))
+
+    # path A: the distributed apply kernel
+    state = apply_changes(spark, read_events_from_strings(spark, events))
+    spark_rows = sorted(
+        ((r.k, r.v) for r in state.table("stormdb", "t").collect()),
+        key=lambda t: (t[0] is None, t[0], t[1] is None, t[1]),
+    )
+    state.release()
+
+    # path B: rendered SQL executed by a real DB-API follower
+    db = tmp_path / "storm_follower.db"
+    parsed = parse_events(
+        spark.createDataFrame([(s,) for s in events], "value string")
+    )
+    n = execute_statements(render_statements(parsed), SqliteConnect(str(db)))
+    assert n > 100
+    with sqlite3.connect(db) as conn:
+        follower_rows = sorted(
+            conn.execute("SELECT k, v FROM t").fetchall(),
+            key=lambda t: (t[0] is None, t[0], t[1] is None, t[1]),
+        )
+
+    assert follower_rows == spark_rows
+    # the storm must actually exercise the heavy paths: rows survived,
+    # and the model (a third, independent replay) agrees too
+    assert len(spark_rows) > 10
+    assert spark_rows == sorted(
+        model, key=lambda t: (t[0] is None, t[0], t[1] is None, t[1])
+    )
