@@ -104,6 +104,7 @@ _FORWARD: tuple[str, ...] = (
     "q97_rolling_distinct",
     # round-12 additions (locally gated this round, head next round)
     "llm_substring_trim",
+    "q120_visit_spans",
 )
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..operators.intervals import merge_intervals
 from ..session import ensure_utc
 from .base import fround, load, qavg, qsum, register
 
@@ -1856,6 +1857,77 @@ def q119_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("ts").cast("timestamp_ltz").cast("long")
     return interval_coverage(
         ev.select("event_type", t.alias("t")), duration=300, bucket=3600
+    )
+
+
+@register(
+    "q120_visit_spans",
+    tags=("events", "intervals", "sessionize", "window"),
+    oracle="""
+WITH iv AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+  FROM events),
+m AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER wp IS NULL OR s > max(e) OVER wp
+              THEN 1 ELSE 0 END AS ns
+  FROM iv
+  WINDOW wp AS (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+sp AS (
+  SELECT user_id, s, e,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS g
+  FROM m),
+v AS (SELECT user_id, g, min(s) AS s, max(e) AS e
+      FROM sp GROUP BY user_id, g)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_visits,
+       CAST(sum(e - s) AS BIGINT) AS busy_sec,
+       CAST(max(e - s) AS BIGINT) AS longest_sec,
+       CAST(min(s) AS BIGINT) AS first_start,
+       CAST(max(e) AS BIGINT) AS last_end
+FROM v GROUP BY user_id
+""",
+)
+def q120_visit_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGED VISIT SPANS per user — overlap-sessionization: each event
+    opens a 5-minute visit; overlapping-or-touching visits merge into
+    one span, and the per-user report is the span count, total busy
+    seconds, longest span, and observed range. The per-user twin of
+    q119's per-type coverage (which only needs the union LENGTH) and
+    the overlap-based complement of q94/q32's GAP-based sessionization
+    (sessions split on inactivity > threshold; spans split exactly
+    when coverage drops to zero — the semantics differ whenever two
+    events sit closer than the gap but their visit windows disjoint).
+    Exercises operators/intervals.merge_intervals (llm_substring_trim's
+    kernel) in the events domain: the spans are MATERIALIZED, then
+    aggregated.
+
+    All arithmetic is exact epoch-second BIGINTs (floor(epoch) on the
+    oracle side per the repo sub-second rule); duplicate timestamps
+    produce identical intervals whose tie order cannot change the
+    running max, so both engines agree under any tie permutation.
+
+    100 TB shape: one window pass partitioned by user_id (running-max
+    state is O(1) per row; a whale user serializes into one task — the
+    q117 lead()-window class: a skew concern handled by AQE/salting at
+    deployment, not a correctness one; if only union LENGTH is needed
+    at whale scale, q119's bucketed two-phase decomposition is the
+    escape hatch), then one map-side-combinable per-user aggregate."""
+    ev = _events(spark, sf_dir)
+    t = F.col("ts").cast("timestamp_ltz").cast("long")
+    iv = ev.select("user_id", t.alias("s")).select(
+        "user_id", "s", (F.col("s") + 300).alias("e")
+    )
+    spans = merge_intervals(iv, ["user_id"])
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_visits"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("busy_sec"),
+        F.max(F.col("e") - F.col("s")).cast("long").alias("longest_sec"),
+        F.min("s").cast("long").alias("first_start"),
+        F.max("e").cast("long").alias("last_end"),
     )
 
 

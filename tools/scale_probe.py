@@ -180,6 +180,10 @@ QUERIES = [
     # row-local reassembly; probed because the positional shuffle is
     # strictly heavier than the probed llm_substring_dedup's.
     "llm_substring_trim",
+    # r12: overlap-sessionization (merge_intervals in the events
+    # domain) — a per-user running-max window over sf-linear rows;
+    # probed to pin the window pass stays linear.
+    "q120_visit_spans",
 ]
 
 # Every registered query that is NOT probed must appear here with the
