@@ -11,12 +11,19 @@ readiness); a ratio clearly above 10 (beyond host noise) is a
 superlinear plan — a quadratic join, a densifying window — and a bug
 against the scale posture, worth a plan audit.
 
-Usage: python tools/scale_probe.py  (~4 min; run on an otherwise idle
-host — co-tenant load swings wall times ±50%)
+Usage:
+  python tools/scale_probe.py                 # full probe (~25 min)
+  python tools/scale_probe.py name [name ...] # incremental: probe only
+        the given QUERIES names, merge into the stored results
+        (docs/scaling_probe_results.json), regenerate SCALING.md.
+        Requires a prior full run so every other row has a result.
+
+Run on an otherwise idle host — co-tenant load swings wall times ±50%.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 from pathlib import Path
@@ -184,6 +191,12 @@ QUERIES = [
     # domain) — a per-user running-max window over sf-linear rows;
     # probed to pin the window pass stays linear.
     "q120_visit_spans",
+    # r12 (VERDICT r11 #6): bench heavies promoted out of the
+    # relational exemption — the bucketed-write+exchange-free-join
+    # fixture and the rebuilt two-pass column-stats plan get their own
+    # probe rows.
+    "q112_bucketed_join",
+    "q115_column_stats",
 ]
 
 # Every registered query that is NOT probed must appear here with the
@@ -303,8 +316,6 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "q85_rfm_segmentation",
             "q104_skew_profile",
             "q111_decimal_pricing",
-            "q112_bucketed_join",
-            "q115_column_stats",
         ],
     ),
     (
@@ -549,12 +560,34 @@ def coverage_errors() -> list[str]:
     return errs
 
 
+RESULTS = Path(__file__).resolve().parent.parent / "docs" / "scaling_probe_results.json"
+
+
 def main() -> int:
     errs = coverage_errors()
     if errs:
         for e in errs:
             print(f"COVERAGE ERROR: {e}")
         return 1
+    subset = sys.argv[1:]
+    bad = [n for n in subset if n not in QUERIES]
+    if bad:
+        print(f"ERROR: not in QUERIES (probe list): {bad}")
+        return 1
+    prior: dict[str, dict[str, float]] = {}
+    if RESULTS.exists():
+        prior = {
+            k: v for k, v in json.loads(RESULTS.read_text()).items() if k in QUERIES
+        }
+    if subset:
+        missing = [n for n in QUERIES if n not in prior and n not in subset]
+        if missing:
+            print(
+                "ERROR: incremental mode needs a stored result for every "
+                f"other QUERIES name; missing {len(missing)}: {missing[:5]}... "
+                "— run a full probe first."
+            )
+            return 1
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).count()
@@ -563,14 +596,16 @@ def main() -> int:
         lambda it: (pdf for pdf in it), schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    results: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    results: dict[str, dict[str, float]] = dict(prior) if subset else {}
+    for name in subset or QUERIES:
         results[name] = {}
         for sf in SFS:
             sf_dir = f"/root/testdata/sf{sf}"
             t = min(_time_once(spark, name, sf_dir) for _ in range(2))
             results[name][sf] = t
             print(f"{name} sf{sf}: {t:.3f}s", flush=True)
+    results = {n: results[n] for n in QUERIES if n in results}
+    RESULTS.write_text(json.dumps(results, indent=1) + "\n")
 
     lines = [
         "# Scaling probe (local[32], min of 2 runs per point)\n",
