@@ -148,6 +148,17 @@ BENCH_QUERIES = [
     "llm_priority_sample",
     "llm_allpairs_prefix_join",
     "q99_stream_outer_join",
+    # late round-12 additions: the 5 heaviest probed-but-unbenched rows
+    # per docs/scaling_probe_results.json (chained streaming agg,
+    # span-trim materialization, held-out BPE apply, stream-static
+    # enrichment over the sf-linear events stream, negative-value
+    # histogram median). Totals before these exclude them (78-query
+    # list), compare per-query/per-family.
+    "q100_stream_chained_agg",
+    "llm_substring_trim",
+    "llm_tokenizer_heldout",
+    "q103_stream_static_enrich",
+    "q105_negative_median",
 ]
 
 # Per-family subtotals so cross-round regressions (CDC vs dedup vs ANN)
@@ -231,6 +242,11 @@ FAMILY = {
     "llm_priority_sample": "curation",
     "llm_allpairs_prefix_join": "dedup",
     "q99_stream_outer_join": "events",
+    "q100_stream_chained_agg": "events",
+    "llm_substring_trim": "dedup",
+    "llm_tokenizer_heldout": "text",
+    "q103_stream_static_enrich": "events",
+    "q105_negative_median": "mining",
 }
 
 
