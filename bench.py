@@ -149,14 +149,18 @@ BENCH_QUERIES = [
     "llm_allpairs_prefix_join",
     "q99_stream_outer_join",
     # late round-12 additions: the 5 heaviest probed-but-unbenched rows
-    # per docs/scaling_probe_results.json (chained streaming agg,
-    # span-trim materialization, held-out BPE apply, stream-static
-    # enrichment over the sf-linear events stream, negative-value
-    # histogram median). Totals before these exclude them (78-query
-    # list), compare per-query/per-family.
+    # per docs/scaling_probe_results.json with non-recursive oracles
+    # (chained streaming agg, span-trim materialization, cross-source
+    # dedup transfer, stream-static enrichment over the sf-linear
+    # events stream, negative-value histogram median).
+    # llm_tokenizer_heldout was considered and REJECTED: its oracle is
+    # the ~700 s recursive-CTE BPE class the honest subtotal already
+    # excludes — benching it would balloon every oracle run for a row
+    # the convention ignores. Totals before these exclude the five
+    # (78-query list), compare per-query/per-family.
     "q100_stream_chained_agg",
     "llm_substring_trim",
-    "llm_tokenizer_heldout",
+    "llm_crossdedup_transfer",
     "q103_stream_static_enrich",
     "q105_negative_median",
 ]
@@ -244,7 +248,7 @@ FAMILY = {
     "q99_stream_outer_join": "events",
     "q100_stream_chained_agg": "events",
     "llm_substring_trim": "dedup",
-    "llm_tokenizer_heldout": "text",
+    "llm_crossdedup_transfer": "dedup",
     "q103_stream_static_enrich": "events",
     "q105_negative_median": "mining",
 }
