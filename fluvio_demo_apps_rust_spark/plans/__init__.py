@@ -94,6 +94,26 @@ _PRIORITY: tuple[str, ...] = (
 # they cannot displace a stale name past the sample boundary; they get
 # the full local gate this round and rotate into the head next round.
 # Unlike _PRIORITY, missing names here are skipped, not fatal.
+#
+# ROUND-13 HEAD RECIPE (mechanical): the 7 _FORWARD names below, then
+# 43 of the 50 r8-stale names alphabetically (last driver row r8:
+# cdc_binlog_replay, llm_ann_ivf, llm_ann_ivf_pq, llm_ann_lsh,
+# llm_ann_pq, llm_ann_pq_recall, llm_ann_recall, llm_ann_topk,
+# llm_bm25_topk, llm_bpe_merge_counts, llm_c4_clean, llm_chunk_dedup,
+# llm_containment_dedup, llm_contamination, llm_countmin_heavyhitters,
+# llm_curation_pipeline, llm_dedup_clusters, llm_dedup_fuzzy_verify,
+# llm_dedup_ngram_jaccard, llm_doc_chunking, llm_doc_repetition,
+# llm_domain_mixture, llm_dsir_importance, llm_embedding_neardup,
+# llm_fingerprint, llm_gopher_rules, llm_incremental_dedup,
+# llm_kmeans, llm_langid, llm_line_boilerplate,
+# llm_minhash_jaccard_est, llm_minhash_lsh_pairs,
+# llm_minhash_signature, llm_pii_scrub, llm_pretrain_prep,
+# llm_semdedup, llm_sequence_pack, llm_simhash_pairs,
+# llm_stratified_sample, llm_surprise_buckets, llm_text_quality,
+# llm_tfidf_topterms, llm_token_stats [→ head cutoff after 43],
+# remainder (llm_unigram_surprise, llm_url_dedup,
+# q70_stream_interval_join, q77_ts_similarity, q82_kmv_distinct,
+# q87_ams_join_size, q88_kmv_setops) leads the r13 _FORWARD.
 _FORWARD: tuple[str, ...] = (
     # the 5 r7-stale names that didn't fit the r12 head — lead the
     # r13 head with these
