@@ -16,77 +16,78 @@ from . import llm  # noqa: F401
 from . import advanced  # noqa: F401
 from . import mining  # noqa: F401
 
-# Driver-sampling rotation — ROUND 12 ACTIVE. The correctness driver
+# Driver-sampling rotation — ROUND 13 ACTIVE. The correctness driver
 # samples the FIRST ~50 registered queries; rounds 1-3 sampled the
 # relational/events/cdc prefix, r4 the llm/mining/sketch rotation,
 # r5 the staged never-sampled set, r6 the never-driver-green 14, r7
 # the 41 r1-3-stale names, r8 llm_url_dedup + 49 r4-stale, r9 the 16
 # r8 _FORWARD names + 34 r5-stale, r10 the 16 r9 additions + 5
 # r5-stale + 29 r6-stale, r11 the 37 r10-continuation additions + 13
-# r6-stale (50/50 green — cumulative 251/255 sampled, all green).
-# This head is VERDICT r11 task #1: lead with q99_stream_outer_join
-# (the pinned slot-51 promise from r11; its last driver row is r6 —
-# the single oldest name in the registry), then the 4 round-11
-# additions that have never had a driver row, then 45 of the 50
-# r7-stale names (alphabetical) — 1 + 4 + 45 = the 50-query sample
-# EXACTLY. A green r12 sample closes cumulative driver coverage at
-# 255/255. The 5 r7-stale names that didn't fit lead _FORWARD
-# (slots 51-55); new round-12 queries land after them.
+# r6-stale, r12 q99 + the 4 r11 additions + 45 r7-stale (50/50 green —
+# cumulative 255/257 sampled, all green). This head is VERDICT r12
+# task #1 / the committed r12 recipe (7a14e43): lead with the 7 r12
+# _FORWARD names (5 r7-stale leftovers + the 2 round-12 additions
+# llm_substring_trim / q120_visit_spans — the ONLY names without a
+# driver row), then 43 of the 50 r8-stale names alphabetically —
+# 7 + 43 = the 50-query sample EXACTLY. A green r13 sample closes
+# cumulative driver coverage at 257/257. The 7 r8-stale names that
+# didn't fit lead _FORWARD (slots 51-57); new round-13 queries land
+# after them.
 _PRIORITY: tuple[str, ...] = (
-    # the pinned slot-51 promise — oldest driver row in the registry (r6)
-    "q99_stream_outer_join",
-    # the 4 round-11 additions — never driver-sampled; MUST get their
-    # first CORRECTNESS row this round (closes coverage at 255/255)
-    "q119_interval_coverage",
-    "cdc_changelog_compaction",
-    "llm_priority_sample",
-    "llm_allpairs_prefix_join",
-    # 45 of the 50 r7-stale names (alphabetical)
-    "cdc_binlog_geometry",
-    "cdc_binlog_typed_replay",
-    "cdc_replica_join",
-    "cdc_scd2_asof",
-    "cdc_stream_stats",
-    "llm_bigram_lm",
-    "llm_dedup_exact",
-    "llm_incremental_minhash",
-    "llm_simhash",
-    "llm_source_overlap",
-    "llm_substring_dedup",
-    "q01_pricing_summary",
-    "q03_top_revenue_orders",
-    "q04_semi_join",
-    "q06_revenue_delta",
-    "q07_anti_join",
-    "q08_left_join_agg",
-    "q09_having",
-    "q10_set_ops",
-    "q11_topk_per_group",
-    "q12_running_total",
-    "q13_lag_gap",
-    "q14_rollup",
-    "q15_cube",
-    "q16_grouping_sets",
-    "q17_global_topk",
-    "q18_distinct_count",
-    "q19_scalar_funcs",
-    "q20_case_agg",
-    "q22_order_lineitem_stats",
-    "q23_datetime_funcs",
-    "q30_events_tumbling",
-    "q31_events_sliding",
-    "q32_events_session",
-    "q33_events_dedup",
-    "q34_events_json_props",
-    "q35_events_rate",
-    "q36_events_gapfill",
-    "q37_stream_windowed",
-    "q38_stream_dedup",
-    "q39_stream_late_data",
-    "q71_events_funnel",
-    "q72_events_cohort",
-    "q73_stream_session",
-    "q74_stream_stateful",
+    # the 5 r7-stale leftovers from the r12 _FORWARD
+    "q75_events_anomaly",
+    "q76_events_transitions",
+    "q78_trajectory_similarity",
+    "q94_sessionization",
+    "q97_rolling_distinct",
+    # the 2 round-12 additions — never driver-sampled; MUST get their
+    # first CORRECTNESS row this round (closes coverage at 257/257)
+    "llm_substring_trim",
+    "q120_visit_spans",
+    # 43 of the 50 r8-stale names (alphabetical)
+    "cdc_binlog_replay",
+    "llm_ann_ivf",
+    "llm_ann_ivf_pq",
+    "llm_ann_lsh",
+    "llm_ann_pq",
+    "llm_ann_pq_recall",
+    "llm_ann_recall",
+    "llm_ann_topk",
+    "llm_bm25_topk",
+    "llm_bpe_merge_counts",
+    "llm_c4_clean",
+    "llm_chunk_dedup",
+    "llm_containment_dedup",
+    "llm_contamination",
+    "llm_countmin_heavyhitters",
+    "llm_curation_pipeline",
+    "llm_dedup_clusters",
+    "llm_dedup_fuzzy_verify",
+    "llm_dedup_ngram_jaccard",
+    "llm_doc_chunking",
+    "llm_doc_repetition",
+    "llm_domain_mixture",
+    "llm_dsir_importance",
+    "llm_embedding_neardup",
+    "llm_fingerprint",
+    "llm_gopher_rules",
+    "llm_incremental_dedup",
+    "llm_kmeans",
+    "llm_langid",
+    "llm_line_boilerplate",
+    "llm_minhash_jaccard_est",
+    "llm_minhash_lsh_pairs",
+    "llm_minhash_signature",
+    "llm_pii_scrub",
+    "llm_pretrain_prep",
+    "llm_semdedup",
+    "llm_sequence_pack",
+    "llm_simhash_pairs",
+    "llm_stratified_sample",
+    "llm_surprise_buckets",
+    "llm_text_quality",
+    "llm_tfidf_topterms",
+    "llm_token_stats",
 )
 
 # Names of queries EXPECTED to be registered later this round. They
@@ -95,36 +96,20 @@ _PRIORITY: tuple[str, ...] = (
 # the full local gate this round and rotate into the head next round.
 # Unlike _PRIORITY, missing names here are skipped, not fatal.
 #
-# ROUND-13 HEAD RECIPE (mechanical): the 7 _FORWARD names below, then
-# 43 of the 50 r8-stale names alphabetically (last driver row r8:
-# cdc_binlog_replay, llm_ann_ivf, llm_ann_ivf_pq, llm_ann_lsh,
-# llm_ann_pq, llm_ann_pq_recall, llm_ann_recall, llm_ann_topk,
-# llm_bm25_topk, llm_bpe_merge_counts, llm_c4_clean, llm_chunk_dedup,
-# llm_containment_dedup, llm_contamination, llm_countmin_heavyhitters,
-# llm_curation_pipeline, llm_dedup_clusters, llm_dedup_fuzzy_verify,
-# llm_dedup_ngram_jaccard, llm_doc_chunking, llm_doc_repetition,
-# llm_domain_mixture, llm_dsir_importance, llm_embedding_neardup,
-# llm_fingerprint, llm_gopher_rules, llm_incremental_dedup,
-# llm_kmeans, llm_langid, llm_line_boilerplate,
-# llm_minhash_jaccard_est, llm_minhash_lsh_pairs,
-# llm_minhash_signature, llm_pii_scrub, llm_pretrain_prep,
-# llm_semdedup, llm_sequence_pack, llm_simhash_pairs,
-# llm_stratified_sample, llm_surprise_buckets, llm_text_quality,
-# llm_tfidf_topterms, llm_token_stats [→ head cutoff after 43],
-# remainder (llm_unigram_surprise, llm_url_dedup,
-# q70_stream_interval_join, q77_ts_similarity, q82_kmv_distinct,
-# q87_ams_join_size, q88_kmv_setops) leads the r13 _FORWARD.
+# ROUND-14 HEAD RECIPE (mechanical): the 7 _FORWARD names below
+# (the r8-stale remainder that didn't fit the r13 head), then fill
+# to 50 with the oldest-driver-row names at that point (the r9-stale
+# families), alphabetical. New round-13 queries land after the 7.
 _FORWARD: tuple[str, ...] = (
-    # the 5 r7-stale names that didn't fit the r12 head — lead the
-    # r13 head with these
-    "q75_events_anomaly",
-    "q76_events_transitions",
-    "q78_trajectory_similarity",
-    "q94_sessionization",
-    "q97_rolling_distinct",
-    # round-12 additions (locally gated this round, head next round)
-    "llm_substring_trim",
-    "q120_visit_spans",
+    # the 7 r8-stale names that didn't fit the r13 head — lead the
+    # r14 head with these
+    "llm_unigram_surprise",
+    "llm_url_dedup",
+    "q70_stream_interval_join",
+    "q77_ts_similarity",
+    "q82_kmv_distinct",
+    "q87_ams_join_size",
+    "q88_kmv_setops",
 )
 
 
