@@ -163,6 +163,34 @@ BENCH_QUERIES = [
     "llm_crossdedup_transfer",
     "q103_stream_static_enrich",
     "q105_negative_median",
+    # round 13 additions (r12 verdict #3): every remaining probed row
+    # with a non-recursive oracle, heaviest first per
+    # docs/scaling_probe_results.json, plus the three r12-named
+    # candidates (q96 stream count-min, winnow pair join, containment
+    # dedup). llm_tokenizer_heldout / llm_bpe_encode_ids /
+    # llm_greedy_pack_audit stay REJECTED: their oracles are the
+    # recursive-CTE class the honest subtotal excludes. The two media
+    # decode rows (wav/png) are real stdlib decodes vs closed-form
+    # oracles — same not-apples-to-apples caveat as the other media
+    # rows in BASELINE.md. Totals before r13 exclude these 17
+    # (83-query list), compare per-query/per-family.
+    "q95_bloom_semijoin",
+    "q83_graph_triangles",
+    "llm_decontam_ngram_overlap",
+    "llm_bigram_lm",
+    "q69_skew_salted_join",
+    "llm_wav_decode",
+    "llm_png_decode",
+    "llm_event_sequences",
+    "llm_random_projection",
+    "llm_dedup_audit",
+    "q102_grouped_median",
+    "llm_html_extract",
+    "q43_rank_family",
+    "q97_rolling_distinct",
+    "q96_stream_countmin",
+    "llm_winnow_pairs",
+    "llm_containment_dedup",
 ]
 
 # Per-family subtotals so cross-round regressions (CDC vs dedup vs ANN)
@@ -251,6 +279,23 @@ FAMILY = {
     "llm_crossdedup_transfer": "dedup",
     "q103_stream_static_enrich": "events",
     "q105_negative_median": "mining",
+    "q95_bloom_semijoin": "relational",
+    "q83_graph_triangles": "mining",
+    "llm_decontam_ngram_overlap": "curation",
+    "llm_bigram_lm": "text",
+    "q69_skew_salted_join": "relational",
+    "llm_wav_decode": "multimodal",
+    "llm_png_decode": "multimodal",
+    "llm_event_sequences": "events",
+    "llm_random_projection": "ann",
+    "llm_dedup_audit": "dedup",
+    "q102_grouped_median": "mining",
+    "llm_html_extract": "curation",
+    "q43_rank_family": "relational",
+    "q97_rolling_distinct": "events",
+    "q96_stream_countmin": "events",
+    "llm_winnow_pairs": "dedup",
+    "llm_containment_dedup": "dedup",
 }
 
 

@@ -763,7 +763,10 @@ def bpe_spaced_state(words: "DataFrame") -> "DataFrame":
 
 
 def bpe_train(
-    state: "DataFrame", gens: int = BPE_GENS, per_gen: int = BPE_PER_GEN
+    state: "DataFrame",
+    gens: int = BPE_GENS,
+    per_gen: int = BPE_PER_GEN,
+    min_count: int = 1,
 ) -> tuple["DataFrame", list[tuple[str, str]]]:
     """Train ``gens`` generations of ``per_gen`` merges over a spaced
     state (w, c, s) and return (state-with-merges-applied, merge list
@@ -781,7 +784,22 @@ def bpe_train(
     barrier every later pass re-ran all earlier generations' replace
     chains from the raw scan (the cross-branch-re-execution trap,
     README plan-audit #8); the checkpointed relation is vocabulary-
-    sized."""
+    sized.
+
+    ``min_count`` is the 100 TB-posture bound on the TRAINING relation
+    (r12 VERDICT): "vocabulary-sized" is Heaps-law sublinear but can
+    still reach billions of distinct words on raw web text, so real
+    tokenizer trainers floor the word-frequency table (HuggingFace
+    tokenizers ``min_frequency``, SentencePiece hard vocab caps).
+    Words with c < min_count are excluded from every generation's pair
+    aggregation — bounding its input to the frequent vocabulary whose
+    size a corpus owner controls — but merges still APPLY to the full
+    state, so tokenization covers every word. The default (1) is the
+    exact uncapped path the fixture oracles pin; at fixture scale a
+    small floor is additionally a measured no-op on the learned merges
+    because top-``per_gen`` pairs are dominated by frequent words
+    (pinned by tests/test_llm_functions.py::test_bpe_min_count_floor).
+    """
     merges: list[tuple[str, str]] = []
     # entry barrier: the initial state's lineage is the corpus-wide
     # word explode + frequency aggregate — materialize it once so
@@ -791,7 +809,8 @@ def bpe_train(
     for _ in range(gens):
         # LET-bind the token array (README plan-audit: no CSE inside
         # higher-order lambdas) before building adjacent pairs.
-        st = state.select("c", F.split(F.trim("s"), " ").alias("ts"))
+        train_src = state if min_count <= 1 else state.where(F.col("c") >= min_count)
+        st = train_src.select("c", F.split(F.trim("s"), " ").alias("ts"))
         pairs = (
             st.where(F.size("ts") >= 2)
             .select(

@@ -42,6 +42,16 @@ def merge_intervals(
     ones).
     """
     keys = list(keys)
+    # Shared-kernel hygiene (r12 ADVICE): the sweep introduces _ns and
+    # emits span_id/s/e — silently overwriting a caller column of the
+    # same name would corrupt the result, so refuse loudly instead.
+    reserved = {"_ns", "span_id"} | ({"s", "e"} - {start, end})
+    clashes = sorted(reserved & set(df.columns))
+    if clashes:
+        raise ValueError(
+            f"merge_intervals reserves column names {clashes}; rename or "
+            f"drop them (input columns: {df.columns})"
+        )
     order = Window.partitionBy(*keys).orderBy(start, end)
     prev = order.rowsBetween(Window.unboundedPreceding, -1)
     run_end = F.max(end).over(prev)

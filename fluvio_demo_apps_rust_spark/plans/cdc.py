@@ -443,7 +443,14 @@ def cdc_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # the memory sink holds the materialized rows; the source dir
+        # can go as soon as the availableNow run drains (r12 VERDICT)
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
     return spark.sql(
         f"SELECT db, table, n_events, n_rows, max_sequence FROM {name}"
     )

@@ -337,7 +337,14 @@ def q37_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # the memory sink holds the materialized rows; the source dir
+        # can go as soon as the availableNow run drains (r12 VERDICT)
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
     return spark.sql(
         f"SELECT CAST(window_start AS STRING) AS window_start, event_type, cnt, "
         f"total_value FROM {name}"
@@ -396,7 +403,14 @@ def q38_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # the memory sink holds the materialized rows; the source dir
+        # can go as soon as the availableNow run drains (r12 VERDICT)
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
     return spark.sql(
         f"SELECT event_id, CAST(ts AS STRING) AS ts, user_id, event_type "
         f"FROM {name} ORDER BY event_id, ts"
@@ -514,7 +528,14 @@ def q39_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # the memory sink holds the materialized rows; the source dir
+        # can go as soon as the availableNow run drains (r12 VERDICT)
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
     return spark.sql(
         f"SELECT CAST(window_start AS STRING) AS window_start, event_type, cnt, "
         f"total_value FROM {name}"
@@ -599,7 +620,14 @@ def q70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # the memory sink holds the materialized rows; the source dir
+        # can go as soon as the availableNow run drains (r12 VERDICT)
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
     return spark.sql(
         f"SELECT imp_id, click_id, user_id, delta_min FROM {name}"
     )
@@ -771,7 +799,14 @@ def q73_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # the memory sink holds the materialized rows; the source dir
+        # can go as soon as the availableNow run drains (r12 VERDICT)
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
     return spark.sql(
         f"SELECT CAST(session_start AS STRING) AS session_start, user_id, "
         f"n_events, session_value FROM {name}"
@@ -842,7 +877,14 @@ def q74_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # the memory sink holds the materialized rows; the source dir
+        # can go as soon as the availableNow run drains (r12 VERDICT)
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
     # update mode emits one row per key per microbatch; the final state
     # per key is the row with the largest (monotone) n_events.
     return spark.sql(
@@ -1286,6 +1328,11 @@ def q99_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # the memory sink holds the materialized rows; the fixture dir
+        # can go as soon as the availableNow run drains (r12 VERDICT)
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
     return spark.sql(
         f"SELECT imp_id, click_id, user_id, delta_min FROM {name} "
         f"WHERE imp_id < 1000"
@@ -1398,6 +1445,11 @@ def q100_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # the memory sink holds the materialized rows; the fixture dir
+        # can go as soon as the availableNow run drains (r12 VERDICT)
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
     return spark.sql(
         f"SELECT window_start, n_users, total_events, max_user_events, total_value "
         f"FROM {name}"

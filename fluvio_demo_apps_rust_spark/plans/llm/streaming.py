@@ -112,7 +112,14 @@ def llm_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # the memory sink holds the materialized rows; the source dir
+        # can go as soon as the availableNow run drains (r12 VERDICT)
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
     return spark.sql(f"SELECT doc_id, content_hash FROM {name}")
 
 

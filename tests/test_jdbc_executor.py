@@ -184,7 +184,7 @@ def test_replay_pet_scenario_into_sqlite_follower(spark, tmp_path):
     scenario's rendered statements replayed through replay_log_jdbc
     into sqlite must leave the follower table equal to PET_GOLDEN —
     the reference's leader==follower check
-    (cdc-mysql/scripts/mysql-validate-result.sh:70-75) with sqlite
+    (cdc-mysql/scripts/helpers/mysql-validate-result.sh:70-75) with sqlite
     standing in for the follower MySQL."""
     import sqlite3
 
@@ -216,7 +216,7 @@ def test_update_delete_storm_follower_equals_spark_apply(spark, tmp_path):
     render_statements → execute_statements into a real sqlite
     follower — and the two tables must be multiset-equal. This is the
     reference's leader==follower equality
-    (cdc-mysql/scripts/mysql-validate-result.sh:70-75) with the Spark
+    (cdc-mysql/scripts/helpers/mysql-validate-result.sh:70-75) with the Spark
     materialization standing in for the leader, exercising the
     renderer's is-NULL full-row WHERE and all-duplicates semantics
     against a real SQL engine rather than a recording fake."""

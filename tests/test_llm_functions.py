@@ -554,6 +554,59 @@ def test_bpe_arrow_apply_matches_jvm_chain(spark):
     assert any(len(t) > 2 for s in jvm.values() for t in s.split(" "))
 
 
+def test_bpe_min_count_floor(spark):
+    """The 100 TB-posture training bound (r12 VERDICT): bpe_train's
+    min_count floors the word-frequency relation feeding every
+    generation's pair aggregation.
+
+    (a) Fixture no-op, pinned: the sf0.001 documents vocabulary has
+        zero words below c=2 (template-generated, closed vocab), so a
+        small floor learns the IDENTICAL merge list — the oracle-gated
+        BPE queries are unaffected by the capped path existing.
+    (b) The bound is real: on a corpus where one rare (c=1) word would
+        otherwise dominate pair counts, min_count=2 excludes it from
+        TRAINING (its pair never becomes a merge) while the learned
+        merges still APPLY to the full state, so the rare word is
+        still tokenized by the frequent-vocab rules."""
+    from fluvio_demo_apps_rust_spark.functions.text import (
+        bpe_spaced_state,
+        bpe_train,
+    )
+    from fluvio_demo_apps_rust_spark.plans.base import load
+
+    # (a) fixture-scale no-op
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    wx = d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")).where(
+        F.length("w") >= 1
+    )
+    fixture_words = wx.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    assert fixture_words.where(F.col("c") < 2).count() == 0
+    _, base_merges = bpe_train(bpe_spaced_state(fixture_words), gens=2, per_gen=4)
+    _, floored_merges = bpe_train(
+        bpe_spaced_state(fixture_words), gens=2, per_gen=4, min_count=2
+    )
+    assert floored_merges == base_merges
+
+    # (b) the floor genuinely bounds training input
+    words = spark.createDataFrame(
+        # 'zq' appears in ONE rare word with weight 1 but tops the
+        # unfloored pair count via 95 z-q adjacencies (> the 90
+        # c-weighted a-b pairs); every frequent word avoids that pair.
+        [("zq" * 95, 1), ("ab", 50), ("abc", 40)],
+        "w string, c long",
+    )
+    _, unfloored = bpe_train(bpe_spaced_state(words), gens=1, per_gen=1)
+    state2, floored = bpe_train(bpe_spaced_state(words), gens=1, per_gen=1, min_count=2)
+    assert unfloored == [("z", "q")]  # the rare word dominates untrained
+    assert floored == [("a", "b")]  # floored training never sees it
+    tokenized = {r.w: r.s.strip() for r in state2.collect()}
+    # merges still APPLY to the rare word (here: no 'ab' inside it, so
+    # it stays fully split — but it IS present in the returned state)
+    assert tokenized["zq" * 95] == " ".join("zq" * 95)
+    assert tokenized["ab"] == "ab"
+    assert tokenized["abc"] == "ab c"
+
+
 def _py_bpe_reference(word_counts, gens, per_gen):
     """Pure-Python reference of the batched-generation BPE in
     functions/text.bpe_train: spaced-state strings, per-generation

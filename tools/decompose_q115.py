@@ -108,7 +108,10 @@ def main() -> int:
     def stage_d():
         b = agg_no_distinct(base())
         ndv = ndv_unpivot(base())
-        return ndv.crossJoin(F.broadcast(b))
+        # no broadcast hint: AQE sizes the 1-row aggregate at runtime
+        # (the plans/ lint forbids hinting over sf-linear scans; keep the
+        # measurement tool free of the pattern too — r12 ADVICE)
+        return ndv.crossJoin(b)
 
     def stage_d_ndv_only():
         return ndv_unpivot(base())
@@ -125,7 +128,10 @@ def main() -> int:
             F.countDistinct("cents").alias("ndv_ep"),
             F.countDistinct("l_shipdate").alias("ndv_sd"),
         )
-        return ndv.crossJoin(F.broadcast(b))
+        # no broadcast hint: AQE sizes the 1-row aggregate at runtime
+        # (the plans/ lint forbids hinting over sf-linear scans; keep the
+        # measurement tool free of the pattern too — r12 ADVICE)
+        return ndv.crossJoin(b)
 
     out = {
         "sf_dir": sf_dir,

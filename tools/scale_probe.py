@@ -546,6 +546,22 @@ def _time_once(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+# One EXTRA ×10 decade for the pair-join dedup family (r12 VERDICT #6):
+# these are the only queries whose cost is genuinely data-dependent
+# (candidate growth follows the near-duplicate / shingle-frequency
+# structure), so they get a 4th point on the synthetic ~sf1 documents
+# fixture from tools/probe_fixture.py (50k docs, Heaps-law vocabulary —
+# see that module's docstring for why a closed-vocab ×10 would measure
+# vocabulary saturation, not plan scaling). Stored under the "1syn" key
+# and rendered as two extra columns for exactly these rows.
+DECADE = [
+    "llm_allpairs_prefix_join",
+    "llm_substring_dedup",
+    "llm_substring_trim",
+    "llm_source_overlap",
+]
+
+
 def coverage_errors() -> list[str]:
     """Non-empty iff the QUERIES/EXEMPT partition of the registry is
     broken (unclassified, stale, or doubly-classified names)."""
@@ -604,6 +620,16 @@ def main() -> int:
             t = min(_time_once(spark, name, sf_dir) for _ in range(2))
             results[name][sf] = t
             print(f"{name} sf{sf}: {t:.3f}s", flush=True)
+    # the extra ×10 decade for the pair-join family (synthetic fixture)
+    decade_names = [n for n in DECADE if n in (subset or QUERIES)]
+    if decade_names:
+        from tools.probe_fixture import generate as _gen_decade_fixture
+
+        syn_dir = str(_gen_decade_fixture())
+        for name in decade_names:
+            t = min(_time_once(spark, name, syn_dir) for _ in range(2))
+            results[name]["1syn"] = t
+            print(f"{name} sf1syn: {t:.3f}s", flush=True)
     results = {n: results[n] for n in QUERIES if n in results}
     RESULTS.write_text(json.dumps(results, indent=1) + "\n")
 
@@ -613,15 +639,20 @@ def main() -> int:
         "should cost ≤ ×10 wall time; see the tool docstring for how to",
         "read the growth ratios (≪10 = overhead-dominated, ≈10 = linear",
         "compute-bound, >10 = superlinear plan bug).\n",
-        "| query | sf0.001 (s) | sf0.01 (s) | sf0.1 (s) | ×(.01/.001) | ×(.1/.01) |",
-        "|---|---|---|---|---|---|",
+        "| query | sf0.001 (s) | sf0.01 (s) | sf0.1 (s) | ×(.01/.001) | ×(.1/.01) | sf1syn (s) | ×(1syn/.1) |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for name, ts in results.items():
         g1 = ts["0.01"] / ts["0.001"] if ts["0.001"] else float("nan")
         g2 = ts["0.1"] / ts["0.01"] if ts["0.01"] else float("nan")
+        if "1syn" in ts:
+            g3 = ts["1syn"] / ts["0.1"] if ts["0.1"] else float("nan")
+            extra = f" {ts['1syn']:.3f} | {g3:.1f} |"
+        else:
+            extra = " — | — |"
         lines.append(
             f"| {name} | {ts['0.001']:.3f} | {ts['0.01']:.3f} | {ts['0.1']:.3f} "
-            f"| {g1:.1f} | {g2:.1f} |"
+            f"| {g1:.1f} | {g2:.1f} |{extra}"
         )
     worst = max(
         (ts["0.1"] / ts["0.01"] for ts in results.values() if ts["0.01"]),
@@ -631,6 +662,22 @@ def main() -> int:
         f"\nWorst ×10-step growth this run: **{worst:.1f}×** "
         "(≤10 ⇒ no superlinear plan in the probed set)."
     )
+    decade_done = [n for n in DECADE if "1syn" in results.get(n, {})]
+    if decade_done:
+        worst3 = max(
+            results[n]["1syn"] / results[n]["0.1"]
+            for n in decade_done
+            if results[n].get("0.1")
+        )
+        lines.append(
+            "\nThe `sf1syn` column is the EXTRA ×10 decade for the pair-join "
+            "dedup family only, measured on the synthetic 50k-doc Heaps-law "
+            "fixture from `tools/probe_fixture.py` (see its docstring: a "
+            "closed-vocab ×10 of the driver fixture would measure vocabulary "
+            "saturation — sum(shingle-freq²) grows ×100 by construction — "
+            "not plan scaling). Worst pair-family ×10 step on that decade: "
+            f"**{worst3:.1f}×**."
+        )
     lines.append(STANDING_NOTES)
     lines.append(
         f"### Exemptions ({len(EXEMPT)} queries, by reason)\n"
