@@ -172,10 +172,18 @@ BENCH_QUERIES = [
     # recursive-CTE class the honest subtotal excludes. The two media
     # decode rows (wav/png) are real stdlib decodes vs closed-form
     # oracles — same not-apples-to-apples caveat as the other media
-    # rows in BASELINE.md. Totals before r13 exclude these 17
+    # rows in BASELINE.md. Totals before r13 exclude these 18
     # (83-query list), compare per-query/per-family.
     "q95_bloom_semijoin",
-    "q83_graph_triangles",
+    # q83_graph_triangles was next by probe weight but is REJECTED for
+    # the same reason as the BPE rows: its DuckDB oracle (two-hop
+    # self-join without Spark's degree-ordered orientation) costs 255 s
+    # at sf0.1 — benching it would balloon every oracle run for a row
+    # the honest subtotal would have to exclude anyway. The two next
+    # probed rows (llm_shard_manifest, llm_udf_tokenize_arrow) take its
+    # slot.
+    "llm_shard_manifest",
+    "llm_udf_tokenize_arrow",
     "llm_decontam_ngram_overlap",
     "llm_bigram_lm",
     "q69_skew_salted_join",
@@ -280,7 +288,8 @@ FAMILY = {
     "q103_stream_static_enrich": "events",
     "q105_negative_median": "mining",
     "q95_bloom_semijoin": "relational",
-    "q83_graph_triangles": "mining",
+    "llm_shard_manifest": "curation",
+    "llm_udf_tokenize_arrow": "text",
     "llm_decontam_ngram_overlap": "curation",
     "llm_bigram_lm": "text",
     "q69_skew_salted_join": "relational",

@@ -110,6 +110,11 @@ _FORWARD: tuple[str, ...] = (
     "q82_kmv_distinct",
     "q87_ams_join_size",
     "q88_kmv_setops",
+    # round-13 additions (locally gated this round, head next round)
+    "llm_paragraph_dedup",
+    "llm_ann_multiprobe",
+    "q122_attribution",
+    "q121_stream_full_outer",
 )
 
 

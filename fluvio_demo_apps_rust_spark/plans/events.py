@@ -2074,3 +2074,233 @@ def interval_coverage(
     return cov.groupBy("event_type").agg(
         F.sum("cv").cast("long").alias("covered_sec")
     )
+
+
+@register(
+    "q122_attribution",
+    tags=("events", "attribution", "join", "window"),
+    oracle="""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS cts
+  FROM events WHERE event_type = 'purchase'),
+touch AS (
+  SELECT event_id AS touch_id, user_id, ts AS tts, event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')),
+j AS (
+  SELECT c.conv_id, t.touch_id, t.touch_type, t.tts,
+         count(*) OVER (PARTITION BY c.conv_id) AS n,
+         row_number() OVER (PARTITION BY c.conv_id ORDER BY t.tts, t.touch_id) AS rn_asc,
+         row_number() OVER (PARTITION BY c.conv_id ORDER BY t.tts DESC, t.touch_id DESC) AS rn_desc
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.tts <= c.cts
+   AND t.tts > c.cts - INTERVAL '1 hour')
+SELECT touch_type,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(1000000 // n) AS BIGINT) AS linear_credit_ppm,
+       CAST(sum(CASE WHEN rn_asc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+       CAST(sum(CASE WHEN rn_desc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last
+FROM j
+GROUP BY touch_type
+""",
+)
+def q122_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TOUCH ATTRIBUTION — the marketing-analytics join every
+    event warehouse runs: for each conversion (purchase), find the
+    user's preceding view/click touches inside a 1-hour lookback and
+    split credit three ways at once: LINEAR (each touch gets 1/n of
+    the conversion, exact integer ppm — 1000000 DIV n, so engines
+    can't diverge on fractional credit), FIRST-touch and LAST-touch
+    (per-conversion rank endpoints, (ts, event_id) tiebreak).
+    Aggregated per touch type: touch volume, summed linear credit,
+    first/last counts.
+
+    100 TB shape: the conversion-touch pairing is a per-user equi-join
+    with a bounded time-range predicate — state per user is rate x
+    lookback, never corpus-sized; the credit windows partition by
+    conversion id (group size = touches per conversion, bounded by
+    per-user event rate x 1 hour); the final rollup is a 2-row
+    aggregate. No timestamps are emitted (rank/count/ppm integers
+    only), so TIMESTAMP_NTZ comparison semantics match DuckDB naive
+    timestamps exactly."""
+    e = load(spark, sf_dir, "events")
+    conv = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    touch = e.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = conv.join(
+        touch,
+        (F.col("tu") == F.col("cu"))
+        & (F.col("tts") <= F.col("cts"))
+        & (F.col("tts") > F.col("cts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    w_n = Window.partitionBy("conv_id")
+    w_asc = Window.partitionBy("conv_id").orderBy(F.asc("tts"), F.asc("touch_id"))
+    w_desc = Window.partitionBy("conv_id").orderBy(F.desc("tts"), F.desc("touch_id"))
+    r = (
+        j.withColumn("n", F.count(F.lit(1)).over(w_n))
+        .withColumn("rn_asc", F.row_number().over(w_asc))
+        .withColumn("rn_desc", F.row_number().over(w_desc))
+    )
+    return r.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum(F.expr("1000000 DIV n")).cast("long").alias("linear_credit_ppm"),
+        F.sum(F.when(F.col("rn_asc") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_first"),
+        F.sum(F.when(F.col("rn_desc") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_last"),
+    )
+
+
+@register(
+    "q121_stream_full_outer",
+    tags=("events", "streaming", "join", "watermark", "outer"),
+    # q99's two-stream fixture plus BOTH negative spaces: un-clicked
+    # impressions (left outer rows) AND orphan clicks from a user with
+    # no impressions at all (right outer rows) — the full-outer
+    # attribution ledger. Same flush-sentinel construction drives the
+    # min-of-sources watermark so every outer verdict is decided
+    # in-stream; sentinels are filtered from the output.
+    oracle="""
+WITH i AS (SELECT unnest(generate_series(0, 99)) AS n),
+imp AS (SELECT n AS imp_id,
+               TIMESTAMP '2024-01-01 00:00:00' + n * INTERVAL '1 minute' AS ts,
+               CAST(n % 5 AS BIGINT) AS user_id
+        FROM i),
+o AS (SELECT unnest(generate_series(0, 9)) AS j),
+clk AS (SELECT 1000 + n AS click_id,
+               TIMESTAMP '2024-01-01 00:00:00'
+               + (n + (n % 15)) * INTERVAL '1 minute' AS ts,
+               CAST(n % 5 AS BIGINT) AS user_id
+        FROM i
+        UNION ALL
+        SELECT 1500 + j,
+               TIMESTAMP '2024-01-01 00:00:00' + (30 + 6 * j) * INTERVAL '1 minute',
+               CAST(7 AS BIGINT)
+        FROM o)
+SELECT imp.imp_id, clk.click_id,
+       COALESCE(imp.user_id, clk.user_id) AS user_id,
+       CAST((epoch(clk.ts) - epoch(imp.ts)) / 60 AS BIGINT) AS delta_min
+FROM imp FULL JOIN clk
+  ON imp.user_id = clk.user_id
+ AND clk.ts >= imp.ts
+ AND clk.ts <= imp.ts + INTERVAL '10 minutes'
+""",
+)
+def q121_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — q99's left-outer
+    attribution ledger completed with the RIGHT outer space: clicks
+    that never found an impression (here a user with no impressions at
+    all — bot traffic, lost exposure logs) emit with NULL impression
+    columns once the watermark passes their match horizon. Both outer
+    directions are watermark-eviction products crossing microbatch
+    boundaries, not end-of-input flushes: Structured Streaming emits a
+    left-outer row when the watermark passes l.ts + horizon and a
+    right-outer row when no future left row could match r.ts. The
+    deterministic fixture makes the drained stream equal the batch
+    FULL JOIN the oracle runs.
+
+    State partitioning is set to 4 FOR THIS FIXTURE (restored after
+    the drain — README finding #18, same as q99/q100): 216 wire events
+    across >= 6 microbatches make 32-way state stores pure scheduling
+    overhead; the join semantics under test are partition-count
+    independent."""
+    import os
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from ..streaming.analytics import interval_join
+
+    base = Path(tempfile.mkdtemp(prefix="q121_stream_"))
+    imp_dir, clk_dir = base / "imp", base / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    imps, clks = [], []
+    for n in range(100):
+        h, m = divmod(n, 60)
+        imps.append(
+            f'{{"imp_id": {n}, "ts": "2024-01-01 {h:02d}:{m:02d}:00", '
+            f'"user_id": {n % 5}}}'
+        )
+        cm = n + (n % 15)
+        ch, cmm = divmod(cm, 60)
+        clks.append(
+            f'{{"click_id": {1000 + n}, "ts": "2024-01-01 {ch:02d}:{cmm:02d}:00", '
+            f'"user_id": {n % 5}}}'
+        )
+    for j in range(10):  # orphan clicks: user 7 has no impressions
+        om = 30 + 6 * j
+        oh, omm = divmod(om, 60)
+        clks.append(
+            f'{{"click_id": {1500 + j}, "ts": "2024-01-01 {oh:02d}:{omm:02d}:00", '
+            f'"user_id": 7}}'
+        )
+    files = []
+    for d, name, lines in ((imp_dir, "f1.jsonl", imps), (clk_dir, "f1.jsonl", clks)):
+        p = d / name
+        p.write_text("\n".join(lines) + "\n")
+        files.append((p, 1_700_000_000))
+    for k, minute in ((2, 600), (3, 1200)):
+        h, m = divmod(minute, 60)
+        pi = imp_dir / f"f{k}.jsonl"
+        pi.write_text(
+            f'{{"imp_id": {9000 + k}, "ts": "2024-01-01 {h:02d}:{m:02d}:00", '
+            f'"user_id": {9000 + k}}}\n'
+        )
+        pc = clk_dir / f"f{k}.jsonl"
+        pc.write_text(
+            f'{{"click_id": {9900 + k}, "ts": "2024-01-01 {h:02d}:{m:02d}:00", '
+            f'"user_id": {9500 + k}}}\n'
+        )
+        files += [(pi, 1_700_000_000 + 100 * k), (pc, 1_700_000_000 + 100 * k)]
+    for p, ts in files:
+        os.utime(p, (ts, ts))
+    left = spark.readStream.schema("imp_id long, ts timestamp, user_id long").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(imp_dir))
+    right = spark.readStream.schema(
+        "click_id long, ts timestamp, user_id long"
+    ).option("maxFilesPerTrigger", 1).json(str(clk_dir))
+    joined = interval_join(
+        left, right, horizon="10 minutes", watermark="1 minute", how="fullOuter"
+    ).select(
+        F.col("imp_id"),
+        F.col("click_id"),
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+        ((F.col("r.ts").cast("long") - F.col("l.ts").cast("long")) / 60)
+        .cast("long")
+        .alias("delta_min"),
+    )
+    name = "q121_stream_" + uuid.uuid4().hex[:8]
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # the memory sink holds the materialized rows; the fixture dir
+        # can go as soon as the availableNow run drains
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.sql(
+        f"SELECT imp_id, click_id, user_id, delta_min FROM {name} "
+        f"WHERE (imp_id < 1000 OR imp_id IS NULL) "
+        f"AND (click_id < 9000 OR click_id IS NULL)"
+    )

@@ -659,3 +659,99 @@ def llm_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(rr_micro) DIV count(1)").cast("long").alias("mrr_micro")
     )
     return per.crossJoin(F.broadcast(tot))
+
+
+@register(
+    "llm_ann_multiprobe",
+    tags=("llm", "similarity", "ann", "lsh", "multiprobe"),
+    oracle=f"""
+WITH n AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
+                  {_lsh_sig_sql('embedding')} AS bucket
+           FROM embeddings),
+q0 AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, bucket AS qb
+       FROM n WHERE vec_id < 10),
+probes AS (
+  SELECT q_id, qv, qn,
+         CASE WHEN j = 0 THEN qb
+              ELSE substr(qb, 1, j - 1)
+                   || (CASE WHEN substr(qb, j, 1) = '1' THEN '0' ELSE '1' END)
+                   || substr(qb, j + 1, 8 - j)
+         END AS bucket
+  FROM q0, unnest(generate_series(0, 8)) AS u(j)),
+scored AS (
+  SELECT q_id, n.vec_id AS n_id,
+         floor(({_dot_sql('qv', 'n.embedding')} / (qn * n.nrm)) * 1000000 + 0.5) / 1000000.0 AS cos_sim
+  FROM n JOIN probes USING (bucket)
+  WHERE n.vec_id <> q_id)
+SELECT q_id, n_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+""",
+)
+def llm_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE LSH ANN (Lv et al., VLDB 2007): the recall lever
+    that does NOT require more hash tables. Single-probe LSH
+    (llm_ann_lsh) misses any true neighbor whose signature differs
+    from the query's in even one hyperplane bit; multi-probe also
+    visits every bucket at Hamming distance 1 (flip each of the 8
+    signature bits), so the candidate set covers all 9 buckets a
+    near-miss most likely fell into — in production this replaces
+    building 9 separate tables, cutting index memory 9x for the same
+    recall. Candidates stay bucket-keyed (a corpus vector lives in
+    exactly ONE bucket, so the 9 probe keys never produce duplicate
+    candidates); exact cosine rescoring + top-5 per query is identical
+    to the single-probe path — same output shape, strictly wider
+    candidate set, the recall delta visible as rows llm_ann_lsh's
+    result lacks.
+
+    100 TB shape: the probe-side fan-out is 9 rows per QUERY (query-
+    set-sized, never corpus-sized); the join stays a bucket-keyed
+    equi-join against the one-entry-per-vector index — no cross
+    product, no extra corpus shuffle vs single-probe."""
+    e = load(spark, sf_dir, "embeddings")
+    sig = S.lsh_signature("embedding", 8, 64)
+    n = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_vec"),
+        S.norm("embedding").alias("n_norm"),
+        sig.alias("bucket"),
+    )
+    q0 = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        S.norm("embedding").alias("q_norm"),
+        sig.alias("qb"),
+    )
+    probes = q0.select(
+        "q_id",
+        "q_vec",
+        "q_norm",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 8), j -> CASE WHEN j = 0 THEN qb "
+                "ELSE concat(substring(qb, 1, j - 1), "
+                "CASE WHEN substring(qb, j, 1) = '1' THEN '0' ELSE '1' END, "
+                "substring(qb, j + 1, 8 - j)) END)"
+            )
+        ).alias("bucket"),
+    )
+    # same bounded-by-construction broadcast as similarity.lsh_bucketed_topk:
+    # the probe side is <= 9 x 10 rows (constant-predicate query set)
+    scored = (
+        n.join(F.broadcast(probes), "bucket")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            S.fl6(
+                S.dot("q_vec", "n_vec") / (F.col("q_norm") * F.col("n_norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )

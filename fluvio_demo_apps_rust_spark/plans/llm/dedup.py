@@ -2241,3 +2241,93 @@ def llm_allpairs_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jac_permille") >= 600)
     )
     return out.select("a", "b", "inter", "uni", "jac_permille")
+
+
+@register(
+    "llm_paragraph_dedup",
+    tags=("llm", "dedup", "curation", "paragraph"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+c AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(tk[(i * 12 + 1):least((i + 1) * 12, len(tk))], ' ') AS chunk
+  FROM t, unnest(range(0, CAST(ceil(len(tk) / 12.0) AS BIGINT))) AS u(i)),
+f AS (SELECT chunk, count(*) AS c FROM c GROUP BY chunk),
+kept AS (SELECT c.doc_id, c.pos, c.chunk FROM c JOIN f USING (chunk) WHERE f.c = 1),
+re AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_digest
+  FROM kept GROUP BY doc_id),
+nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM c GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(nc.n_chunks, 0) AS n_chunks,
+       COALESCE(nc.n_chunks, 0) - COALESCE(re.n_kept, 0) AS n_dropped,
+       COALESCE(re.clean_digest, md5('')) AS clean_digest
+FROM documents d
+LEFT JOIN nc USING (doc_id)
+LEFT JOIN re USING (doc_id)
+""",
+)
+def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-LEVEL dedup, the CCNet stage (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): split every document into paragraphs, drop every paragraph
+    whose exact text occurs more than once ANYWHERE in the corpus
+    (boilerplate, navigation, licence blocks — CCNet removes ~70% of
+    raw Common Crawl this way), and reassemble each document from its
+    surviving paragraphs in original order. The fixture text has no
+    newline structure, so fixed 12-token windows stand in for
+    paragraphs — the operator shape (chunk explode -> corpus-wide
+    exact-count -> keep singletons -> ORDERED per-doc reassembly) is
+    exactly CCNet's; only the splitter is a stand-in. Output per doc:
+    chunk count, dropped count, and an md5 digest of the reassembled
+    text — the digest pins the exact surviving byte sequence, so the
+    oracle verifies the reassembly ORDER, not just counts. Docs whose
+    every chunk is duplicated (e.g. exact-dup documents) reassemble to
+    the empty string (digest md5('')), mirrored via LEFT JOIN +
+    coalesce on both engines.
+
+    100 TB shape: one corpus-wide hash aggregate on the chunk text
+    (map-side combinable), one equi-join back on the chunk key, and a
+    per-doc ordered fold whose group size is bounded by DOCUMENT
+    length, never corpus size. No pair joins anywhere; this is the
+    cheap exact-text complement the MinHash/AllPairs family runs
+    after."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", TX.tokens("text").alias("tk"))
+    c = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, CAST(ceil(size(tk) / 12.0) AS INT) - 1), "
+                "i -> array_join(slice(tk, i * 12 + 1, 12), ' '))"
+            )
+        ).alias("pos", "chunk"),
+    )
+    f = c.groupBy("chunk").agg(F.count(F.lit(1)).alias("c"))
+    kept = c.join(f.where(F.col("c") == 1), "chunk").select("doc_id", "pos", "chunk")
+    re = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, chunk))), x -> x.chunk)"
+                ),
+                " ",
+            )
+        ).alias("clean_digest"),
+    )
+    nc = c.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
+    return (
+        d.select("doc_id")
+        .join(nc, "doc_id", "left")
+        .join(re, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            (F.coalesce("n_chunks", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce("clean_digest", F.md5(F.lit(""))).alias("clean_digest"),
+        )
+    )

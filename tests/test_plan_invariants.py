@@ -107,6 +107,7 @@ _BROADCAST_ALLOW = {
     ("llm_ann_mrr", "embeddings"),
     ("llm_hard_negatives", "embeddings"),
     ("llm_hard_negatives_lsh", "embeddings"),
+    ("llm_ann_multiprobe", "embeddings"),
     # decontamination benchmark: a fixed held-out suite in reality,
     # faked here as every-50th document's shingle set
     ("llm_contamination", "documents"),

@@ -40,6 +40,9 @@ def main() -> int:
         )
     times: dict[str, object] = {}
     for name in BENCH_QUERIES:
+        # progress to stderr (stdout stays one parseable JSON line):
+        # a pathological oracle is findable without killing the run
+        print(name, file=sys.stderr, flush=True)
         sql = REGISTRY[name].oracle
         if not sql:
             times[name] = {"err": "no oracle"}

@@ -197,6 +197,15 @@ QUERIES = [
     # probe rows.
     "q112_bucketed_join",
     "q115_column_stats",
+    # r13: CCNet paragraph dedup — chunk explode + corpus-wide exact
+    # count + ORDERED per-doc reassembly (a new fold shape: the ordered
+    # collect_list group is doc-length-bounded but rides a second
+    # shuffle); probed to pin the reassembly stays linear. And the
+    # attribution range join — per-user bounded time-window fan-out
+    # with three per-conversion windows; probed because the fan-out is
+    # the one data-dependent term.
+    "llm_paragraph_dedup",
+    "q122_attribution",
 ]
 
 # Every registered query that is NOT probed must appear here with the
@@ -250,6 +259,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "q91_stream_hll",
             "q96_stream_countmin",
             "q99_stream_outer_join",
+            "q121_stream_full_outer",
             "llm_stream_incremental_dedup",
             "llm_stream_quality_monitor",
             "q106_stream_web_frontier",
@@ -454,6 +464,7 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_embedding_neardup",
             "llm_hard_negatives",
             "llm_embedding_sq8",
+            "llm_ann_multiprobe",
         ],
     ),
     (
