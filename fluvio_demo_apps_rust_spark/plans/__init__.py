@@ -115,6 +115,8 @@ _FORWARD: tuple[str, ...] = (
     "llm_ann_multiprobe",
     "q122_attribution",
     "q121_stream_full_outer",
+    "llm_bloom_dedup",
+    "q123_retention_triangle",
 )
 
 

@@ -2304,3 +2304,68 @@ def q121_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WHERE (imp_id < 1000 OR imp_id IS NULL) "
         f"AND (click_id < 9000 OR click_id IS NULL)"
     )
+
+
+@register(
+    "q123_retention_triangle",
+    tags=("events", "retention", "cohort", "agg"),
+    oracle="""
+WITH w AS (SELECT user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+           FROM events),
+c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY user_id),
+sz AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_n
+       FROM c GROUP BY cohort_wk),
+act AS (SELECT DISTINCT c.cohort_wk, w.wk - c.cohort_wk AS offset_wk,
+                        w.user_id
+        FROM w JOIN c USING (user_id)),
+r AS (SELECT cohort_wk, offset_wk, CAST(count(*) AS BIGINT) AS active
+      FROM act GROUP BY cohort_wk, offset_wk)
+SELECT r.cohort_wk, r.offset_wk, r.active, sz.cohort_n,
+       CAST((r.active * 1000) // sz.cohort_n AS BIGINT) AS retained_permille
+FROM r JOIN sz USING (cohort_wk)
+""",
+)
+def q123_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION TRIANGLE — the cohort-retention matrix every product
+    warehouse computes: assign each user to the epoch-week of their
+    FIRST event (the cohort), then for every (cohort week, week offset)
+    count the distinct users still active and express it as integer
+    permille of the cohort's size. Offset 0 is 1000 by construction;
+    the triangle's decay profile per cohort is the headline product
+    metric. Weeks are integer epoch-week numbers (epoch DIV 604800) —
+    Spark's timestamp->long cast truncates and DuckDB's
+    CAST(floor(epoch(ts)) AS BIGINT) floors, identical for positive
+    epochs (README; the q119 off-by-one-second lesson).
+
+    100 TB shape: one per-user min aggregate (map-side combinable, one
+    shuffle on user_id), the activity relation reuses the same user_id
+    partitioning for its join + distinct (cohort_wk, offset_wk,
+    user_id) aggregate, and the final permille join is against the
+    cohort-count relation whose size is the number of WEEKS in the
+    corpus — constant for any fixed retention horizon. No windows, no
+    timestamps emitted."""
+    e = _events(spark, sf_dir)
+    w = e.select(
+        "user_id",
+        F.expr("CAST(ts AS TIMESTAMP_LTZ)").cast("long").alias("sec"),
+    ).select("user_id", F.expr("sec DIV 604800").alias("wk"))
+    c = w.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sz = c.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_n")
+    )
+    act = (
+        w.join(c, "user_id")
+        .select("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"), "user_id")
+        .distinct()
+    )
+    r = act.groupBy("cohort_wk", "offset_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("active")
+    )
+    return r.join(sz, "cohort_wk").select(
+        "cohort_wk",
+        "offset_wk",
+        "active",
+        "cohort_n",
+        F.expr("(active * 1000) DIV cohort_n").cast("long").alias("retained_permille"),
+    )

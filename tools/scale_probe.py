@@ -348,6 +348,10 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "q113_partition_pruned_scan",
             "q114_schema_evolution",
             "q117_time_weighted_avg",
+            # r13: per-user min agg + distinct (cohort, offset, user) —
+            # the probed q94/q30 scan + keyed-agg kernels; the permille
+            # join is weeks-count-sized
+            "q123_retention_triangle",
         ],
     ),
     (
@@ -368,6 +372,9 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "q92_hll_setops",
             "q93_hll_rollup",
             "q98_approx_percentile",
+            # r13: the Bloom bitmap is a fixed-size (m/60-row) mergeable
+            # bit_or sketch; probe and ground-truth joins track the scan
+            "llm_bloom_dedup",
         ],
     ),
     (
