@@ -117,6 +117,8 @@ _FORWARD: tuple[str, ...] = (
     "q121_stream_full_outer",
     "llm_bloom_dedup",
     "q123_retention_triangle",
+    "llm_minhash_bbit",
+    "llm_perplexity_buckets",
 )
 
 

@@ -18,6 +18,7 @@ plans/canonical_order.ORDER, not by import order below.
 
 from . import common  # noqa: F401
 from . import dedup  # noqa: F401
+from . import sketch  # noqa: F401
 from . import text  # noqa: F401
 from . import ann  # noqa: F401
 from . import multimodal  # noqa: F401

@@ -2331,122 +2331,3 @@ def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("clean_digest", F.md5(F.lit(""))).alias("clean_digest"),
         )
     )
-
-
-@register(
-    "llm_bloom_dedup",
-    tags=("llm", "dedup", "sketch", "bloom"),
-    oracle="""
-WITH pos AS (
-  SELECT doc_id, doc_id % 2 = 0 AS in_snap,
-         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || text), 1, 15))::BIGINT
-           % 65536 AS pos
-  FROM documents, unnest(generate_series(0, 2)) AS u(j)),
-bloom AS (
-  SELECT pos // 60 AS widx,
-         bit_or(CAST(1 AS BIGINT) << CAST(pos % 60 AS INTEGER)) AS word
-  FROM pos WHERE in_snap GROUP BY pos // 60),
-fill AS (SELECT CAST(sum(bit_count(word)) AS BIGINT) AS bits_set FROM bloom),
-hits AS (
-  SELECT p.doc_id,
-         bool_and(COALESCE(
-           (b.word & (CAST(1 AS BIGINT) << CAST(p.pos % 60 AS INTEGER))) <> 0,
-           false)) AS member
-  FROM pos p LEFT JOIN bloom b ON b.widx = p.pos // 60
-  GROUP BY p.doc_id),
-truth AS (
-  SELECT d.doc_id,
-         d.text IN (SELECT text FROM documents WHERE doc_id % 2 = 0) AS is_member
-  FROM documents d),
-v AS (
-  SELECT CASE WHEN h.member AND t.is_member THEN 'hit_true'
-              WHEN h.member THEN 'hit_fp'
-              ELSE 'miss' END AS status
-  FROM hits h JOIN truth t USING (doc_id))
-SELECT status, CAST(count(*) AS BIGINT) AS n, fill.bits_set
-FROM v, fill GROUP BY status, fill.bits_set
-""",
-)
-def llm_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BLOOM-FILTER membership dedup — the Dolma pipeline's exact-dedup
-    primitive (Soldaini et al. 2024 use a Bloom filter, not a hash
-    join, to dedup 3T tokens in bounded memory): insert every SNAPSHOT
-    document (here the even doc_ids) into an m-bit Bloom filter
-    (m = 65536, k = 3 md5-derived hash functions), then probe EVERY
-    document and classify the verdicts against exact ground truth:
-    ``hit_true`` (in snapshot, correctly flagged), ``hit_fp`` (Bloom
-    false positive — the price of constant memory), ``miss`` (genuinely
-    new; Bloom filters have NO false negatives, so a miss needs no
-    verification). The filter is materialized as bit-packed BIGINT
-    words of 60 bits each (shift <= 59 keeps 1 << b in signed-64 range
-    on BOTH engines — DuckDB throws on 1 << 63) built with a bit_or
-    aggregate; ``bits_set`` (the fill level that determines the FP
-    rate, here via bit_count) rides along so the oracle pins the exact
-    bitmap, not just the verdict counts.
-
-    100 TB shape: the filter is a FIXED-SIZE mergeable sketch — the
-    bit_or aggregate is map-side combinable and yields m/60 rows
-    regardless of corpus size (a real deployment sizes m ~ 10 bits per
-    expected document and shards the filter by hash prefix; m is a
-    workload parameter, not data-derived). Probing is an equi-join
-    against the bitmap-sized relation (AQE broadcasts it at runtime —
-    no hint, per the no-forced-broadcast rule); the ground-truth join
-    is the one corpus-keyed shuffle and exists only for the quality
-    audit, not the production path."""
-    d = load(spark, sf_dir, "documents")
-    pos = d.select(
-        "doc_id",
-        (F.col("doc_id") % 2 == 0).alias("in_snap"),
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 2), j -> "
-                "CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', text)), "
-                "1, 15), 16, 10) AS BIGINT) % 65536)"
-            )
-        ).alias("pos"),
-    )
-    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 60 AS INT))")
-    bloom = (
-        pos.where("in_snap")
-        .select(F.expr("pos DIV 60").alias("widx"), mask.alias("mask"))
-        .groupBy("widx")
-        .agg(F.expr("bit_or(mask)").alias("word"))
-    )
-    fill = bloom.agg(
-        F.sum(F.bit_count("word")).cast("long").alias("bits_set")
-    )
-    probe = pos.select("doc_id", F.expr("pos DIV 60").alias("widx"), mask.alias("mask"))
-    hits = (
-        probe.join(bloom, "widx", "left")
-        .select(
-            "doc_id",
-            F.coalesce(
-                F.col("word").bitwiseAND(F.col("mask")) != 0, F.lit(False)
-            ).alias("hit"),
-        )
-        .groupBy("doc_id")
-        .agg(F.expr("bool_and(hit)").alias("member"))
-    )
-    snap_t = (
-        d.where(F.col("doc_id") % 2 == 0)
-        .select("text")
-        .distinct()
-        .withColumn("m", F.lit(1))
-    )
-    truth = (
-        d.select("doc_id", "text")
-        .join(snap_t, "text", "left")
-        .select("doc_id", F.col("m").isNotNull().alias("is_member"))
-    )
-    v = hits.join(truth, "doc_id").select(
-        F.when(F.col("member") & F.col("is_member"), F.lit("hit_true"))
-        .when(F.col("member"), F.lit("hit_fp"))
-        .otherwise(F.lit("miss"))
-        .alias("status")
-    )
-    # 1-row fill aggregate: unhinted crossJoin, AQE broadcasts at runtime
-    return (
-        v.groupBy("status")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .crossJoin(fill)
-    )

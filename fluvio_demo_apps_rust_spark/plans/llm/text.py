@@ -2088,3 +2088,139 @@ def llm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0)).cast("long").alias("n_uni"),
         )
     )
+
+
+@register(
+    "llm_perplexity_buckets",
+    tags=("llm", "text", "quality", "lm", "ccnet"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bgs AS (
+  SELECT doc_id,
+         unnest([struct_pack(u := t[i], v := t[i+1])
+                 for i in generate_series(1, len(t) - 1)]) AS bg
+  FROM t WHERE len(t) >= 2),
+b AS (SELECT doc_id, bg.u AS u, bg.v AS v FROM bgs),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS w FROM t) GROUP BY w),
+tot AS (SELECT sum(c)::DOUBLE AS tot FROM uni),
+c2 AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY u, v),
+scored AS (
+  SELECT b.doc_id,
+         CAST(floor(
+           -log2(0.9 * (c2.c2 / cu.c::DOUBLE) + 0.1 * (cv.c / tot.tot))
+           * 1000000000.0 + 0.5) AS BIGINT) AS nlog
+  FROM b
+  JOIN c2 USING (u, v)
+  JOIN uni cu ON cu.w = b.u
+  JOIN uni cv ON cv.w = b.v
+  CROSS JOIN tot),
+perdoc AS (
+  SELECT d.lang, s.doc_id,
+         CAST(floor(sum(s.nlog) / CAST(count(*) AS DOUBLE) / 100000.0 + 0.5)
+              AS BIGINT) AS score_e4
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  GROUP BY d.lang, s.doc_id),
+hist AS (SELECT lang, score_e4, CAST(count(*) AS BIGINT) AS c
+         FROM perdoc GROUP BY lang, score_e4),
+cum AS (
+  SELECT lang, score_e4, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY score_e4) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist),
+th AS (
+  SELECT lang,
+         min(CASE WHEN cum * 3 >= n THEN score_e4 END) AS t1,
+         min(CASE WHEN cum * 3 >= 2 * n THEN score_e4 END) AS t2
+  FROM cum GROUP BY lang)
+SELECT p.lang,
+       CASE WHEN p.score_e4 <= th.t1 THEN 'head'
+            WHEN p.score_e4 <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.score_e4) AS BIGINT) AS sum_score_e4,
+       CAST(min(p.score_e4) AS BIGINT) AS min_score_e4,
+       CAST(max(p.score_e4) AS BIGINT) AS max_score_e4
+FROM perdoc p JOIN th USING (lang)
+GROUP BY p.lang, bucket
+""",
+)
+def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet PERPLEXITY BUCKETING (Wenzek et al. 2020 §4.3) — the
+    quality-tiering stage CCNet runs after dedup: score every document
+    with the language's LM (here the corpus bigram-LM surprise from
+    llm_bigram_lm, bits-per-bigram), then split each language into
+    HEAD / MIDDLE / TAIL thirds by perplexity — head feeds the model,
+    tail gets dropped, middle is kept for ablations. This is the
+    PER-LANGUAGE face of the banding that llm_surprise_buckets applies
+    globally with a unigram score: CCNet trains one LM per language
+    and cuts within each language (so "easy" languages don't absorb
+    the whole head), and the order-aware bigram score resists the
+    word-salad inflation the unigram filter misses. Thresholds are
+    VALUE cuts selected from the quantized score histogram (smallest
+    score whose cumulative count reaches 1/3 and 2/3 of the language),
+    so tied documents always land in the same bucket — deterministic
+    without any per-doc rank. Emits the per-(lang, bucket) ledger:
+    doc count and exact sum/min/max of the e4-quantized scores (the
+    sum pins every member's score, not just the counts).
+
+    Cross-engine note: the per-bigram score is the nano-quantized
+    BIGINT from llm_bigram_lm (same 1-ulp log2 residual class,
+    documented there); the bucketing itself is exact integer
+    arithmetic on the quantized values.
+
+    100 TB shape: scoring is the llm_bigram_lm kernel (vocabulary-
+    keyed joins, no window); the cumulative threshold pass runs over
+    the (lang, score_e4) HISTOGRAM — value-domain-bounded, the q101
+    exact-selection pattern, never a corpus-scale rank; docs then
+    bucket via an equi-join against the |langs|-row threshold table
+    (AQE broadcasts it at runtime)."""
+    d = load(spark, sf_dir, "documents")
+    scored = TX.bigram_surprise(d)
+    perdoc = (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "lang",
+            "doc_id",
+            F.floor(F.col("bits_per_bigram") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("score_e4"),
+        )
+    )
+    hist = perdoc.groupBy("lang", "score_e4").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("score_e4")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = Window.partitionBy("lang")
+    cum = hist.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_n)
+    )
+    th = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("score_e4"))).alias("t1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("score_e4"))
+        ).alias("t2"),
+    )
+    return (
+        perdoc.join(th, "lang")
+        .select(
+            "lang",
+            F.when(F.col("score_e4") <= F.col("t1"), F.lit("head"))
+            .when(F.col("score_e4") <= F.col("t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+            "score_e4",
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("score_e4").cast("long").alias("sum_score_e4"),
+            F.min("score_e4").cast("long").alias("min_score_e4"),
+            F.max("score_e4").cast("long").alias("max_score_e4"),
+        )
+    )

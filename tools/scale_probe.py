@@ -417,6 +417,9 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_dedup_clusters",
             "llm_dedup_keep_best",
             "llm_fingerprint",
+            # r13: llm_minhash_jaccard_est with a % 16 per component —
+            # same banded candidates and signature re-join
+            "llm_minhash_bbit",
         ],
     ),
     (
@@ -437,6 +440,9 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "llm_token_stats",
             "llm_pii_scrub",
             "llm_surprise_buckets",
+            # r13: the probed llm_bigram_lm kernel + a value-histogram
+            # threshold pass (q101 selection pattern, domain-bounded)
+            "llm_perplexity_buckets",
             "llm_unigram_surprise",
             "llm_dsir_importance",
             "llm_tfidf_topterms",
