@@ -199,11 +199,33 @@ BENCH_QUERIES = [
     "q96_stream_countmin",
     "llm_winnow_pairs",
     "llm_containment_dedup",
+    # late round-13 additions: the 8 queries registered this round
+    # (same convention as r12's late additions — new surface gets a
+    # priced row the round it lands). q121_stream_full_outer is the
+    # q99 streaming-machinery-floor class (sub-ms batch oracle), the
+    # rest have real denominators. Totals before these exclude the
+    # eight (101-query list), compare per-query/per-family.
+    "llm_paragraph_dedup",
+    "llm_ann_multiprobe",
+    "q122_attribution",
+    "q121_stream_full_outer",
+    "llm_bloom_dedup",
+    "q123_retention_triangle",
+    "llm_minhash_bbit",
+    "llm_perplexity_buckets",
 ]
 
 # Per-family subtotals so cross-round regressions (CDC vs dedup vs ANN)
 # are visible straight from BENCH_r{N}.json.
 FAMILY = {
+    "llm_paragraph_dedup": "dedup",
+    "llm_ann_multiprobe": "ann",
+    "q122_attribution": "events",
+    "q121_stream_full_outer": "events",
+    "llm_bloom_dedup": "dedup",
+    "q123_retention_triangle": "events",
+    "llm_minhash_bbit": "dedup",
+    "llm_perplexity_buckets": "text",
     "q01_pricing_summary": "relational",
     "q03_top_revenue_orders": "relational",
     "q05_nation_volume": "relational",
