@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "q123_retention_triangle",
     "llm_minhash_bbit",
     "llm_perplexity_buckets",
+    "q124_regression_stats",
 ]
 
 # Per-family subtotals so cross-round regressions (CDC vs dedup vs ANN)
@@ -226,6 +227,7 @@ FAMILY = {
     "q123_retention_triangle": "events",
     "llm_minhash_bbit": "dedup",
     "llm_perplexity_buckets": "text",
+    "q124_regression_stats": "relational",
     "q01_pricing_summary": "relational",
     "q03_top_revenue_orders": "relational",
     "q05_nation_volume": "relational",

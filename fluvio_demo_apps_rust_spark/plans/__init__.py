@@ -119,6 +119,7 @@ _FORWARD: tuple[str, ...] = (
     "q123_retention_triangle",
     "llm_minhash_bbit",
     "llm_perplexity_buckets",
+    "q124_regression_stats",
 )
 
 

@@ -964,3 +964,107 @@ def q115_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_s",
         )
     )
+
+
+@register(
+    "q124_regression_stats",
+    tags=("relational", "agg", "statistics", "regression"),
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM q GROUP BY l_returnflag),
+d AS (
+  SELECT l_returnflag, n, sx, sy,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+  FROM m)
+SELECT l_returnflag, n,
+       floor(cv / sqrt(vx * vy) * 1000000 + 0.5) / 1000000.0 AS corr,
+       floor(cv / vx * 1000000 + 0.5) / 1000000.0 AS slope,
+       floor((CAST(sy AS DOUBLE) - (cv / vx) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS intercept
+FROM d
+WHERE n >= 2 AND vx > 0 AND vy > 0
+""",
+)
+def q124_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGRESSION / CORRELATION aggregates (the regr_*/corr family of
+    warehouse SQL): per returnflag group, Pearson correlation, OLS
+    slope and intercept of extended price (whole dollars) on quantity,
+    computed the cross-engine-exact way: per-row quantize BOTH inputs
+    to BIGINTs, aggregate the five moment sums EXACTLY (so partial-agg
+    order cannot matter), then evaluate one IDENTICAL double expression
+    tree on both engines — every step (int->double conversion of
+    sub-2^53 moments, multiply, subtract, divide, sqrt) is an IEEE 754
+    correctly-rounded single operation, so the doubles agree bitwise
+    BEFORE the 6-dp floor quantization; no transcendental residual
+    (sqrt is exact, unlike the documented log/exp 1-ulp class).
+    Moment-sum bound at sf0.1: syy <= 105000^2 * 6e5 = 6.6e15 < 2^53
+    (exact in double) and < 2^63 (no ANSI overflow); the README #13
+    sizing note scales the quantization, not the plan. Degenerate
+    groups (n < 2 or zero variance — ANSI divide-by-zero class) are
+    excluded by the SAME exact-integer-derived predicate on both
+    engines.
+
+    100 TB shape: one scan, one map-side-combinable 6-sum aggregate,
+    |groups| output rows. Nothing else."""
+    li = load(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long").alias("y"),
+    )
+    m = q.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    d = m.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        ).alias("vx"),
+        (
+            F.col("n").cast("double") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        ).alias("vy"),
+        (
+            F.col("n").cast("double") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        ).alias("cv"),
+    )
+    return d.where(
+        (F.col("n") >= 2) & (F.col("vx") > 0) & (F.col("vy") > 0)
+    ).select(
+        "l_returnflag",
+        "n",
+        fround(F.col("cv") / F.sqrt(F.col("vx") * F.col("vy")), 6).alias("corr"),
+        fround(F.col("cv") / F.col("vx"), 6).alias("slope"),
+        fround(
+            (F.col("sy").cast("double") - (F.col("cv") / F.col("vx")) * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept"),
+    )

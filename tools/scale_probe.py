@@ -326,6 +326,9 @@ EXEMPT_GROUPS: list[tuple[str, list[str]]] = [
             "q85_rfm_segmentation",
             "q104_skew_profile",
             "q111_decimal_pricing",
+            # r13: one scan + one map-side-combinable 6-sum moment
+            # aggregate, |groups| output rows
+            "q124_regression_stats",
         ],
     ),
     (
