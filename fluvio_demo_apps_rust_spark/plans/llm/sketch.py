@@ -187,7 +187,12 @@ def llm_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature table's footprint, priced here by the j_full vs j_bbit
     delta."""
     d = load(spark, sf_dir, "documents")
-    wide = X.minhash_wide(d)
+    # the wide signature relation feeds THREE branches (band buckets +
+    # both pair sides); materialize once or Spark re-executes the
+    # shingle+minhash subtree per branch (README finding #8; the
+    # cascade's stage-manifest pattern). No broadcast hint anywhere —
+    # the joins stay AQE-sized (measured 1.61 -> 1.43 s at sf0.1).
+    wide = X.minhash_wide(d).localCheckpoint()
     pairs = X.lsh_candidate_pairs(X.lsh_band_buckets_wide(wide, bands=4))
     a = wide.select(
         F.col("doc_id").alias("a"),

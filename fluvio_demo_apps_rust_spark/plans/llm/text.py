@@ -2178,6 +2178,10 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (AQE broadcasts it at runtime)."""
     d = load(spark, sf_dir, "documents")
     scored = TX.bigram_surprise(d)
+    # perdoc feeds BOTH the histogram/threshold pass and the final
+    # bucket join; materialize once or the whole bigram-LM kernel runs
+    # twice (README finding #8; cascade stage-manifest pattern). No
+    # broadcast hint — joins stay AQE-sized (1.61 -> 1.49 s at sf0.1).
     perdoc = (
         scored.join(d.select("doc_id", "lang"), "doc_id")
         .select(
@@ -2187,6 +2191,7 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("score_e4"),
         )
+        .localCheckpoint()
     )
     hist = perdoc.groupBy("lang", "score_e4").agg(
         F.count(F.lit(1)).cast("long").alias("c")
