@@ -96,10 +96,11 @@ _PRIORITY: tuple[str, ...] = (
 # the full local gate this round and rotate into the head next round.
 # Unlike _PRIORITY, missing names here are skipped, not fatal.
 #
-# ROUND-14 HEAD RECIPE (mechanical): the 7 _FORWARD names below
-# (the r8-stale remainder that didn't fit the r13 head), then fill
-# to 50 with the oldest-driver-row names at that point (the r9-stale
-# families), alphabetical. New round-13 queries land after the 7.
+# ROUND-14 HEAD RECIPE (mechanical): ALL 16 _FORWARD names below —
+# the 7 r8-stale remainder first, then the 9 never-driver-sampled
+# round-13 additions (sampling them closes cumulative driver coverage
+# at 266/266) — then fill to 50 with the oldest-driver-row names at
+# that point (the r9-stale families), alphabetical.
 _FORWARD: tuple[str, ...] = (
     # the 7 r8-stale names that didn't fit the r13 head — lead the
     # r14 head with these
