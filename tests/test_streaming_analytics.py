@@ -471,6 +471,65 @@ def test_interval_join_matches_within_horizon_only(spark, tmp_path):
     assert got == {(1, 10)}
 
 
+def test_interval_join_full_outer_emits_both_negative_spaces(spark, tmp_path):
+    """fullOuter (the q121 mode): an un-clicked impression emits with
+    NULL click columns AND an orphan click from a user with no
+    impressions emits with NULL impression columns — both produced by
+    watermark EVICTION (sentinel files advance the min-of-sources
+    watermark past the match horizons), not by end-of-input flush."""
+    import os
+    import uuid
+
+    from fluvio_demo_apps_rust_spark.streaming.analytics import interval_join
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    (imp_dir / "i.jsonl").write_text(
+        '{"imp_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 7}\n'
+        '{"imp_id": 2, "ts": "2024-01-01 00:30:00", "user_id": 9}\n'  # never clicked
+    )
+    (clk_dir / "c.jsonl").write_text(
+        '{"click_id": 10, "ts": "2024-01-01 00:05:00", "user_id": 7}\n'
+        '{"click_id": 11, "ts": "2024-01-01 00:06:00", "user_id": 8}\n'  # orphan user
+    )
+    # flush sentinels: both sources must advance for the min watermark
+    (imp_dir / "z.jsonl").write_text(
+        '{"imp_id": 900, "ts": "2024-01-01 06:00:00", "user_id": 900}\n'
+    )
+    (clk_dir / "z.jsonl").write_text(
+        '{"click_id": 990, "ts": "2024-01-01 06:00:00", "user_id": 990}\n'
+    )
+    for d in (imp_dir, clk_dir):
+        os.utime(d / ("i.jsonl" if d is imp_dir else "c.jsonl"), (1_700_000_000,) * 2)
+        os.utime(d / "z.jsonl", (1_700_000_100,) * 2)
+    left = spark.readStream.schema("imp_id long, ts timestamp, user_id long").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(imp_dir))
+    right = spark.readStream.schema("click_id long, ts timestamp, user_id long").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(clk_dir))
+    name = "t_ijfo_" + uuid.uuid4().hex[:8]
+    q = (
+        interval_join(left, right, horizon="10 minutes", watermark="1 minute",
+                      how="fullOuter")
+        .select("imp_id", "click_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.imp_id, r.click_id)
+        for r in spark.sql(
+            f"SELECT * FROM {name} WHERE (imp_id IS NULL OR imp_id < 900) "
+            f"AND (click_id IS NULL OR click_id < 900)"
+        ).collect()
+    }
+    assert got == {(1, 10), (2, None), (None, 11)}
+
+
 def _chained_user_stats(events):
     """The q100 topology: two chained stateful aggregations (window x
     user counts, then per-window user-distribution stats) in ONE
