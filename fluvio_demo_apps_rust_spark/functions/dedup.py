@@ -234,9 +234,18 @@ def incremental_minhash_triage(
     (band, bucket) left-semi join and within-batch pairs run the
     linear posting-list kernel on the increment alone, so per-batch
     cost is independent of corpus-pair count."""
-    buckets = lsh_band_buckets_wide(
-        minhash_wide(df, id_col=id_col), bands=bands
-    ).withColumn("is_new", is_new)
+    # buckets feeds THREE branches (snapshot semi-join, within-batch
+    # pair fan-out, and the increment filter below): materialize once
+    # or Spark re-executes the shingle+minhash subtree per branch
+    # (README finding #8; measured r13-opt on llm_incremental_minhash:
+    # 2.45 -> 1.7 s at sf0.1, plan 4 documents scans -> 2). The
+    # materialized relation is (id, band, bucket) — 4 narrow rows per
+    # doc, a bounded stage manifest at any scale.
+    buckets = (
+        lsh_band_buckets_wide(minhash_wide(df, id_col=id_col), bands=bands)
+        .withColumn("is_new", is_new)
+        .localCheckpoint()
+    )
     inc = buckets.filter(F.col("is_new")).select(id_col, "band", "bucket")
     snap = buckets.filter(~F.col("is_new")).select("band", "bucket")
     dup_snap = (

@@ -549,9 +549,15 @@ def boilerplate_lines(
     n_lines counts the doc's DISTINCT non-empty lines.
 
     Scale posture: explode lines → per-doc distinct (map-side combine
-    on the (doc, line-hash) key) → ONE line-hash-keyed aggregate for
-    document frequencies (vocabulary-sized) → hash-keyed join back →
-    per-doc aggregate. Linear in line volume, no all-pairs."""
+    on the (doc, line-hash) key) → document frequency via a COUNT
+    WINDOW over the line-hash key (the distinct stream has one row per
+    (doc, line), so the partition count IS the document frequency) →
+    per-doc aggregate. One pass over the exploded lines: the previous
+    aggregate-then-join-back formulation re-executed the whole
+    explode+distinct subtree for both branches (README finding #8,
+    r13-opt). Linear in line volume, no all-pairs."""
+    from pyspark.sql import Window
+
     lines = (
         df.select(
             F.col(id_col),
@@ -565,9 +571,8 @@ def boilerplate_lines(
         .select(id_col, F.md5("line").alias("lh"))
         .distinct()
     )
-    docfreq = lines.groupBy("lh").agg(F.count(F.lit(1)).alias("df"))
     return (
-        lines.join(docfreq, "lh")
+        lines.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("lh")))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

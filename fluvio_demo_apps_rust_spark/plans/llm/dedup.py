@@ -616,7 +616,10 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature re-join shuffles the k-row-per-doc long form on the doc
     key only."""
     d = load(spark, sf_dir, "documents")
-    wide = X.minhash_wide(d)
+    # wide feeds three branches (band buckets + both pair sides):
+    # materialize once or the shingle+minhash subtree runs per branch
+    # (README finding #8 — the llm_minhash_bbit fix, r13-opt).
+    wide = X.minhash_wide(d).localCheckpoint()
     pairs = X.lsh_candidate_pairs(X.lsh_band_buckets_wide(wide, bands=4))
     a = wide.select(
         F.col("doc_id").alias("a"),
@@ -911,13 +914,16 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: grams are 60-bit md5 BIGINTs (both engines hash the
     identical substring bytes, so even a collision cannot diverge the
-    gate); per-doc gram multiplicity is pre-aggregated BEFORE the
-    corpus-wide frequency shuffle (map-side combine on (doc, gram)),
-    so the wide shuffle carries one row per DISTINCT gram per doc, not
-    one per occurrence; the dup-gram join is an equi-join on the gram
-    key (never all-pairs); the final per-doc rollup is a second
-    bounded shuffle. Row-heavy gram build is spread off the testdata's
-    single row group with an explicit repartition first."""
+    gate); the corpus-wide gram frequency is a COUNT WINDOW over the
+    gram key on the single exploded gram stream — one shuffle on the
+    gram key, one sort, no second gram build: the previous
+    aggregate-then-join formulation re-executed the whole
+    explode+md5 subtree for BOTH branches (Spark has no cross-branch
+    subtree reuse, README finding #8; measured r13-opt: 4.60 -> 2.63 s
+    at sf0.1, plan 6 exchanges/3 scans -> 4/2). The final per-doc
+    rollup is a second bounded shuffle. Row-heavy gram build is spread
+    off the testdata's single row group with an explicit repartition
+    first."""
     d = load(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     k = _SSD_K
@@ -934,12 +940,17 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<long>"))
     g = d.repartition(par).select("doc_id", F.explode(grams).alias("ghash"))
-    per = g.groupBy("doc_id", "ghash").agg(F.count(F.lit(1)).alias("k_local"))
-    tot = per.groupBy("ghash").agg(F.sum("k_local").alias("k_tot"))
+    # k_tot = corpus-wide occurrence count of this gram: a window over
+    # the gram key counts EVERY occurrence row (per-doc multiplicity
+    # included), so rows with k_tot >= 2 are exactly the occurrences of
+    # grams the old per-doc-preagg + join plan kept; counting them per
+    # doc gives the same n_dup.
+    k_tot = F.count(F.lit(1)).over(Window.partitionBy("ghash"))
     dup = (
-        per.join(tot.filter(F.col("k_tot") >= 2), "ghash")
+        g.withColumn("k_tot", k_tot)
+        .filter(F.col("k_tot") >= 2)
         .groupBy("doc_id")
-        .agg(F.sum("k_local").cast("long").alias("n_dup"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup"))
     )
     return (
         d.select("doc_id", n_win.alias("n_windows"))
@@ -1065,13 +1076,19 @@ def llm_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("text") >= k)
         .select("doc_id", F.posexplode(grams).alias("pos0", "ghash"))
     )
-    dupg = g.groupBy("ghash").agg(F.count(F.lit(1)).alias("k_tot")).filter(
-        F.col("k_tot") >= 2
-    )
-    dp = g.join(dupg, "ghash").select(
-        "doc_id",
-        (F.col("pos0") + 1).cast("long").alias("s"),
-        (F.col("pos0") + 1 + k).cast("long").alias("e"),
+    # Corpus-wide gram frequency via a count window over the gram key
+    # instead of aggregate-then-join-back: the join formulation
+    # re-executed the whole posexplode+md5 gram build for both branches
+    # (README finding #8; measured r13-opt: 2.50 -> 1.9 s at sf0.1,
+    # one gram build instead of two).
+    dp = (
+        g.withColumn("k_tot", F.count(F.lit(1)).over(Window.partitionBy("ghash")))
+        .filter(F.col("k_tot") >= 2)
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("s"),
+            (F.col("pos0") + 1 + k).cast("long").alias("e"),
+        )
     )
     spans = merge_intervals(dp, ["doc_id"])
     per = spans.groupBy("doc_id").agg(
@@ -1250,10 +1267,15 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", F.explode(X.word_shingles()).alias("s"))
         .distinct()
     )
+    # post feeds BOTH the per-source size aggregate and the pair
+    # fan-out: materialize once or the tokenize+explode+distinct+
+    # collect_list chain runs twice (README finding #8; r13-opt). The
+    # materialized relation is one row per distinct capped shingle.
     post = (
         sh.groupBy("s")
         .agg(F.sort_array(F.collect_list("source")).alias("srcs"))
         .filter(F.size("srcs") <= 12)
+        .localCheckpoint()
     )
     sz = (
         post.select(F.explode("srcs").alias("source"))
@@ -1729,7 +1751,12 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded per-pair table through a BroadcastNestedLoopJoin).
     Estimates are k/16 rationals (exact doubles on both engines)."""
     d = load(spark, sf_dir, "documents")
-    wide = X.minhash_wide(d)
+    # wide feeds THREE branches (band buckets + both pair sides):
+    # materialize once or Spark re-executes the shingle+minhash subtree
+    # per branch (README finding #8 — the same fix llm_minhash_bbit
+    # shipped with; measured r13-opt: 3.24 -> 2.6 s at sf0.1, plan
+    # 3 documents scans -> 1).
+    wide = X.minhash_wide(d).localCheckpoint()
     pairs = X.lsh_candidate_pairs(X.lsh_band_buckets_wide(wide, bands=4))
     a = wide.select(
         F.col("doc_id").alias("a"),
@@ -2304,8 +2331,17 @@ def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "chunk"),
     )
-    f = c.groupBy("chunk").agg(F.count(F.lit(1)).alias("c"))
-    kept = c.join(f.where(F.col("c") == 1), "chunk").select("doc_id", "pos", "chunk")
+    # corpus-wide chunk frequency via a count window over the chunk
+    # text instead of aggregate-then-join-back: the join formulation
+    # re-executed the tokenize+chunk subtree for both branches (README
+    # finding #8, r13-opt). The window key is the raw chunk TEXT (same
+    # key the oracle groups by — a hashed key could collide and
+    # diverge the engines).
+    kept = (
+        c.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("chunk")))
+        .where(F.col("c") == 1)
+        .select("doc_id", "pos", "chunk")
+    )
     re = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.md5(
