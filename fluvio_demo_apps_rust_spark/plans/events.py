@@ -1506,14 +1506,26 @@ def q103_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     name = "q103_enrich_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # State partitioning sized to the stream (README finding #18, the
+    # q99/q100 pattern, restored in finally): the complete-mode
+    # aggregate holds |segments| rows of state, so 32-way state stores
+    # are pure task-scheduling overhead (measured r13-opt: 1.73 ->
+    # 1.26 s at sf0.1 at 8 partitions, identical output — the oracle
+    # gate pins it). Production sizes state partitions to stream
+    # volume; the enrichment semantics are partition-count independent.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.sql(f"SELECT mktsegment, n_events, total_value FROM {name}")
 
 

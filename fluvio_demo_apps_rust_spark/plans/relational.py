@@ -734,9 +734,18 @@ def _bucketed_join_tables(spark: SparkSession, sf_dir: str):
     tag = uuid.uuid4().hex[:8]
     to, tl = f"q112_orders_{tag}", f"q112_lineitem_{tag}"
     root = tempfile.mkdtemp(prefix="q112_bucketed_")
+    # The testdata parquet is ONE row group, so an unrepartitioned
+    # bucketed write runs as a single task that serially sorts and
+    # writes all 8 bucket files. repartition(8, key) aligns the
+    # exchange with the bucket hash (both are Murmur3 pmod 8), so the
+    # write runs 8 parallel tasks, each sorting/writing one bucket
+    # (r13-opt: q112 2.75 -> 2.0 s at sf0.1). At warehouse scale the
+    # one-time bucketed write is shuffle-sized anyway; this only
+    # removes the fixture's single-task serialization.
     (
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderpriority")
+        .repartition(8, "o_orderkey")
         .write.bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
         .option("path", f"{root}/{to}")
@@ -746,6 +755,7 @@ def _bucketed_join_tables(spark: SparkSession, sf_dir: str):
     (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_extendedprice")
+        .repartition(8, "l_orderkey")
         .write.bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
         .option("path", f"{root}/{tl}")

@@ -127,6 +127,19 @@ _BROADCAST_ALLOW = {
     ("llm_kmeans", "LogicalRDD"),
     # the 4-row literal mixture-target table (plans/llm.py:2347)
     ("llm_epoch_upsample", "LogicalRDD"),
+    # the broadcast side is the (j_est, count) histogram whose key
+    # takes only the 17 values k/16 (k=16 signature components), so it
+    # is <= 17 rows BY CONSTRUCTION at any corpus size; the LogicalRDD
+    # leaf is the r13-opt localCheckpoint of the minhash-wide relation
+    # (README finding #8) feeding that bounded aggregate
+    ("llm_dedup_threshold_sweep", "LogicalRDD"),
+    # the broadcast sides are the per-SOURCE shingle-set size tables
+    # (groupBy over the source label): |sources| rows by construction —
+    # sources are a workload/catalog dimension (crawl feeds), not
+    # corpus-linear data. The LogicalRDD leaf is the r13-opt
+    # localCheckpoint of the capped posting relation (README finding
+    # #8) those aggregates consume.
+    ("llm_source_overlap", "LogicalRDD"),
 }
 
 
