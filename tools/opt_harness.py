@@ -26,6 +26,29 @@ from fluvio_demo_apps_rust_spark.session import get_spark
 PLANS_DIR = Path(__file__).resolve().parent.parent / "plans" / "r13"
 
 
+def session_cpu_seconds() -> float:
+    """Sum utime+stime of every live process in THIS login session
+    (python driver + the local-mode JVM + pyspark.daemon workers) —
+    a co-tenant-steal-resistant measure of work actually done."""
+    import os
+
+    sid = os.getsid(0)
+    hz = os.sysconf("SC_CLK_TCK")
+    total = 0
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            # after the comm field: [0]=state, [3]=sid, [11]=utime, [12]=stime
+            if int(parts[3]) == sid:
+                total += int(parts[11]) + int(parts[12])
+        except (OSError, IndexError, ValueError):
+            continue
+    return total / hz
+
+
 def warm(spark) -> None:
     spark.range(1000).count()
     par = spark.sparkContext.defaultParallelism
@@ -67,7 +90,9 @@ def main() -> int:
     for name in args.queries:
         spec = REGISTRY[name]
         runs = []
+        cpus = []
         for _ in range(args.runs):
+            c0 = session_cpu_seconds()
             t0 = time.perf_counter()
             try:
                 spark.sparkContext.setJobDescription(name)
@@ -78,12 +103,16 @@ def main() -> int:
                 df = None
                 gc.collect()
             runs.append(time.perf_counter() - t0)
-        results[name] = runs
-        print(f"{name}: min={min(runs):.3f}  runs={[round(r, 3) for r in runs]}",
-              flush=True)
+            cpus.append(session_cpu_seconds() - c0)
+        results[name] = (runs, cpus)
+        print(
+            f"{name}: min={min(runs):.3f} cpu_min={min(cpus):.2f}  "
+            f"runs={[round(r, 3) for r in runs]} cpu={[round(c, 2) for c in cpus]}",
+            flush=True,
+        )
     print("== summary ==")
-    for name, runs in results.items():
-        print(f"{name}: {min(runs):.3f}")
+    for name, (runs, cpus) in results.items():
+        print(f"{name}: {min(runs):.3f} cpu={min(cpus):.2f}")
     return 0
 
 
