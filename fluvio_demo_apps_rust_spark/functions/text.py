@@ -265,7 +265,15 @@ def unigram_surprise(
     tok = _spread(df, id_col).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("t")
     )
-    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    # freq feeds BOTH the total aggregate and the score join, each of
+    # which would re-run the tokenize+explode+aggregate chain (README
+    # finding #8); the checkpoint is VOCABULARY-sized, so it costs one
+    # small job and removes a corpus pass (r13-opt — same reasoning as
+    # bigram_surprise's uni checkpoint; heavier variants lost wall, see
+    # OPTIMIZATION_r13.md).
+    freq = (
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
     total = freq.agg(F.sum("c").alias("tot"))
     scored = (
         tok.join(freq, "t")
@@ -325,10 +333,21 @@ def bigram_surprise(
         )
         .select(id_col, "bg.u", "bg.v")
     )
+    # uni feeds THREE consumers (tot / cu / cv), each of which would
+    # re-run the tokenize+explode+aggregate chain (README finding #8);
+    # the checkpoint is VOCABULARY-sized, so materializing it costs one
+    # small job and removes three corpus passes (r13-opt: llm_bigram_lm
+    # ~21 -> ~13 CPU-seconds at sf0.1, wall unchanged; the heavier
+    # full-materialization variants — checkpointing the token stream,
+    # or a count window over (u,v) replacing the c2 join — LOST wall
+    # time: the model joins are AQE-broadcast so the duplicated
+    # branches run shuffle-free and in parallel, while a corpus-sized
+    # window shuffle serializes; see OPTIMIZATION_r13.md).
     uni = (
         toks_df.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     tot = uni.agg(F.sum("c").cast("double").alias("tot"))
     c2 = b.groupBy("u", "v").agg(F.count(F.lit(1)).alias("c2"))

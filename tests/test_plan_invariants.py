@@ -133,6 +133,16 @@ _BROADCAST_ALLOW = {
     # leaf is the r13-opt localCheckpoint of the minhash-wide relation
     # (README finding #8) feeding that bounded aggregate
     ("llm_dedup_threshold_sweep", "LogicalRDD"),
+    # the broadcast sides are ONE-ROW global aggregates (total token
+    # count in unigram_surprise/bigram_surprise; the two-value
+    # percentile cuts in surprise_buckets) — a single row by
+    # construction at any corpus size. The LogicalRDD leaf below them
+    # is the r13-opt localCheckpoint of the VOCABULARY-sized frequency
+    # table (functions/text.py unigram_surprise/bigram_surprise), not
+    # an sf-linear set.
+    ("llm_unigram_surprise", "LogicalRDD"),
+    ("llm_bigram_lm", "LogicalRDD"),
+    ("llm_surprise_buckets", "LogicalRDD"),
     # the broadcast sides are the per-SOURCE shingle-set size tables
     # (groupBy over the source label): |sources| rows by construction —
     # sources are a workload/catalog dimension (crawl feeds), not
