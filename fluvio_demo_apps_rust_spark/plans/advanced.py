@@ -1200,12 +1200,16 @@ def q101_selection_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     upper median) so even-count semantics are explicit and no
     averaging of inexact doubles is needed; values are raw 2-dp money
     (identity-safe)."""
-    from ..operators.selection import selection_kth
+    from ..operators.selection import selection_kths
 
     o = load(spark, sf_dir, "orders")
-    n = o.where(F.col("o_totalprice").isNotNull()).count()
-    lo = selection_kth(o, "o_totalprice", (n + 1) // 2)
-    hi = selection_kth(o, "o_totalprice", n // 2 + 1)
+    # r13-opt: ONE shared narrowing serves both ranks and yields n from
+    # its pass-1 histogram — 3 full passes instead of 7 (count + two
+    # 3-pass selections); identical values by construction.
+    n, vals = selection_kths(
+        o, "o_totalprice", k_of_n=lambda n: [(n + 1) // 2, n // 2 + 1]
+    )
+    lo, hi = vals[(n + 1) // 2], vals[n // 2 + 1]
     return spark.createDataFrame(
         [(n, lo, hi)], "n bigint, median_lo double, median_hi double"
     )
@@ -1274,7 +1278,7 @@ def q105_negative_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     medians (grouped_kth) plus a '__global__' row (selection_kth).
     The shifted column is re-quantized with the repo fround standard
     on BOTH sides so the emitted doubles are binary-identical."""
-    from ..operators.selection import grouped_kth, selection_kth
+    from ..operators.selection import grouped_binned, grouped_kth_from, kth_from_binned
 
     o = (
         load(spark, sf_dir, "orders")
@@ -1284,9 +1288,18 @@ def q105_negative_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("o_totalprice") - F.lit(150000.0), 2).alias("x"),
         )
     )
-    grouped = grouped_kth(o, "o_orderpriority", "x", lambda n: (n + 1) / 2)
-    n = o.count()
-    glo = selection_kth(o, "x", (n + 1) // 2)
+    # r13-opt: the grouped and GLOBAL selections share one binned
+    # histogram — the global bin histogram is the per-group one
+    # re-aggregated (a bounded collect, no corpus scan) and the global
+    # count is its total (no count job). 3 corpus scans instead of 7
+    # (grouped 3 + count + global 3); identical values by construction.
+    # binned feeds two consumers, so it is materialized (README finding
+    # #8) — histogram-sized (|groups| x value-range/width rows) at any
+    # data size.
+    base, binned = grouped_binned(o, "o_orderpriority", "x")
+    binned = binned.localCheckpoint()
+    grouped = grouped_kth_from(base, binned, lambda n: (n + 1) / 2)
+    n, glo = kth_from_binned(base, binned, lambda n: (n + 1) // 2)
     gdf = spark.createDataFrame(
         [("__global__", n, glo)], "grp string, n bigint, value double"
     )
@@ -1452,13 +1465,16 @@ def q118_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: six bounded-histogram aggregates (three per
     selection), one row collected per pass, O(bins) driver state."""
-    from ..operators.selection import selection_kth
+    from ..operators.selection import selection_kth, selection_kths
 
     ev = load(spark, sf_dir, "events")
     s = ev.where(F.col("value").isNotNull())
-    n = s.count()
+    # r13-opt: n comes from the median selection's pass-1 histogram
+    # (no separate count job) — 6 passes instead of 7; the MAD
+    # selection must follow the median (its column derives from m).
+    n, vals = selection_kths(s, "value", k_of_n=lambda n: [(n + 1) // 2])
     k = (n + 1) // 2
-    m = selection_kth(s, "value", k)
+    m = vals[k]
     dev = s.select(F.abs(F.col("value") - F.lit(m)).alias("dev"))
     mad = selection_kth(dev, "dev", k)
     # repo rounding standard (floor(x*100+0.5)), not Python round():

@@ -654,6 +654,15 @@ def llm_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("rr_micro"),
         )
+        # NOTE (r13-opt, measured NEGATIVE result): per feeds two
+        # consumers (the 1-row mrr aggregate and the final crossJoin),
+        # so materializing the 10-row relation looks free — but
+        # localCheckpoint LOST wall time decisively (1.69 -> 3.4 s at
+        # sf0.1, idle host, eager and lazy both): the two copies of
+        # the brute+LSH pipeline execute in parallel on idle cores,
+        # while the checkpoint serializes them and strips the stats
+        # AQE uses to size the downstream joins. Kept the
+        # parallel-duplicate plan deliberately.
     )
     tot = per.agg(
         F.expr("sum(rr_micro) DIV count(1)").cast("long").alias("mrr_micro")

@@ -1510,6 +1510,15 @@ def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines divide identical doubles; F1 is derived from those
     and floor-quantized at 6 dp."""
     d = load(spark, sf_dir, "documents")
+    # NOTE (r13-opt, measured NEGATIVE result): pairs feeds two
+    # consumers and bgc three, so materializing both looks like the
+    # README-finding-#8 win — but localCheckpoint here LOST wall time
+    # decisively (2.11 -> 3.24 s at sf0.1, idle host, eager and lazy
+    # both): the duplicated branches are AQE-broadcast model joins
+    # that run shuffle-free and IN PARALLEL, while the checkpoint
+    # serializes the DAG and caches the corpus-sized bgc relation
+    # (same mechanism as the batch-3 negative result on the bigram-LM
+    # kernels). Kept the parallel-duplicate plan deliberately.
     pairs = X.lsh_candidate_pairs(X.lsh_band_buckets_wide(X.minhash_wide(d), bands=4))
     bgc = (
         d.select(F.col("doc_id"), F.explode(TX.word_ngrams("text", 2)).alias("g"))
@@ -2033,14 +2042,21 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     key → one per-doc hash aggregate. No pair fan-out at all — unlike
     the Jaccard kernels this never multiplies posting lists, so there
     is no hot-shingle cap to tune."""
+    from pyspark.sql import Window
+
     d = load(spark, sf_dir, "documents")
     sh = (
         d.where(F.size(TX.tokens("text")) >= 3)
         .select("doc_id", F.explode(X.word_shingles("text", 3)).alias("g"))
     )
-    firstd = sh.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    # r13-opt (README finding #8, the batch-1 window-rewrite shape):
+    # the aggregate+join-back formulation (min(doc_id) per gram, joined
+    # back on g) consumed sh TWICE — two tokenize+shingle builds of the
+    # corpus — and shuffled both the stream and the vocabulary-sized
+    # min table. A min window over the gram key computes the same
+    # first-owner on ONE build and one shuffle of the stream.
     per = (
-        sh.join(firstd, "g")
+        sh.withColumn("fd", F.min("doc_id").over(Window.partitionBy("g")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -1996,6 +1996,17 @@ def llm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     c3 = tri(train).groupBy("a", "b", "c").agg(F.count(F.lit(1)).alias("c3"))
+    # NOTE (r13-opt, measured NEGATIVE result): c2 feeds two joins and
+    # c1 three consumers (7 corpus tokenize passes total), so
+    # checkpointing the vocabulary-sized count tables looks like the
+    # batch-3 unigram/bigram-LM win — but it LOST wall time decisively
+    # here (1.36 -> 2.70 s at sf0.1, idle host, eager and lazy both):
+    # the five model joins are AQE-broadcast, so the duplicated count
+    # branches run shuffle-free and IN PARALLEL on idle cores, while a
+    # checkpointed c1/c2 joins as an unsized LogicalRDD and the
+    # materialization serializes the DAG. Kept the parallel-duplicate
+    # plan deliberately (the same adjudication as the batch-3 negative
+    # result on the c2 count-window rewrite).
     c2 = (
         train.where(F.size("ts") >= 2)
         .select(

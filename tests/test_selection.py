@@ -108,3 +108,53 @@ def test_grouped_kth_matches_brute_force(spark):
         vals = sorted(v for gg, v in rows if gg == g)
         n = len(vals)
         assert got[g] == (n, pytest.approx(vals[(n + 1) // 2 - 1], abs=1e-9)), g
+
+def test_selection_kths_multi_rank_shared_passes(spark):
+    """r13-opt: one shared narrowing serves several ranks (and yields n
+    from pass 1). Ranks landing in the SAME bin, in DIFFERENT top-level
+    bins, and duplicated ranks must all match sorted indexing."""
+    from fluvio_demo_apps_rust_spark.operators.selection import selection_kths
+
+    rng = random.Random(11)
+    vals = [round(rng.uniform(-100_000, 400_000), 2) for _ in range(2000)]
+    vals += [vals[3]] * 4  # ties
+    df = _df(spark, vals)
+    s = sorted(vals)
+    n = len(vals)
+    ks = [1, 2, n // 4, (n + 1) // 2, n // 2 + 1, n]  # incl. adjacent medians
+    got_n, got = selection_kths(df, "x", ks=ks)
+    assert got_n == n
+    for k in ks:
+        assert got[k] == pytest.approx(s[k - 1], abs=1e-9), k
+    # k_of_n face (no separate count job): same answers
+    got_n2, got2 = selection_kths(df, "x", k_of_n=lambda m: [(m + 1) // 2, m // 2 + 1])
+    assert got_n2 == n and got2 == {
+        (n + 1) // 2: got[(n + 1) // 2],
+        n // 2 + 1: got[n // 2 + 1],
+    }
+    with pytest.raises(ValueError):
+        selection_kths(df, "x", ks=[n + 1])
+
+
+def test_kth_from_binned_matches_global_selection(spark):
+    """r13-opt (q105 shape): the global k-th derived from the grouped
+    bin histogram (no extra corpus scan) equals plain selection."""
+    from fluvio_demo_apps_rust_spark.operators.selection import (
+        grouped_binned,
+        kth_from_binned,
+        selection_kth,
+    )
+
+    rng = random.Random(12)
+    rows = [
+        (g, round(rng.uniform(-20_000, 20_000), 2))
+        for g in ["a", "b", "c"]
+        for _ in range(rng.randint(100, 300))
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    base, binned = grouped_binned(df, "g", "x")
+    n, v = kth_from_binned(base, binned, lambda n: (n + 1) // 2)
+    assert n == len(rows)
+    s = sorted(x for _, x in rows)
+    assert v == pytest.approx(s[(n + 1) // 2 - 1], abs=1e-9)
+    assert v == pytest.approx(selection_kth(df, "x", (n + 1) // 2), abs=1e-9)
