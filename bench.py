@@ -332,10 +332,55 @@ FAMILY = {
 }
 
 
+def _loadavg() -> list[float]:
+    """[1, 5, 15]-minute system load averages (0.0s if unreadable)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [round(float(x), 2) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return [0.0, 0.0, 0.0]
+
+
+def _session_cpu_seconds() -> float:
+    """Sum utime+stime of every live process in THIS login session
+    (python driver + local-mode JVM + pyspark.daemon workers) — the
+    co-tenant-steal-resistant measure of work actually done (same
+    method as tools/opt_harness.py)."""
+    try:
+        sid = os.getsid(0)
+        hz = os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError):
+        return 0.0
+    total = 0
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            # after the comm field: [0]=state, [3]=sid, [11]=utime, [12]=stime
+            if int(parts[3]) == sid:
+                total += int(parts[11]) + int(parts[12])
+        except (OSError, IndexError, ValueError):
+            continue
+    return total / hz
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # Contention forensics (r13 VERDICT item 2): this host's co-tenant
+    # runs multi-minute full-core steal bursts that inflated the r13
+    # 32-core bench 50%+. Record 1/5/15-min loadavg at start and end
+    # plus the session's own CPU-seconds so a steal-contaminated run is
+    # machine-detectable from the artifact itself (ambient load >> own
+    # cores-in-use while wall >> cpu_s/cores ⇒ steal, not the tree).
+    # Additions-only: the timed region and the final-line format keep
+    # every pre-r14 field unchanged.
+    load_start = _loadavg()
+    cpu_s0 = _session_cpu_seconds()
+    wall0 = time.perf_counter()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -398,6 +443,18 @@ def main() -> int:
     for name, t in ok.items():
         fam = FAMILY.get(name, "other")
         families[fam] = round(families.get(fam, 0.0) + t, 3)
+    contention = {
+        # system 1/5/15-min loadavg at bench start and end, the
+        # session's own CPU-seconds over the run, and the wall it took:
+        # ambient load far above this session's own utilisation while
+        # wall >> cpu_s / cores means co-tenant steal inflated the
+        # walls (r13 VERDICT item 2 — lets the driver discount a
+        # contaminated run instead of reading it as a regression).
+        "load_start": load_start,
+        "load_end": _loadavg(),
+        "cpu_s": round(_session_cpu_seconds() - cpu_s0, 1),
+        "wall_s": round(time.perf_counter() - wall0, 1),
+    }
     out = {
         "metric": "declared-query wall time (noop sink, steady-state min of 2-5 adaptive runs), all operator families",
         "value": total,
@@ -406,6 +463,7 @@ def main() -> int:
         "families": families,
         "sf": sf,
         "runs_per_query": "2-5 (adaptive)",
+        "contention": contention,
     }
     if errors:
         out["errors"] = errors
@@ -432,6 +490,7 @@ def main() -> int:
         "n_queries": len(ok),
         "n_errors": len(errors),
         "queries_file": "docs/bench_evidence/bench_full_latest.json",
+        "contention": contention,
     }
     print(json.dumps(compact))
     return 0

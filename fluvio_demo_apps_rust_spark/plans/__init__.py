@@ -16,94 +16,23 @@ from . import llm  # noqa: F401
 from . import advanced  # noqa: F401
 from . import mining  # noqa: F401
 
-# Driver-sampling rotation — ROUND 13 ACTIVE. The correctness driver
+# Driver-sampling rotation — ROUND 14 ACTIVE. The correctness driver
 # samples the FIRST ~50 registered queries; rounds 1-3 sampled the
 # relational/events/cdc prefix, r4 the llm/mining/sketch rotation,
 # r5 the staged never-sampled set, r6 the never-driver-green 14, r7
 # the 41 r1-3-stale names, r8 llm_url_dedup + 49 r4-stale, r9 the 16
 # r8 _FORWARD names + 34 r5-stale, r10 the 16 r9 additions + 5
 # r5-stale + 29 r6-stale, r11 the 37 r10-continuation additions + 13
-# r6-stale, r12 q99 + the 4 r11 additions + 45 r7-stale (50/50 green —
-# cumulative 255/257 sampled, all green). This head is VERDICT r12
-# task #1 / the committed r12 recipe (7a14e43): lead with the 7 r12
-# _FORWARD names (5 r7-stale leftovers + the 2 round-12 additions
-# llm_substring_trim / q120_visit_spans — the ONLY names without a
-# driver row), then 43 of the 50 r8-stale names alphabetically —
-# 7 + 43 = the 50-query sample EXACTLY. A green r13 sample closes
-# cumulative driver coverage at 257/257. The 7 r8-stale names that
-# didn't fit lead _FORWARD (slots 51-57); new round-13 queries land
-# after them.
-_PRIORITY: tuple[str, ...] = (
-    # the 5 r7-stale leftovers from the r12 _FORWARD
-    "q75_events_anomaly",
-    "q76_events_transitions",
-    "q78_trajectory_similarity",
-    "q94_sessionization",
-    "q97_rolling_distinct",
-    # the 2 round-12 additions — never driver-sampled; MUST get their
-    # first CORRECTNESS row this round (closes coverage at 257/257)
-    "llm_substring_trim",
-    "q120_visit_spans",
-    # 43 of the 50 r8-stale names (alphabetical)
-    "cdc_binlog_replay",
-    "llm_ann_ivf",
-    "llm_ann_ivf_pq",
-    "llm_ann_lsh",
-    "llm_ann_pq",
-    "llm_ann_pq_recall",
-    "llm_ann_recall",
-    "llm_ann_topk",
-    "llm_bm25_topk",
-    "llm_bpe_merge_counts",
-    "llm_c4_clean",
-    "llm_chunk_dedup",
-    "llm_containment_dedup",
-    "llm_contamination",
-    "llm_countmin_heavyhitters",
-    "llm_curation_pipeline",
-    "llm_dedup_clusters",
-    "llm_dedup_fuzzy_verify",
-    "llm_dedup_ngram_jaccard",
-    "llm_doc_chunking",
-    "llm_doc_repetition",
-    "llm_domain_mixture",
-    "llm_dsir_importance",
-    "llm_embedding_neardup",
-    "llm_fingerprint",
-    "llm_gopher_rules",
-    "llm_incremental_dedup",
-    "llm_kmeans",
-    "llm_langid",
-    "llm_line_boilerplate",
-    "llm_minhash_jaccard_est",
-    "llm_minhash_lsh_pairs",
-    "llm_minhash_signature",
-    "llm_pii_scrub",
-    "llm_pretrain_prep",
-    "llm_semdedup",
-    "llm_sequence_pack",
-    "llm_simhash_pairs",
-    "llm_stratified_sample",
-    "llm_surprise_buckets",
-    "llm_text_quality",
-    "llm_tfidf_topterms",
-    "llm_token_stats",
-)
-
-# Names of queries EXPECTED to be registered later this round. They
-# sort directly AFTER the mandatory 50-name head (not inside it), so
-# they cannot displace a stale name past the sample boundary; they get
-# the full local gate this round and rotate into the head next round.
-# Unlike _PRIORITY, missing names here are skipped, not fatal.
-#
-# ROUND-14 HEAD RECIPE (mechanical): ALL 16 _FORWARD names below —
+# r6-stale, r12 q99 + the 4 r11 additions + 45 r7-stale, r13 the 7
+# r12 _FORWARD leftovers + 43 r8-stale (50/50 green — cumulative
+# 257/257 sampled). This head is the committed ROUND-14 RECIPE from
+# the r13 _FORWARD comment, mechanical: ALL 16 r13 _FORWARD names —
 # the 7 r8-stale remainder first, then the 9 never-driver-sampled
 # round-13 additions (sampling them closes cumulative driver coverage
-# at 266/266) — then fill to 50 with the oldest-driver-row names at
-# that point (the r9-stale families), alphabetical.
-_FORWARD: tuple[str, ...] = (
-    # the 7 r8-stale names that didn't fit the r13 head — lead the
-    # r14 head with these
+# at 266/266) — then fill to 50 with the 34 alphabetically-first
+# r9-stale names (the oldest driver rows at round-14 open).
+_PRIORITY: tuple[str, ...] = (
+    # the 7 r8-stale names that didn't fit the r13 head
     "llm_unigram_surprise",
     "llm_url_dedup",
     "q70_stream_interval_join",
@@ -111,7 +40,8 @@ _FORWARD: tuple[str, ...] = (
     "q82_kmv_distinct",
     "q87_ams_join_size",
     "q88_kmv_setops",
-    # round-13 additions (locally gated this round, head next round)
+    # the 9 round-13 additions — never driver-sampled; their first
+    # CORRECTNESS row closes cumulative coverage at 266/266
     "llm_paragraph_dedup",
     "llm_ann_multiprobe",
     "q122_attribution",
@@ -121,6 +51,68 @@ _FORWARD: tuple[str, ...] = (
     "llm_minhash_bbit",
     "llm_perplexity_buckets",
     "q124_regression_stats",
+    # 34 of the 50 r9-stale names (alphabetical; oldest driver rows)
+    "cdc_binlog_rotation_replay",
+    "llm_corpus_profile",
+    "llm_corpus_report",
+    "llm_crossdedup_transfer",
+    "llm_dedup_audit",
+    "llm_dedup_keep_best",
+    "llm_dedup_threshold_sweep",
+    "llm_epoch_upsample",
+    "llm_global_shuffle",
+    "llm_gram_matrix",
+    "llm_greedy_pack_audit",
+    "llm_knn_classify",
+    "llm_langid_confusion",
+    "llm_minhash_ann_hybrid",
+    "llm_multimodal_frames",
+    "llm_multimodal_meta",
+    "llm_multimodal_resize",
+    "llm_quality_ablation",
+    "llm_quality_lr",
+    "llm_rouge_overlap",
+    "llm_sentiment",
+    "llm_stream_incremental_dedup",
+    "llm_train_split",
+    "llm_udf_tokenize_arrow",
+    "llm_vocab_entropy",
+    "q100_stream_chained_agg",
+    "q101_selection_median",
+    "q102_grouped_median",
+    "q103_stream_static_enrich",
+    "q104_skew_profile",
+    "q40_pivot",
+    "q41_percentiles",
+    "q42_ordered_agg",
+    "q44_range_frame",
+)
+
+# Names expected to rotate into the head next round (they sort
+# directly AFTER the mandatory 50-name head, not inside it). Unlike
+# _PRIORITY, missing names here are skipped, not fatal.
+#
+# ROUND-15 HEAD RECIPE (mechanical): the 16 r9-stale remainder names
+# below first, then fill to 50 with the oldest-driver-row names at
+# that point (the r10-stale families), alphabetical.
+_FORWARD: tuple[str, ...] = (
+    # the 16 r9-stale names that didn't fit the r14 head
+    "q45_full_outer",
+    "q46_cross_join",
+    "q47_setops_all",
+    "q48_correlated_subqueries",
+    "q49_scalar_library",
+    "q50_asof_join",
+    "q51_range_join",
+    "q53_unpivot",
+    "q54_lateral_explode",
+    "q55_skew_salted_agg",
+    "q56_sample_hash",
+    "q58_disjunctive_join",
+    "q69_skew_salted_join",
+    "q79_pagerank",
+    "q80_weighted_sample",
+    "q81_zorder_layout",
 )
 
 

@@ -1,6 +1,6 @@
 #!/usr/bin/env python
-"""Round-13 optimization harness: time single queries (noop sink,
-steady-state min of N runs) and dump formatted plans to plans/r13/.
+"""Optimization harness: time single queries (noop sink,
+steady-state min of N runs) and dump formatted plans to plans/<round>/.
 
 Usage:
   python tools/opt_harness.py time <query> [<query>...] [--runs N] [--sf DIR]
@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from fluvio_demo_apps_rust_spark.plans import REGISTRY
 from fluvio_demo_apps_rust_spark.session import get_spark
 
-PLANS_DIR = Path(__file__).resolve().parent.parent / "plans" / "r13"
+PLANS_ROOT = Path(__file__).resolve().parent.parent / "plans"
 
 
 def session_cpu_seconds() -> float:
@@ -64,6 +64,7 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=4)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--suffix", default="before")
+    ap.add_argument("--round", dest="round_dir", default="r14")
     args = ap.parse_args()
 
     spark = get_spark("opt_harness")
@@ -72,7 +73,8 @@ def main() -> int:
     if args.mode == "explain":
         import re
 
-        PLANS_DIR.mkdir(parents=True, exist_ok=True)
+        plans_dir = PLANS_ROOT / args.round_dir
+        plans_dir.mkdir(parents=True, exist_ok=True)
         for name in args.queries:
             df = REGISTRY[name].fn(spark, args.sf)
             plan = df._sc._jvm.PythonSQLUtils.explainString(
@@ -80,7 +82,7 @@ def main() -> int:
             )
             plan = re.sub(r"#\d+L?", "#x", plan)
             plan = re.sub(r"plan_id=\d+", "plan_id=x", plan)
-            out = PLANS_DIR / f"{name}_{args.suffix}.txt"
+            out = plans_dir / f"{name}_{args.suffix}.txt"
             out.write_text(plan)
             print(f"wrote {out}")
         return 0
