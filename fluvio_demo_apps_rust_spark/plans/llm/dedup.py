@@ -914,9 +914,12 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: grams are 60-bit md5 BIGINTs (both engines hash the
     identical substring bytes, so even a collision cannot diverge the
-    gate); the corpus-wide gram frequency is a COUNT WINDOW over the
-    gram key on the single exploded gram stream — one shuffle on the
-    gram key, one sort, no second gram build: the previous
+    gate); the corpus-wide gram frequency is a SUM WINDOW over the
+    per-(doc, gram) pre-aggregate — computed ROW-LOCALLY by sorting
+    and run-length-encoding each doc's gram array, so the combine
+    costs no extra exchange and window partitions are bounded by a
+    gram's DISTINCT-DOC count (r14-opt skew-proofing, see the inline
+    NOTE), still only one gram build: the pre-r13
     aggregate-then-join formulation re-executed the whole
     explode+md5 subtree for BOTH branches (Spark has no cross-branch
     subtree reuse, README finding #8; measured r13-opt: 4.60 -> 2.63 s
@@ -939,18 +942,66 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    g = d.repartition(par).select("doc_id", F.explode(grams).alias("ghash"))
-    # k_tot = corpus-wide occurrence count of this gram: a window over
-    # the gram key counts EVERY occurrence row (per-doc multiplicity
-    # included), so rows with k_tot >= 2 are exactly the occurrences of
-    # grams the old per-doc-preagg + join plan kept; counting them per
-    # doc gives the same n_dup.
-    k_tot = F.count(F.lit(1)).over(Window.partitionBy("ghash"))
+    # r14-opt (VERDICT r13 item 1, guide §2.5): pre-aggregate per
+    # (doc, gram) BEFORE the corpus-count window — and do it ROW-
+    # LOCALLY (sort the doc's gram array once, run-length-encode it
+    # into (ghash, k_local) structs) so the combine costs no extra
+    # exchange. The r13 window ran directly over the occurrence
+    # stream, which shipped EVERY occurrence of a hot gram —
+    # within-doc repeats included — into one WindowExec partition
+    # (AQE cannot split a window partition). After the RLE a gram's
+    # window partition is bounded by its DISTINCT-DOC count: a licence
+    # block repeated R times per doc costs one row, not R
+    # (tools/skew_probe.py demonstrates the straggler collapse on a
+    # synthetic hot gram). The plain groupBy(doc, gram) pre-aggregate
+    # achieves the same bound but pays a full extra exchange of the
+    # gram stream (measured +0.3-0.7 s at sf0.1); the RLE costs only
+    # the per-row O(L log L) sort. k_tot = sum(k_local) over the gram
+    # key is the same corpus-wide occurrence count, and n_dup =
+    # sum(k_local) over a doc's dup grams the same per-doc count.
+    # Residual at 100 TB: a gram present ONCE in a large fraction of
+    # docs still concentrates its distinct-doc rows in one window
+    # partition; the skew-proof escape hatch is the r12
+    # aggregate+join-back (AQE skew-splits the probe side) at the cost
+    # of a second gram build — switch if scale probes show window-task
+    # stragglers (ADVICE r13).
+    # Every array the lambdas index is LET-bound via the
+    # transform(array(...), v -> ...)[0] idiom (no CSE inside
+    # higher-order lambdas — README plan-audit finding); F.get (not
+    # [] / element_at) keeps the i-1 probe NULL-safe under ANSI.
+    def _rle(sa):
+        st = F.filter(
+            F.sequence(F.lit(0), F.size(sa) - 1),
+            lambda i: (i == F.lit(0)) | (F.get(sa, i) != F.get(sa, i - 1)),
+        )
+        return F.transform(
+            F.array(st),
+            lambda stt: F.zip_with(
+                stt,
+                F.concat(F.slice(stt, F.lit(2), F.size(stt)), F.array(F.size(sa))),
+                lambda s, e: F.struct(
+                    F.get(sa, s).alias("ghash"),
+                    (e - s).cast("long").alias("k_local"),
+                ),
+            ),
+        )[0]
+
+    empty = F.array().cast("array<struct<ghash:bigint,k_local:bigint>>")
+    occ = F.transform(
+        F.array(F.array_sort(grams)),
+        lambda sa: F.when(F.size(sa) > 0, _rle(sa)).otherwise(empty),
+    )[0]
+    per = (
+        d.repartition(par)
+        .select("doc_id", F.explode(occ).alias("o"))
+        .select("doc_id", F.col("o.ghash").alias("ghash"), F.col("o.k_local").alias("k_local"))
+    )
+    k_tot = F.sum("k_local").over(Window.partitionBy("ghash"))
     dup = (
-        g.withColumn("k_tot", k_tot)
+        per.withColumn("k_tot", k_tot)
         .filter(F.col("k_tot") >= 2)
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_dup"))
+        .agg(F.sum("k_local").cast("long").alias("n_dup"))
     )
     return (
         d.select("doc_id", n_win.alias("n_windows"))
@@ -1050,9 +1101,10 @@ def llm_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last span. Both engines hash the identical reassembled string,
     so the digest pins every cut boundary exactly.
 
-    100 TB shape: two hash shuffles (per-doc gram pre-agg is skipped
-    here because POSITIONS are needed, but the dup-gram join is still
-    a gram-key equi-join, never all-pairs), one per-document window
+    100 TB shape: two hash shuffles (the per-(doc, gram) pre-agg
+    carries POSITIONS as an array payload so map-side combine still
+    happens, and the dup-gram decision is a gram-key window, never
+    all-pairs), one per-document window
     pass with state bounded by spans-per-doc (= doc length / gap
     structure, a per-document bound independent of corpus size), and
     a final row-local reassembly — no collect, no self-join. Reuses
@@ -1063,27 +1115,70 @@ def llm_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     k = _SSD_K
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length("text") - F.lit(k - 1)),
-        lambda i: F.conv(
-            F.substring(F.md5(F.substring(F.col("text"), i, F.lit(k))), 1, 15),
-            16,
-            10,
-        ).cast("long"),
-    )
-    g = (
-        d.repartition(par)
-        .where(F.length("text") >= k)
-        .select("doc_id", F.posexplode(grams).alias("pos0", "ghash"))
-    )
-    # Corpus-wide gram frequency via a count window over the gram key
+    # Corpus-wide gram frequency via a sum window over the gram key
     # instead of aggregate-then-join-back: the join formulation
     # re-executed the whole posexplode+md5 gram build for both branches
     # (README finding #8; measured r13-opt: 2.50 -> 1.9 s at sf0.1,
     # one gram build instead of two).
+    # r14-opt (VERDICT r13 item 1, guide §2.5): the window runs over a
+    # ROW-LOCAL per-(doc, gram) pre-aggregate that carries the gram's
+    # positions as an ARRAY PAYLOAD, not as extra key rows — each
+    # doc's (ghash, pos) structs are sorted once and run-length-
+    # encoded in-row (same RLE as llm_substring_dedup, zero extra
+    # exchange), which bounds a hot gram's window partition to its
+    # DISTINCT-DOC count (a boilerplate block repeated R times per doc
+    # is one row, not R; AQE cannot split a window partition, so
+    # row-bounding is the only in-plan defence). k_tot = sum of
+    # per-doc multiplicities is the same corpus occurrence count; the
+    # kept positions explode back out afterwards. Residual hot-gram
+    # caveat and the join-back escape hatch: see llm_substring_dedup.
+    gp = F.transform(
+        F.sequence(F.lit(1), F.length("text") - F.lit(k - 1)),
+        lambda i: F.struct(
+            F.conv(
+                F.substring(F.md5(F.substring(F.col("text"), i, F.lit(k))), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("ghash"),
+            (i - 1).alias("pos0"),
+        ),
+    )
+
+    def _rle_pos(sa):
+        st = F.filter(
+            F.sequence(F.lit(0), F.size(sa) - 1),
+            lambda i: (i == F.lit(0))
+            | (F.get(sa, i).getField("ghash") != F.get(sa, i - 1).getField("ghash")),
+        )
+        return F.transform(
+            F.array(st),
+            lambda stt: F.zip_with(
+                stt,
+                F.concat(F.slice(stt, F.lit(2), F.size(stt)), F.array(F.size(sa))),
+                lambda s, e: F.struct(
+                    F.get(sa, s).getField("ghash").alias("ghash"),
+                    F.transform(
+                        F.sequence(s, e - 1), lambda j: F.get(sa, j).getField("pos0")
+                    ).alias("ps"),
+                ),
+            ),
+        )[0]
+
+    occ = F.transform(F.array(F.array_sort(gp)), _rle_pos)[0]
+    per = (
+        d.repartition(par)
+        .where(F.length("text") >= k)
+        .select("doc_id", F.explode(occ).alias("o"))
+        .select("doc_id", F.col("o.ghash").alias("ghash"), F.col("o.ps").alias("ps"))
+    )
     dp = (
-        g.withColumn("k_tot", F.count(F.lit(1)).over(Window.partitionBy("ghash")))
+        per.withColumn(
+            "k_tot", F.sum(F.size("ps")).over(Window.partitionBy("ghash"))
+        )
         .filter(F.col("k_tot") >= 2)
+        .select("doc_id", F.explode("ps").alias("pos0"))
         .select(
             "doc_id",
             (F.col("pos0") + 1).cast("long").alias("s"),
@@ -2040,8 +2135,19 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combinable; the posting-list shuffle shared with the
     probed llm_dedup_ngram_jaccard kernel) → join back on the gram
     key → one per-doc hash aggregate. No pair fan-out at all — unlike
-    the Jaccard kernels this never multiplies posting lists, so there
-    is no hot-shingle cap to tune."""
+    the Jaccard kernels this never multiplies posting lists.
+
+    Skew note (r14, ADVICE r13): the min-over-window first-owner runs
+    over DISTINCT per-doc shingles (word_shingles is array_distinct),
+    so a shingle's window partition is bounded by its distinct-doc
+    posting count — the per-(doc, key) half of the r13 skew-proofing
+    prescription holds by construction, and there is still no pair
+    fan-out. Residual: a Zipf-head shingle present in a large
+    fraction of docs concentrates its posting rows in one WindowExec
+    task (AQE cannot split a window partition); if scale probes ever
+    show window-task stragglers, the escape hatch is the r12
+    aggregate+join-back formulation (AQE skew-splits the probe side)
+    at the cost of a second tokenize+shingle build."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
@@ -2347,32 +2453,47 @@ def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "chunk"),
     )
-    # corpus-wide chunk frequency via a count window over the chunk
-    # text instead of aggregate-then-join-back: the join formulation
-    # re-executed the tokenize+chunk subtree for both branches (README
-    # finding #8, r13-opt). The window key is the raw chunk TEXT (same
-    # key the oracle groups by — a hashed key could collide and
-    # diverge the engines).
-    kept = (
-        c.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("chunk")))
-        .where(F.col("c") == 1)
-        .select("doc_id", "pos", "chunk")
+    # corpus-wide chunk frequency via a sum window instead of
+    # aggregate-then-join-back: the join formulation re-executed the
+    # tokenize+chunk subtree for both branches (README finding #8,
+    # r13-opt). r14-opt (VERDICT r13 item 1, guide §2.5) skew-proofs
+    # the r13 window three ways:
+    # (1) pre-aggregate per (doc, chunk) with the positions as an
+    #     ARRAY PAYLOAD — map-side partial collect_list before the
+    #     exchange; a chunk's window partition is bounded by its
+    #     DISTINCT-DOC count, not its occurrence count;
+    # (2) the window SORT key leads with xxhash64(chunk) so the
+    #     per-partition sort compares 8-byte longs and touches the
+    #     text only on hash ties — the raw text rides as a grouping
+    #     tie-break, so a hash collision can NEVER merge two distinct
+    #     chunks (exactness is what the oracle digest pins; the hash
+    #     is ordering/partitioning sugar only);
+    # (3) n_chunks / n_kept / the reassembly digest all derive from
+    #     ONE groupBy(doc_id) over the windowed pre-aggregate — the
+    #     r13 plan aggregated the chunk stream twice (kept + nc) and
+    #     joined documents twice.
+    # ctot == 1 implies the (doc, chunk) pair owns the chunk's only
+    # occurrence, so its position array has exactly one element.
+    ch = F.xxhash64("chunk")
+    per = c.groupBy("doc_id", "chunk").agg(F.collect_list("pos").alias("ps"))
+    win = per.withColumn(
+        "ctot", F.sum(F.size("ps")).over(Window.partitionBy(ch, F.col("chunk")))
     )
-    re = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    re = win.groupBy("doc_id").agg(
+        F.sum(F.size("ps")).cast("long").alias("n_chunks"),
+        F.count_if(F.col("ctot") == 1).cast("long").alias("n_kept"),
         F.md5(
             F.array_join(
                 F.expr(
-                    "transform(array_sort(collect_list(struct(pos, chunk))), x -> x.chunk)"
+                    "transform(array_sort(collect_list(CASE WHEN ctot = 1 "
+                    "THEN struct(ps[0] AS pos, chunk) END)), x -> x.chunk)"
                 ),
                 " ",
             )
         ).alias("clean_digest"),
     )
-    nc = c.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
     return (
         d.select("doc_id")
-        .join(nc, "doc_id", "left")
         .join(re, "doc_id", "left")
         .select(
             "doc_id",

@@ -2230,9 +2230,17 @@ def q96_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-trips for the applyInPandasWithState fold (measured
     # r13-opt: 2.06 -> 1.31 s at sf0.1 at 8 partitions, identical
     # output — the oracle gate pins the grid digest). Sketch merge
-    # semantics are partition-count independent.
+    # semantics are partition-count independent. r14 (VERDICT item 6):
+    # width derived from the stream's key count (the ~5 event types)
+    # by the shared helper instead of a fixture literal; env-
+    # overridable for cluster runs. Same resolved width (8) locally.
+    from ..streaming.state import stream_state_partitions
+
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(stream_state_partitions(spark, approx_keys=5)),
+    )
     try:
         q = (
             countmin_stream(stream)

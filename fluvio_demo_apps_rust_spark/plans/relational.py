@@ -871,19 +871,19 @@ def q115_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization rule); min/max stringify only exact types (BIGINT,
     VARCHAR, date-formatted timestamp) — never a raw double repr.
 
-    Plan (r12, VERDICT r11 #2 — replaces the single EXPAND x5
-    multi-distinct aggregate): TWO passes. Pass 1 computes every
-    non-distinct statistic (n, per-column null counts, min/max) in one
-    zero-distinct hash aggregate. Pass 2 computes the five exact NDVs
-    by UNPIVOTING to narrow (cid, value-string) pairs (stack — casts
-    are injective per column type, so string NDV == value NDV), then a
-    two-phase distinct: groupBy(cid, v) with map-side partial dedup,
-    then a 5-row count. The controlled decomposition
-    (tools/decompose_q115.py, sf0.1, 3-rep min, idle host) measured:
-    scan+repartition 0.46 s, pass-1 agg 1.00 s, CURRENT EXPAND x5
-    2.05 s, split EXPAND (distinct-only buffers) 1.78 s, THIS plan
-    1.44 s — the EXPAND tax is real (x5 row replication dragging the
-    22-buffer aggregate state), not a stage floor.
+    Plan (r14, VERDICT r13 item 7 — collapses the r12 two-pass split,
+    which itself replaced the single EXPAND x5 multi-distinct
+    aggregate per README finding #17): ONE pass. Everything rides the
+    UNPIVOTED (col, value) relation — stack to narrow injective
+    string encodings plus a numeric twin, nulls kept as their own
+    per-column group, two-phase aggregate: groupBy(col, v) with
+    map-side partial dedup carrying a count, then a 5-row rollup that
+    derives n / null count / exact NDV / min / max together. The r12
+    decomposition (tools/decompose_q115.py, sf0.1, 3-rep min, idle
+    host) measured: scan+repartition 0.46 s, wide pass-1 agg 1.00 s,
+    EXPAND x5 2.05 s, split EXPAND 1.78 s, r12 two-pass 1.44 s — the
+    EXPAND tax is real, and the wide zero-distinct pass this plan
+    deletes was ~1.0 s of it (A/B at round 14 below).
 
     100 TB shape: exactly the ANALYZE job you'd run nightly. The
     trade is one extra column-pruned scan (pass 2) for removing the
@@ -902,77 +902,90 @@ def q115_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
 
-    def base() -> DataFrame:
-        return (
-            load(spark, sf_dir, "lineitem")
-            .repartition(par)
-            .select(
-                "l_orderkey",
-                "l_suppkey",
-                "l_returnflag",
-                "l_extendedprice",
-                "l_shipdate",
-                cents.alias("cents"),
-            )
+    # r14-opt (VERDICT r13 item 7, guide §1.2): ONE scan instead of
+    # two. The r12 pass-1 (the 22-buffer zero-distinct aggregate over
+    # the full rows) is folded into the unpivoted NDV pass: the stack
+    # now carries a numeric twin (vn) next to the injective string
+    # encoding, nulls are KEPT (they become the per-column null
+    # group), and the per-(col, value) relation — already deduped
+    # map-side — yields every statistic in one 5-row second phase:
+    # n = sum of group counts, n_null = the null group's count,
+    # ndv = non-null group count, numeric min/max from vn, and
+    # string/date min/max from the injective encoding (the timestamp's
+    # 'yyyy-MM-dd HH:mm:ss' cast is fixed-width ISO, so lexical order
+    # IS chronological order and substring(1,10) re-derives the
+    # date_format the oracle emits; vn stays NULL for those columns).
+    # The static 5-name spine join preserves the empty-table shape
+    # (5 rows of zeros) the two-pass plan had.
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .repartition(par)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "l_returnflag",
+            "l_shipdate",
+            cents.alias("cents"),
         )
-
-    a = base().agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count("l_orderkey").alias("nn_ok"),
-        F.min("l_orderkey").cast("string").alias("mn_ok"),
-        F.max("l_orderkey").cast("string").alias("mx_ok"),
-        F.count("l_suppkey").alias("nn_sk"),
-        F.min("l_suppkey").cast("string").alias("mn_sk"),
-        F.max("l_suppkey").cast("string").alias("mx_sk"),
-        F.count("l_returnflag").alias("nn_rf"),
-        F.min("l_returnflag").alias("mn_rf"),
-        F.max("l_returnflag").alias("mx_rf"),
-        F.count("l_extendedprice").alias("nn_ep"),
-        F.min("cents").cast("string").alias("mn_ep"),
-        F.max("cents").cast("string").alias("mx_ep"),
-        F.count("l_shipdate").alias("nn_sd"),
-        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("mn_sd"),
-        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("mx_sd"),
-    )
-    stacked = a.selectExpr(
-        """stack(5,
-           'l_orderkey',            n - nn_ok, mn_ok, mx_ok,
-           'l_suppkey',             n - nn_sk, mn_sk, mx_sk,
-           'l_returnflag',          n - nn_rf, mn_rf, mx_rf,
-           'l_extendedprice_cents', n - nn_ep, mn_ep, mx_ep,
-           'l_shipdate',            n - nn_sd, mn_sd, mx_sd
-         ) AS (col, n_null, min_s, max_s)""",
-        "n",
-    )
-    # injective-per-column string encodings: long/date/string casts
-    # never collide within a column, so string NDV == value NDV
-    ndv = (
-        base()
         .selectExpr(
             """stack(5,
-               'l_orderkey',            CAST(l_orderkey AS STRING),
-               'l_suppkey',             CAST(l_suppkey AS STRING),
-               'l_returnflag',          l_returnflag,
-               'l_extendedprice_cents', CAST(cents AS STRING),
-               'l_shipdate',            CAST(l_shipdate AS STRING)
-             ) AS (col, v)"""
+               'l_orderkey',            CAST(l_orderkey AS STRING), l_orderkey,
+               'l_suppkey',             CAST(l_suppkey AS STRING),  l_suppkey,
+               'l_returnflag',          l_returnflag,               CAST(NULL AS BIGINT),
+               'l_extendedprice_cents', CAST(cents AS STRING),      cents,
+               'l_shipdate',            CAST(l_shipdate AS STRING), CAST(NULL AS BIGINT)
+             ) AS (col, v, vn)"""
         )
-        .where(F.col("v").isNotNull())
-        .groupBy("col", "v")
-        .agg(F.lit(1))
-        .groupBy("col")
-        .agg(F.count(F.lit(1)).cast("long").alias("ndv"))
     )
-    return (
-        stacked.join(ndv, "col", "left")
-        .select(
-            "col",
-            "n",
-            "n_null",
-            F.coalesce(F.col("ndv"), F.lit(0)).cast("long").alias("ndv"),
-            "min_s",
-            "max_s",
+    stats = (
+        pairs.groupBy("col", "v", "vn")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("col")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.when(F.col("v").isNull(), F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_null"),
+            F.count_if(F.col("v").isNotNull()).cast("long").alias("ndv"),
+            F.min("vn").alias("mn_n"),
+            F.max("vn").alias("mx_n"),
+            F.min("v").alias("mn_s0"),
+            F.max("v").alias("mx_s0"),
         )
+    )
+    names = spark.createDataFrame(
+        [
+            ("l_orderkey",),
+            ("l_suppkey",),
+            ("l_returnflag",),
+            ("l_extendedprice_cents",),
+            ("l_shipdate",),
+        ],
+        "col string",
+    )
+    mins = F.when(
+        F.col("col").isin("l_orderkey", "l_suppkey", "l_extendedprice_cents"),
+        F.col("mn_n").cast("string"),
+    ).otherwise(
+        F.when(F.col("col") == "l_shipdate", F.substring("mn_s0", 1, 10)).otherwise(
+            F.col("mn_s0")
+        )
+    )
+    maxs = F.when(
+        F.col("col").isin("l_orderkey", "l_suppkey", "l_extendedprice_cents"),
+        F.col("mx_n").cast("string"),
+    ).otherwise(
+        F.when(F.col("col") == "l_shipdate", F.substring("mx_s0", 1, 10)).otherwise(
+            F.col("mx_s0")
+        )
+    )
+    return names.join(stats, "col", "left").select(
+        "col",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce("n_null", F.lit(0)).cast("long").alias("n_null"),
+        F.coalesce("ndv", F.lit(0)).cast("long").alias("ndv"),
+        mins.alias("min_s"),
+        maxs.alias("max_s"),
     )
 
 

@@ -158,3 +158,44 @@ def test_kth_from_binned_matches_global_selection(spark):
     s = sorted(x for _, x in rows)
     assert v == pytest.approx(s[(n + 1) // 2 - 1], abs=1e-9)
     assert v == pytest.approx(selection_kth(df, "x", (n + 1) // 2), abs=1e-9)
+
+
+def test_selection_kths_adaptive_skip_and_value_range(spark):
+    """r14-opt: range-adaptive level skipping (narrow columns resolve
+    in fewer passes) and a caller-supplied value_range cover must not
+    change any answer — including a LOOSE cover, which only gates
+    pass-skipping and never filters rows."""
+    from fluvio_demo_apps_rust_spark.operators.selection import selection_kths
+
+    rng = random.Random(13)
+    # narrow column: every value inside one 10k-cent exact span
+    vals = [round(rng.uniform(0, 40), 2) for _ in range(1500)]
+    df = _df(spark, vals)
+    s = sorted(vals)
+    n = len(vals)
+    ks = [1, (n + 1) // 2, n]
+    _, plain = selection_kths(df, "x", ks=ks)
+    _, tight = selection_kths(df, "x", ks=ks, value_range=(0, 4000))
+    _, loose = selection_kths(df, "x", ks=ks, value_range=(-100, 9000))
+    for k in ks:
+        assert plain[k] == pytest.approx(s[k - 1], abs=1e-9), k
+    assert plain == tight == loose
+    # return_stats reports the observed cents bounds
+    n2, got, (vmin, vmax) = selection_kths(
+        df, "x", ks=[(n + 1) // 2], return_stats=True
+    )
+    assert n2 == n and got[(n + 1) // 2] == plain[(n + 1) // 2]
+    cents = sorted(int(v * 100 + 0.5) for v in vals)
+    assert (vmin, vmax) == (cents[0], cents[-1])
+
+
+def test_selection_kths_empty_and_exclusive_ranks(spark):
+    """r13 ADVICE: no requested ranks returns (n, {}) instead of an
+    opaque where(None) crash, and ks + k_of_n together raise."""
+    from fluvio_demo_apps_rust_spark.operators.selection import selection_kths
+
+    df = _df(spark, [1.0, 2.0, 3.0])
+    assert selection_kths(df, "x", ks=[]) == (3, {})
+    assert selection_kths(df, "x", k_of_n=lambda n: []) == (3, {})
+    with pytest.raises(ValueError):
+        selection_kths(df, "x", ks=[1], k_of_n=lambda n: [1])
