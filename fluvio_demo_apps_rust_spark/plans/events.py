@@ -1244,17 +1244,24 @@ def q99_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface on later microbatches, never at end-of-input). Flush
     events on both streams advance the min-of-sources watermark so
     every real impression is decided in-stream; driven availableNow
-    with one file per trigger so eviction demonstrably crosses
-    microbatch boundaries.
+    across two DATA microbatches so eviction demonstrably crosses a
+    microbatch boundary (batch 1 admits the base events plus the
+    first flush file; batch 2's flush file evicts and emits every
+    real impression's verdict under the batch-1 watermark).
 
-    State partitioning is set to 4 FOR THIS FIXTURE (restored after
-    the stream drains): the input is 206 wire events across >= 6
-    microbatches, and 32-way state stores per stateful operator per
-    microbatch are pure task-scheduling overhead at that size
-    (measured r12: 12.6 s -> 3.7 s, a 3.4x cut, identical output —
-    the oracle gate pins it). Production sizes state partitions to
-    stream volume; the join/watermark semantics under test are
-    partition-count independent."""
+    Microbatch budget (r14, VERDICT item 3): the wall here is
+    microbatch count x per-batch floor (source listing + JSON scan +
+    four state-store commits per partition for the stream-stream
+    join + driver re-planning, per batch), so the fixture runs the
+    MINIMUM batches the semantics need — maxFilesPerTrigger=2 and
+    no-data microbatches OFF for the stream's lifetime (restored in
+    finally; the only rows a trailing no-data batch could still emit
+    are the filtered sentinels, and the oracle gate pins the output
+    identical). Measured r14: 4 batches -> 2, 4.09 -> 2.27 s min
+    (-45%). State partitioning derived from the stream (README
+    finding #18, shared helper, env-overridable; resolves to 4 here —
+    r12 measured 12.6 -> 3.7 s vs 32-way). The join/watermark
+    semantics under test are partition-count independent."""
     import os
     import tempfile
     import uuid
@@ -1299,11 +1306,11 @@ def q99_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p, ts in files:
         os.utime(p, (ts, ts))
     left = spark.readStream.schema("imp_id long, ts timestamp, user_id long").option(
-        "maxFilesPerTrigger", 1
+        "maxFilesPerTrigger", 2
     ).json(str(imp_dir))
     right = spark.readStream.schema(
         "click_id long, ts timestamp, user_id long"
-    ).option("maxFilesPerTrigger", 1).json(str(clk_dir))
+    ).option("maxFilesPerTrigger", 2).json(str(clk_dir))
     joined = interval_join(
         left, right, horizon="10 minutes", watermark="1 minute", how="leftOuter"
     ).select(
@@ -1326,6 +1333,8 @@ def q99_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(stream_state_partitions(spark, approx_keys=9, approx_rows_per_batch=100)),
     )
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             joined.writeStream.outputMode("append")
@@ -1337,6 +1346,9 @@ def q99_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )
         # the memory sink holds the materialized rows; the fixture dir
         # can go as soon as the availableNow run drains (r12 VERDICT)
         import shutil
@@ -2248,11 +2260,15 @@ def q121_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic fixture makes the drained stream equal the batch
     FULL JOIN the oracle runs.
 
-    State partitioning is set to 4 FOR THIS FIXTURE (restored after
-    the drain — README finding #18, same as q99/q100): 216 wire events
-    across >= 6 microbatches make 32-way state stores pure scheduling
-    overhead; the join semantics under test are partition-count
-    independent."""
+    Microbatch budget + state sizing (r14, VERDICT items 3/6 — same
+    treatment as q99): two data microbatches (maxFilesPerTrigger=2;
+    both outer directions still emit on batch 2's eviction under the
+    batch-1 watermark, crossing a real batch boundary), no-data
+    microbatches off for the stream's lifetime (restored in finally;
+    only the filtered sentinels could ride a trailing no-data batch),
+    and state partitions derived from the stream by the shared helper
+    (resolves to 4). The join semantics under test are partition-
+    count independent; the oracle gate pins the output."""
     import os
     import tempfile
     import uuid
@@ -2304,11 +2320,11 @@ def q121_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p, ts in files:
         os.utime(p, (ts, ts))
     left = spark.readStream.schema("imp_id long, ts timestamp, user_id long").option(
-        "maxFilesPerTrigger", 1
+        "maxFilesPerTrigger", 2
     ).json(str(imp_dir))
     right = spark.readStream.schema(
         "click_id long, ts timestamp, user_id long"
-    ).option("maxFilesPerTrigger", 1).json(str(clk_dir))
+    ).option("maxFilesPerTrigger", 2).json(str(clk_dir))
     joined = interval_join(
         left, right, horizon="10 minutes", watermark="1 minute", how="fullOuter"
     ).select(
@@ -2329,6 +2345,8 @@ def q121_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(stream_state_partitions(spark, approx_keys=10, approx_rows_per_batch=110)),
     )
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             joined.writeStream.outputMode("append")
@@ -2340,6 +2358,7 @@ def q121_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
         # the memory sink holds the materialized rows; the fixture dir
         # can go as soon as the availableNow run drains
         import shutil
