@@ -538,3 +538,79 @@ def ngram_jaccard_pairs(
         # posting fan-out
         return agged.select("a", "b", "common", "na", "nb", jac)
     return agged.select("a", "b", jac)
+
+
+def rle_gram_counts(sorted_grams: Column) -> Column:
+    """Row-local run-length encoding of a SORTED ``array<long>`` gram
+    array into ``array<struct<ghash, k_local>>`` — the per-(doc, gram)
+    pre-aggregate of the r14 skew-proofed count-window kernels
+    (llm_substring_dedup; VERDICT r13 item 1, guide §2.5) computed
+    WITHOUT an exchange: exploding this instead of the raw occurrence
+    stream bounds a hot gram's window partition to its distinct-doc
+    count (a licence block repeated R times inside one doc costs one
+    row, not R — tools/skew_probe.py demonstrates the straggler
+    collapse), while sum(k_local) windows/aggregates reproduce every
+    occurrence-count statistic exactly.
+
+    Every array the lambdas index is LET-bound via the
+    ``transform(array(...), v -> ...)[0]`` idiom (no CSE inside
+    higher-order lambdas — README plan-audit finding); ``F.get`` (not
+    ``[]``/``element_at``) keeps the i-1 probe NULL-safe under ANSI.
+    Empty input yields an empty struct array."""
+
+    def _rle(sa: Column) -> Column:
+        st = F.filter(
+            F.sequence(F.lit(0), F.size(sa) - 1),
+            lambda i: (i == F.lit(0)) | (F.get(sa, i) != F.get(sa, i - 1)),
+        )
+        return F.transform(
+            F.array(st),
+            lambda stt: F.zip_with(
+                stt,
+                F.concat(F.slice(stt, F.lit(2), F.size(stt)), F.array(F.size(sa))),
+                lambda s, e: F.struct(
+                    F.get(sa, s).alias("ghash"),
+                    (e - s).cast("long").alias("k_local"),
+                ),
+            ),
+        )[0]
+
+    empty = F.array().cast("array<struct<ghash:bigint,k_local:bigint>>")
+    return F.transform(
+        F.array(sorted_grams),
+        lambda sa: F.when(F.size(sa) > 0, _rle(sa)).otherwise(empty),
+    )[0]
+
+
+def rle_gram_positions(sorted_pairs: Column) -> Column:
+    """Positional sibling of :func:`rle_gram_counts`: a SORTED
+    ``array<struct<ghash, pos0>>`` becomes
+    ``array<struct<ghash, ps: array<pos0>>>`` — one row per distinct
+    gram with its in-doc positions carried as an ARRAY PAYLOAD, so a
+    position-aware kernel (llm_substring_trim) gets the same
+    distinct-doc window bound and explodes the positions back out
+    after the corpus-frequency decision. Same LET-binding/NULL-safety
+    notes as the count form; input must be non-empty (callers filter
+    ``length(text) >= k`` first)."""
+
+    def _rle(sa: Column) -> Column:
+        st = F.filter(
+            F.sequence(F.lit(0), F.size(sa) - 1),
+            lambda i: (i == F.lit(0))
+            | (F.get(sa, i).getField("ghash") != F.get(sa, i - 1).getField("ghash")),
+        )
+        return F.transform(
+            F.array(st),
+            lambda stt: F.zip_with(
+                stt,
+                F.concat(F.slice(stt, F.lit(2), F.size(stt)), F.array(F.size(sa))),
+                lambda s, e: F.struct(
+                    F.get(sa, s).getField("ghash").alias("ghash"),
+                    F.transform(
+                        F.sequence(s, e - 1), lambda j: F.get(sa, j).getField("pos0")
+                    ).alias("ps"),
+                ),
+            ),
+        )[0]
+
+    return F.transform(F.array(sorted_pairs), _rle)[0]

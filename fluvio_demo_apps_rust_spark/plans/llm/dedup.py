@@ -943,54 +943,26 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<long>"))
     # r14-opt (VERDICT r13 item 1, guide §2.5): pre-aggregate per
-    # (doc, gram) BEFORE the corpus-count window — and do it ROW-
-    # LOCALLY (sort the doc's gram array once, run-length-encode it
-    # into (ghash, k_local) structs) so the combine costs no extra
-    # exchange. The r13 window ran directly over the occurrence
-    # stream, which shipped EVERY occurrence of a hot gram —
-    # within-doc repeats included — into one WindowExec partition
-    # (AQE cannot split a window partition). After the RLE a gram's
-    # window partition is bounded by its DISTINCT-DOC count: a licence
-    # block repeated R times per doc costs one row, not R
-    # (tools/skew_probe.py demonstrates the straggler collapse on a
-    # synthetic hot gram). The plain groupBy(doc, gram) pre-aggregate
-    # achieves the same bound but pays a full extra exchange of the
-    # gram stream (measured +0.3-0.7 s at sf0.1); the RLE costs only
-    # the per-row O(L log L) sort. k_tot = sum(k_local) over the gram
-    # key is the same corpus-wide occurrence count, and n_dup =
+    # (doc, gram) BEFORE the corpus-count window — ROW-LOCALLY via
+    # X.rle_gram_counts (sort + run-length-encode each doc's gram
+    # array; see its docstring), so the combine costs no extra
+    # exchange and a hot gram's window partition is bounded by its
+    # DISTINCT-DOC count instead of its occurrence count (the r13
+    # window shipped every within-doc repeat into one WindowExec
+    # partition, which AQE cannot split; tools/skew_probe.py shows the
+    # straggler collapse, 3.8x -> 1.0x max/median task rows). The
+    # plain groupBy(doc, gram) pre-aggregate gives the same bound but
+    # pays a full extra exchange (measured +0.3-0.7 s at sf0.1); the
+    # RLE costs only the per-row O(L log L) sort (~+0.1 s, the
+    # documented price of the skew bound). k_tot = sum(k_local) over
+    # the gram key is the same corpus occurrence count, n_dup =
     # sum(k_local) over a doc's dup grams the same per-doc count.
-    # Residual at 100 TB: a gram present ONCE in a large fraction of
-    # docs still concentrates its distinct-doc rows in one window
-    # partition; the skew-proof escape hatch is the r12
-    # aggregate+join-back (AQE skew-splits the probe side) at the cost
-    # of a second gram build — switch if scale probes show window-task
-    # stragglers (ADVICE r13).
-    # Every array the lambdas index is LET-bound via the
-    # transform(array(...), v -> ...)[0] idiom (no CSE inside
-    # higher-order lambdas — README plan-audit finding); F.get (not
-    # [] / element_at) keeps the i-1 probe NULL-safe under ANSI.
-    def _rle(sa):
-        st = F.filter(
-            F.sequence(F.lit(0), F.size(sa) - 1),
-            lambda i: (i == F.lit(0)) | (F.get(sa, i) != F.get(sa, i - 1)),
-        )
-        return F.transform(
-            F.array(st),
-            lambda stt: F.zip_with(
-                stt,
-                F.concat(F.slice(stt, F.lit(2), F.size(stt)), F.array(F.size(sa))),
-                lambda s, e: F.struct(
-                    F.get(sa, s).alias("ghash"),
-                    (e - s).cast("long").alias("k_local"),
-                ),
-            ),
-        )[0]
-
-    empty = F.array().cast("array<struct<ghash:bigint,k_local:bigint>>")
-    occ = F.transform(
-        F.array(F.array_sort(grams)),
-        lambda sa: F.when(F.size(sa) > 0, _rle(sa)).otherwise(empty),
-    )[0]
+    # Residual at 100 TB: a gram present once in a large fraction of
+    # docs still lands its distinct-doc rows in one window task; the
+    # escape hatch is the r12 aggregate+join-back (AQE skew-splits
+    # the probe side) at the cost of a second gram build — switch if
+    # scale probes show window-task stragglers (ADVICE r13).
+    occ = X.rle_gram_counts(F.array_sort(grams))
     per = (
         d.repartition(par)
         .select("doc_id", F.explode(occ).alias("o"))
@@ -1124,14 +1096,15 @@ def llm_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ROW-LOCAL per-(doc, gram) pre-aggregate that carries the gram's
     # positions as an ARRAY PAYLOAD, not as extra key rows — each
     # doc's (ghash, pos) structs are sorted once and run-length-
-    # encoded in-row (same RLE as llm_substring_dedup, zero extra
-    # exchange), which bounds a hot gram's window partition to its
-    # DISTINCT-DOC count (a boilerplate block repeated R times per doc
-    # is one row, not R; AQE cannot split a window partition, so
-    # row-bounding is the only in-plan defence). k_tot = sum of
-    # per-doc multiplicities is the same corpus occurrence count; the
-    # kept positions explode back out afterwards. Residual hot-gram
-    # caveat and the join-back escape hatch: see llm_substring_dedup.
+    # encoded in-row (X.rle_gram_positions, the positional sibling of
+    # llm_substring_dedup's kernel; zero extra exchange), which bounds
+    # a hot gram's window partition to its DISTINCT-DOC count (a
+    # boilerplate block repeated R times per doc is one row, not R;
+    # AQE cannot split a window partition, so row-bounding is the only
+    # in-plan defence). k_tot = sum of per-doc multiplicities is the
+    # same corpus occurrence count; the kept positions explode back
+    # out afterwards. Residual hot-gram caveat and the join-back
+    # escape hatch: see llm_substring_dedup.
     gp = F.transform(
         F.sequence(F.lit(1), F.length("text") - F.lit(k - 1)),
         lambda i: F.struct(
@@ -1145,28 +1118,7 @@ def llm_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             (i - 1).alias("pos0"),
         ),
     )
-
-    def _rle_pos(sa):
-        st = F.filter(
-            F.sequence(F.lit(0), F.size(sa) - 1),
-            lambda i: (i == F.lit(0))
-            | (F.get(sa, i).getField("ghash") != F.get(sa, i - 1).getField("ghash")),
-        )
-        return F.transform(
-            F.array(st),
-            lambda stt: F.zip_with(
-                stt,
-                F.concat(F.slice(stt, F.lit(2), F.size(stt)), F.array(F.size(sa))),
-                lambda s, e: F.struct(
-                    F.get(sa, s).getField("ghash").alias("ghash"),
-                    F.transform(
-                        F.sequence(s, e - 1), lambda j: F.get(sa, j).getField("pos0")
-                    ).alias("ps"),
-                ),
-            ),
-        )[0]
-
-    occ = F.transform(F.array(F.array_sort(gp)), _rle_pos)[0]
+    occ = X.rle_gram_positions(F.array_sort(gp))
     per = (
         d.repartition(par)
         .where(F.length("text") >= k)

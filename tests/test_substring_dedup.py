@@ -66,3 +66,53 @@ def test_substring_dedup_matches_brute_force(spark, corpus_dir):
     assert exp[5][1] == 0  # unique doc: no duplicated windows
     assert exp[3][1] > 0  # intra-doc repeat counts as duplicated
     assert exp[1][1] > 0 and exp[2][1] > 0  # cross-doc shared block flagged
+
+
+def test_rle_gram_kernels_match_python(spark):
+    """r14 skew-proofing internals: the row-local sort+RLE pre-
+    aggregates (functions/dedup.py rle_gram_counts / rle_gram_positions)
+    must reproduce collections.Counter / position-grouping exactly,
+    including empty arrays, all-equal runs, and singleton docs."""
+    from collections import Counter, defaultdict
+
+    import pyspark.sql.functions as F
+
+    from fluvio_demo_apps_rust_spark.functions.dedup import (
+        rle_gram_counts,
+        rle_gram_positions,
+    )
+
+    cases = [
+        [],
+        [7],
+        [5, 5, 5, 5],
+        [3, 1, 2, 1, 3, 3, 9, 2],
+        [-4, 0, -4, 0, 8],
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(cases)], "i int, g array<bigint>")
+    got = {
+        r.i: sorted((x.ghash, x.k_local) for x in r.o)
+        for r in df.select(
+            "i", rle_gram_counts(F.array_sort("g")).alias("o")
+        ).collect()
+    }
+    for i, v in enumerate(cases):
+        assert got[i] == sorted(Counter(v).items()), i
+
+    dfp = df.select(
+        "i",
+        F.expr("transform(g, (x, p) -> struct(x AS ghash, p AS pos0))").alias("gp"),
+    ).where(F.size("gp") > 0)
+    gotp = {
+        r.i: {x.ghash: sorted(x.ps) for x in r.o}
+        for r in dfp.select(
+            "i", rle_gram_positions(F.array_sort("gp")).alias("o")
+        ).collect()
+    }
+    for i, v in enumerate(cases):
+        if not v:
+            continue
+        exp = defaultdict(list)
+        for p, x in enumerate(v):
+            exp[x].append(p)
+        assert gotp[i] == {k: sorted(ps) for k, ps in exp.items()}, i
